@@ -1,0 +1,39 @@
+"""Deterministic cross-engine hashing primitives.
+
+``h32(x)`` = int(md5(x)[:8], 16) ∈ [0, 2^32): cheap, stable, and computable
+with built-ins on both Spark (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``('0x' || substr(md5(x),1,8))::BIGINT``).  Spark's own ``xxhash64``/``hash``
+are NOT portable to DuckDB, which is why md5 is the shared backbone.
+
+Minhash permutations use ``(a*h + b) mod P`` with ``P`` the smallest prime
+above 2^32 and ``a < 2^30`` so products stay below 2^62 — no 64-bit overflow
+in either engine (DuckDB raises on bigint overflow; Spark would silently
+wrap).  Coefficients come from a fixed seeded RNG so Spark code and oracle
+SQL embed the same literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+_NUM_PERM = 16  # 4 bands x 4 rows
+
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, MINHASH_PRIME)) for _ in range(_NUM_PERM)
+]
+
+
+def h32(col: Column | str) -> Column:
+    """Spark column: md5-based unsigned 32-bit hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB SQL snippet computing the same value as :func:`h32`."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"

@@ -1,0 +1,1 @@
+"""dedup queries — populated incrementally (see SURVEY.md §2)."""

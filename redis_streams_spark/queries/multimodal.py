@@ -1,0 +1,1 @@
+"""multimodal queries — populated incrementally (see SURVEY.md §2)."""

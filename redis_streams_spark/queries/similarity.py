@@ -1,0 +1,1 @@
+"""similarity queries — populated incrementally (see SURVEY.md §2)."""

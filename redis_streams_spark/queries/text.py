@@ -1,0 +1,1 @@
+"""text queries — populated incrementally (see SURVEY.md §2)."""

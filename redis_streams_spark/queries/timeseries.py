@@ -1,0 +1,1 @@
+"""timeseries queries — populated incrementally (see SURVEY.md §2)."""

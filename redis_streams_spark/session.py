@@ -1,0 +1,95 @@
+"""SparkSession helpers and test-table loaders.
+
+Scale posture: every loader returns a plain parquet-backed DataFrame so
+Catalyst keeps predicate pushdown / column pruning / partition pruning;
+nothing is cached or collected here.  The only data-dependent quirk is the
+driver-generated ``events.parquet``, whose ``ts`` column is parquet
+TIMESTAMP(NANOS) — unreadable by Spark without
+``spark.sql.legacy.parquet.nanosAsLong``; :func:`load_table` sets that conf
+at runtime (it is a dynamic SQLConf) and converts nanos → TIMESTAMP_NTZ
+micros to exactly match what DuckDB reads natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Set dynamic SQL confs this engine relies on.
+
+    Safe to call on a session we did not create (the driver's): every conf
+    here is runtime-settable.  UTC timezone keeps TIMESTAMP_NTZ math and
+    rendering identical to the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
+
+
+def get_spark(app_name: str = "redis-streams-spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session sized for this host (tests / bench).
+
+    On a real cluster users bring their own session; everything else in the
+    package only assumes :func:`configure` was applied.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; normalizes ``events.ts`` to TIMESTAMP_NTZ.
+
+    The nanos→micros truncation (floor division by 1000) matches DuckDB's
+    own nanos→micros cast, so both engines see identical timestamps.
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # integer `div` — a double division would lose precision on ~1.7e18
+        # nanosecond values (53-bit mantissa)
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views (for ``spark.sql`` queries)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

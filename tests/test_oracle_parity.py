@@ -1,0 +1,48 @@
+"""Every registered query matches its DuckDB oracle at sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01); sf0.001 keeps the
+suite fast.  tools/check_oracle.py runs the same comparison at any sf.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_streams_spark.oracle import compare
+from redis_streams_spark.queries import all_queries
+
+
+def _params():
+    return sorted(all_queries().keys())
+
+
+@pytest.mark.parametrize("name", _params())
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        # rows-only check (driver's weaker tier): query must run and
+        # return a stable schema
+        assert sdf.columns
+        return
+    rel = duck.sql(spec.oracle)
+    problems = compare(sdf.columns, srows, list(rel.columns), rel.fetchall())
+    assert not problems, "\n".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_registry_consistency():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert qs, "registry must not be empty"

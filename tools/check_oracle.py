@@ -1,0 +1,77 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+from redis_streams_spark.oracle import compare  # noqa: E402
+from redis_streams_spark.session import TABLES, get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_skip = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc(limit=6)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DUCKDB ERROR: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        problems = compare(scols, srows, dcols, drows)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
