@@ -20,11 +20,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
-_NUM_PERM = 16  # 4 bands x 4 rows
+NUM_PERM = 32
+LSH_BANDS = 16
+ROWS_PER_BAND = NUM_PERM // LSH_BANDS  # 2 → candidate P≈0.89 at j=0.5
 
 _rng = random.Random(42)
 MINHASH_COEFFS: list[tuple[int, int]] = [
-    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, MINHASH_PRIME)) for _ in range(_NUM_PERM)
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, MINHASH_PRIME)) for _ in range(NUM_PERM)
 ]
 
 

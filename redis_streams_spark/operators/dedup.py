@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star extensions (absent in the reference — SURVEY §2.2 last row),
+built for 100 TB: every stage is a DataFrame transformation whose shuffles
+are keyed on doc_id / band-bucket / content-bucket, so work distributes by
+hash with no driver materialization.  Hashing uses the cross-engine
+md5-based ``h32`` so results are verifiable against the DuckDB oracle
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import (
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    ROWS_PER_BAND,
+    h32,
+)
+from redis_streams_spark.functions.textfns import char_ngrams, word_shingles, words
+
+NORM_RE = "[^a-z0-9]+"
+
+
+def normalized_text(col=None) -> F.Column:
+    """Canonical text form for exact dedup: lowercase, collapse all
+    non-alphanumerics to single spaces, trim."""
+    if col is None:
+        col = F.col("text")
+    return F.trim(F.regexp_replace(F.lower(col), NORM_RE, " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5 of normalized text: one hash-shuffle on the
+    digest (never on the full text — at 100 TB the shuffle carries 32-byte
+    keys, not documents)."""
+    hashed = docs.select(id_col, F.md5(normalized_text()).alias("content_hash"))
+    w = W.partitionBy("content_hash").orderBy(id_col)
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.count(F.lit(1)).over(W.partitionBy("content_hash")).alias("group_size"),
+        F.row_number().over(w).cast("long").alias("dup_rank"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word n-gram shingles."""
+    return docs.select("doc_id", word_shingles(words("text"), n).alias("shingles"))
+
+
+def minhash_band_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, band_idx, band_hash): LSH band buckets of the 32-perm
+    minhash signature.  Shingle hashing and the (a*h+b) mod P permutations
+    stay inside whole-stage codegen; the only shuffle is the doc_id
+    re-aggregation of the signature."""
+    sh = shingle_sets(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                )
+                for b in range(LSH_BANDS)
+            ]
+        ).alias("bands"),
+    )
+    return bands.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Candidate pairs via LSH band-bucket self-join, then exact Jaccard
+    verification on the shingle sets.  Returns every candidate with its
+    verified jaccard + is_dup flag (candidates that fail verification are
+    retained so false-positive behavior is observable).
+
+    Scale: the self-join is keyed on (band_idx, band_hash) — skew-safe for
+    non-degenerate corpora since a bucket only collects near-identical
+    signatures; the verify join is an equi-join on doc_id against the
+    (small) candidate set.
+    """
+    bands = minhash_band_rows(docs, n)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sets_ = shingle_sets(docs, n)
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    joined = cands.join(sa, "a_id").join(sb, "b_id")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        joined.select(
+            "a_id",
+            "b_id",
+            inter.cast("long").alias("n_common"),
+            F.round(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .withColumn("is_dup", F.col("jaccard") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over term frequencies.
+
+    Token hash bits vote +tf/−tf per position; explode over 32 bit
+    positions keeps everything in built-in expressions (no UDF).
+    """
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", h32(F.col("tok")).alias("h"), "tf")
+    )
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+                ).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash byte-banding: pairs agreeing on ≥1 of the
+    4 signature bytes (pigeonhole guarantee for hamming ≤ 3 per byte-span),
+    verified by exact popcount hamming distance ≤ max_hamming."""
+    sh = simhash_docs(docs)
+    bytes_ = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_idx * 8) & 255"))
+    a, b = bytes_.alias("a"), bytes_.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 4, bucket_col: str = "source", threshold: float = 0.2
+) -> DataFrame:
+    """Character n-gram Jaccard between all doc pairs sharing a bucket
+    (here: provenance `source`).  The bucket keys the pair join so the
+    quadratic blow-up is bounded per-bucket and distributes across the
+    cluster; array_intersect does the set math JVM-side."""
+    grams = docs.select(
+        "doc_id",
+        F.col(bucket_col).alias("bucket"),
+        char_ngrams(normalized_text(), n).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -1,1 +1,206 @@
-"""dedup queries — populated incrementally (see SURVEY.md §2)."""
+"""Dedup queries over ``documents`` with fully-mirrored DuckDB oracles.
+
+The oracle SQL re-implements the identical deterministic arithmetic
+(md5-based h32, the same 32 minhash (a,b) coefficients, the same band
+layout) so the LSH pipelines hash-match exactly — not just statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redis_streams_spark.functions.hashing import (
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    ROWS_PER_BAND,
+    h32_sql,
+)
+from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
+from redis_streams_spark.operators.dedup import (
+    NORM_RE,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_pairs,
+)
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    tags=("dedup",),
+    bench=True,
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents
+)
+SELECT doc_id, content_hash,
+       count(*) OVER (PARTITION BY content_hash) AS group_size,
+       row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS dup_rank,
+       row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1 AS is_canonical
+FROM h
+ORDER BY doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized-text digest): SURVEY §2.2
+    north-star.  The shuffle key is the 32-byte md5, never the document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+def _minhash_oracle() -> str:
+    min_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
+), hv AS (
+  SELECT doc_id, {h32_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) t
+), sigs AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       len(list_intersect(sa.s, sb.s))::BIGINT AS n_common,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+             greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+             6) AS jaccard,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+             greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+             6) >= 0.3 AS is_dup
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+ORDER BY c.a_id, c.b_id
+"""
+
+
+@register("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True, oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → 32 minhash perms → 16
+    band buckets → bucket self-join → exact-Jaccard verification.
+    Oracle re-computes the identical signature arithmetic in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.3)
+
+
+_SIMHASH_CORE = f"""
+toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) t
+  GROUP BY doc_id, tok
+), hv AS (
+  SELECT doc_id, {h32_sql('tok')} AS h, tf FROM tf
+), bits AS (
+  SELECT doc_id, h, tf, unnest(range(0, 32)) AS bit FROM hv
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM bits GROUP BY doc_id, bit
+), sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+@register(
+    "text_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH {_SIMHASH_CORE}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id
+""",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over term frequencies (bit-exact on
+    both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_docs(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH {_SIMHASH_CORE}
+, bytes AS (
+  SELECT doc_id, simhash, b AS byte_idx, (simhash >> (b * 8)) & 255 AS byte_val
+  FROM sim, (SELECT unnest(range(0, 4)) AS b) bs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bytes a JOIN bytes b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cands
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY a_id, b_id
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band candidate generation + exact
+    hamming-distance verification (≤ 3 of 32 bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "ngram"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, source AS bucket,
+         list_distinct(CASE WHEN len({_NORM_SQL}) >= 4 THEN
+           list_transform(range(1, len({_NORM_SQL}) - 2),
+                          i -> substr({_NORM_SQL}, i, 4))
+           ELSE [] END) AS g
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.g, b.g)) * 1.0 /
+             greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1),
+             6) AS jaccard
+FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+            greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1),
+            6) >= 0.4
+ORDER BY a_id, b_id
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard within provenance buckets (bounded
+    quadratic cost per bucket; bucket keys the join distribution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=4, bucket_col="source", threshold=0.4)

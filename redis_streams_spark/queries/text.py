@@ -1,1 +1,269 @@
-"""text queries — populated incrementally (see SURVEY.md §2)."""
+"""Text-analysis operators over ``documents`` (north-star extensions:
+language-ID, quality scoring, token counting, fingerprinting — SURVEY §2.2
+last row).  All computations are engine-agnostic deterministic arithmetic
+so every query has a full-value DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32, h32_sql
+from redis_streams_spark.functions.textfns import (
+    BPE_RE,
+    LANG_LEXICONS,
+    PUNCT_RE,
+    STOPWORDS,
+    sql_str_list,
+    words,
+    words_sql,
+)
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_FP_TOKEN_MOD = 1_000_003
+_FP_PRIME = 1_000_000_007
+
+
+@register(
+    "text_stats",
+    tags=("text", "quality"),
+    bench=True,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, {words_sql('text')} AS w FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(w)::BIGINT AS n_words,
+       len(regexp_extract_all(lower(text), '{BPE_RE}'))::BIGINT AS n_tokens_bpe,
+       CASE WHEN len(w) > 0
+            THEN round(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                       * 1.0 / len(w), 4)
+            ELSE 0.0 END AS avg_word_len,
+       round(len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       CASE WHEN len(w) > 0
+            THEN round(len(list_filter(w, x -> list_contains({sql_str_list(STOPWORDS)}, x)))
+                       * 1.0 / len(w), 6)
+            ELSE 0.0 END AS stopword_ratio,
+       round(1.0 / (1.0 + exp(-(
+            0.2 * ln(1 + len(w))
+            + 2.0 * (CASE WHEN len(w) > 0
+                     THEN len(list_filter(w, x -> list_contains({sql_str_list(STOPWORDS)}, x)))
+                          * 1.0 / len(w) ELSE 0.0 END)
+            - 5.0 * (len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
+                     / greatest(length(text), 1))))), 6) AS quality_score
+FROM toks
+ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: char/word/BPE-ish token counts,
+    punctuation + stopword ratios, and a logistic quality score.  All
+    JVM-side built-ins (no Python UDF): higher-order array functions over
+    the token array — embarrassingly parallel per row at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(w)
+    stop_ratio = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))) * 1.0 / n_words, 6
+        ),
+    ).otherwise(0.0)
+    punct_ratio = F.round(
+        F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
+        * 1.0
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    quality = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(
+                    0.2 * F.log(1 + n_words)
+                    + 2.0
+                    * F.when(
+                        n_words > 0,
+                        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+                        * 1.0
+                        / n_words,
+                    ).otherwise(0.0)
+                    - 5.0
+                    * (
+                        F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
+                        * 1.0
+                        / F.greatest(F.length("text"), F.lit(1))
+                    )
+                )
+            )
+        ),
+        6,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            n_words.cast("long").alias("n_words"),
+            F.regexp_count(F.lower("text"), F.lit(BPE_RE)).cast("long").alias("n_tokens_bpe"),
+            F.when(
+                n_words > 0,
+                F.round(
+                    F.aggregate(
+                        F.transform(w, lambda x: F.length(x)),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    )
+                    * 1.0
+                    / n_words,
+                    4,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("avg_word_len"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            quality.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_sql(toks: str, lang: str) -> str:
+    lex = sql_str_list(LANG_LEXICONS[lang])
+    return f"len(list_filter({toks}, x -> list_contains({lex}, x)))::BIGINT"
+
+
+@register(
+    "text_langid",
+    tags=("text", "langid"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lang_score_sql(words_sql('text'), 'de')} AS score_de,
+         {_lang_score_sql(words_sql('text'), 'en')} AS score_en,
+         {_lang_score_sql(words_sql('text'), 'es')} AS score_es,
+         {_lang_score_sql(words_sql('text'), 'fr')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+            WHEN score_de >= greatest(score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (n-gram-heuristic family): score each
+    language by lexicon hits over the token multiset; argmax with a fixed
+    de>en>es>fr tie order.  Pure array built-ins, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+
+    def score(lang: str):
+        lex = F.array(*[F.lit(s) for s in LANG_LEXICONS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(lex, x))).cast("long")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score("de").alias("score_de"),
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        score("fr").alias("score_fr"),
+    )
+    best = F.greatest("score_de", "score_en", "score_es", "score_fr")
+    return (
+        scored.withColumn(
+            "predicted_lang",
+            F.when(best == 0, "unknown")
+            .when(F.col("score_de") >= F.greatest("score_en", "score_es", "score_fr"), "de")
+            .when(F.col("score_en") >= F.greatest("score_es", "score_fr"), "en")
+            .when(F.col("score_es") >= F.col("score_fr"), "es")
+            .otherwise("fr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(w) AS tok,
+         generate_subscripts(w, 1) - 1 AS p
+  FROM toks
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(({h32_sql('tok')} % {_FP_TOKEN_MOD}) * ((p % 64) + 1))
+         % {_FP_PRIME} AS fingerprint
+FROM pos
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint:
+    sum((h32(token) mod m) * ((pos mod 64)+1)) mod P — order-sensitive,
+    overflow-free in 64-bit on both engines.  posexplode keeps the hash
+    arithmetic JVM-side; one narrow shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("w"))
+    pos = toks.select("doc_id", F.posexplode("w").alias("p", "tok"))
+    return (
+        pos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum((h32(F.col("tok")) % _FP_TOKEN_MOD) * ((F.col("p") % 64) + 1))
+                % _FP_PRIME
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_vocabulary",
+    tags=("text", "tokens"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY tok
+)
+SELECT tok, n, df
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM counts) t
+WHERE rn <= 50
+ORDER BY n DESC, tok
+""",
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by term frequency with document
+    frequency — explode → two-level agg (partial agg makes the shuffle
+    carry one row per distinct token, not per occurrence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        counts.orderBy(F.desc("n"), "tok")
+        .limit(50)
+        .select("tok", "n", "df")
+        .orderBy(F.desc("n"), "tok")
+    )
