@@ -22,6 +22,7 @@ from redis_streams_spark.functions.hashing import (
     h32,
 )
 from redis_streams_spark.functions.textfns import char_ngrams, word_shingles, words
+from redis_streams_spark.functions.rounding import rnd
 
 NORM_RE = "[^a-z0-9]+"
 
@@ -125,7 +126,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
             "a_id",
             "b_id",
             inter.cast("long").alias("n_common"),
-            F.round(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
         .withColumn("is_dup", F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
@@ -228,7 +229,7 @@ def ngram_jaccard_pairs(
         joined.select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.round(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY §2.2): brute-force cosine top-k as the
+exactness baseline, IVF (coarse-quantizer cells + 2-probe) as the scale
+path.  All vector math is JVM-side higher-order functions
+(zip_with / aggregate = left fold), in double precision, so the DuckDB
+oracle's list_transform + list_reduce computes bit-identical values.
+
+Scale posture: queries are the small side (broadcast); candidates never
+leave their partitions; per-query top-k is a ranking window partitioned by
+query id.  The IVF variant prunes candidates to the 2 nearest of K
+centroid cells — the classic recall/cost dial — and the centroid build is
+a (label, dim) aggregation that distributes over dims as well as rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd
+
+
+def dot(a, b) -> Column:
+    """Left-fold dot product of two double arrays (same op order as the
+    oracle's list_reduce, so results are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Normalize an array<float> column to array<double> + L2 norm."""
+    v = F.transform(F.col(col), lambda x: x.cast("double"))
+    return df.withColumn("v", v).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def cosine(av, an, bv, bn) -> Column:
+    return rnd(dot(av, bv) / (an * bn), 6)
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 25
+) -> DataFrame:
+    """Exact cosine top-k for the query subset (vec_id % query_mod == 0)
+    against all candidates.  Queries broadcast; candidates stream."""
+    e = as_double_vec(emb)
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (label = coarse IVF cell).  Explode to
+    (label, dim) so the average distributes; values rounded to 6 dp to
+    pin down summation-order noise before any downstream comparison."""
+    e = as_double_vec(emb)
+    by_dim = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(rnd(F.avg("val"), 6).alias("cval"))
+    )
+    cent = by_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+        ).alias("cv")
+    )
+    return cent.withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 25, n_probe: int = 2
+) -> DataFrame:
+    """IVF-style ANN: score query → centroids (tiny, broadcast), keep the
+    n_probe nearest cells, search only candidates in those cells."""
+    e = as_double_vec(emb)
+    cent = label_centroids(emb)
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "label",
+        cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cnorm")).alias("ccos"),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), "label")
+    probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probe
+    )
+    cands = e.join(
+        F.broadcast(probes.select("query_id", "qv", "qn", "label")), "label"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("probed_label"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neighbor_pairs(
+    emb: DataFrame, k: int = 3, near_dup_threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: top-k most similar same-label
+    neighbors per vector (a<b pairs), flagged against the threshold.
+    Same-label restriction bounds the pair count per cell."""
+    e = as_double_vec(emb)
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("an"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bn"),
+    )
+    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "label",
+        "a_id",
+        "b_id",
+        cosine(F.col("av"), F.col("an"), F.col("bv"), F.col("bn")).alias("cosine"),
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("cosine"), "b_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("is_near_dup", F.col("cosine") >= near_dup_threshold)
+        .select("a_id", "b_id", "label", "cosine", "rank", "is_near_dup")
+        .orderBy("a_id", "rank")
+    )

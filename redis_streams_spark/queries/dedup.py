@@ -90,10 +90,10 @@ WITH toks AS (
 )
 SELECT c.a_id, c.b_id,
        len(list_intersect(sa.s, sb.s))::BIGINT AS n_common,
-       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+       round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 /
              greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
              6) AS jaccard,
-       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+       round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 /
              greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
              6) >= 0.3 AS is_dup
 FROM cands c
@@ -189,11 +189,11 @@ WITH grams AS (
   FROM documents
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       round(len(list_intersect(a.g, b.g)) * 1.0 /
+       round(5e-10 + len(list_intersect(a.g, b.g)) * 1.0 /
              greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1),
              6) AS jaccard
 FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+WHERE round(5e-10 + len(list_intersect(a.g, b.g)) * 1.0 /
             greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1),
             6) >= 0.4
 ORDER BY a_id, b_id

@@ -1,1 +1,96 @@
-"""multimodal queries — populated incrementally (see SURVEY.md §2)."""
+"""Multimodal-column queries with DuckDB oracles.
+
+``mm_binary_meta`` is pure JVM expressions; ``mm_decode_features`` runs the
+actual mapInPandas decode pipeline (deterministic fake decode), and its
+oracle computes the same md5 arithmetic in SQL — so the Arrow/pandas
+plumbing itself is value-verified, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32_sql
+from redis_streams_spark.operators.multimodal import (
+    attach_blob,
+    decode_features,
+    fake_dims,
+    mean_md5_byte,
+)
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+from redis_streams_spark.functions.rounding import rnd
+
+_META_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS checksum,
+       64 + {h32_sql("text || ':w'")} % 960 AS width,
+       64 + {h32_sql("text || ':h'")} % 960 AS height,
+       1 + {h32_sql("text || ':f'")} % 120 AS n_frames,
+       round(5e-10 + list_aggregate(
+               list_transform(range(0, 16),
+                              i -> ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT),
+               'sum') / 16.0, 4) AS mean_byte
+FROM documents
+"""
+
+
+@register(
+    "mm_binary_meta",
+    tags=("multimodal",),
+    oracle=f"""
+WITH meta AS ({_META_SQL})
+SELECT modality,
+       count(*) AS n_docs,
+       sum(byte_len) AS total_bytes,
+       min(width) AS min_width, max(width) AS max_width,
+       round(5e-10 + avg(mean_byte), 4) AS avg_mean_byte
+FROM meta GROUP BY modality ORDER BY modality
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata rollup (per modality): payload byte sizes +
+    fake decode dims — everything stays JVM-side; the binary payload is
+    pruned out of the scan because only metadata columns are projected."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = attach_blob(docs)
+    w, h, nf = fake_dims(F.col("text"))
+    meta = blob.join(docs.select("doc_id", "text"), "doc_id").select(
+        "modality",
+        "byte_len",
+        w.alias("width"),
+        mean_md5_byte(F.col("text")).alias("mean_byte"),
+    )
+    return (
+        meta.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            rnd(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        )
+        .orderBy("modality")
+    )
+
+
+@register(
+    "mm_decode_features",
+    tags=("multimodal", "pandas-udf"),
+    oracle=f"""
+WITH meta AS ({_META_SQL})
+SELECT doc_id, modality, byte_len, checksum, width, height, n_frames, mean_byte
+FROM meta ORDER BY doc_id
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline (Arrow-batched, per-partition) with
+    deterministic fake decode; the oracle recomputes the same features in
+    SQL, verifying the pandas plumbing value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(docs).orderBy("doc_id")

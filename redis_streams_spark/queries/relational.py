@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table, register_views
+from redis_streams_spark.functions.rounding import rnd
 
 
 @register(
@@ -34,13 +35,13 @@ from redis_streams_spark.session import load_table, register_views
     tags=("agg", "scan", "filter"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                      AS sum_qty,
-       round(sum(l_extendedprice), 2)                                 AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4)                                      AS avg_qty,
-       round(avg(l_extendedprice), 4)                                 AS avg_price,
-       round(avg(l_discount), 4)                                      AS avg_disc,
+       round(5e-10 + sum(l_quantity), 2)                                      AS sum_qty,
+       round(5e-10 + sum(l_extendedprice), 2)                                 AS sum_base_price,
+       round(5e-10 + sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+       round(5e-10 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(5e-10 + avg(l_quantity), 4)                                      AS avg_qty,
+       round(5e-10 + avg(l_extendedprice), 4)                                 AS avg_price,
+       round(5e-10 + avg(l_discount), 4)                                      AS avg_disc,
        count(*)                                                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,13 +61,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -79,7 +80,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(5e-10 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -112,7 +113,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -128,7 +129,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(5e-10 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -169,7 +170,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -181,7 +182,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_revenue_forecast",
     tags=("agg", "filter"),
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(5e-10 + sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -205,7 +206,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -217,8 +218,8 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
     oracle="""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(c_acctbal, 2) AS c_acctbal, n_name
+       round(5e-10 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(5e-10 + c_acctbal, 2) AS c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -246,7 +247,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -254,7 +255,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "revenue",
-            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            rnd(F.col("c_acctbal"), 2).alias("c_acctbal"),
             "n_name",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -281,8 +282,8 @@ WITH rev AS (
   GROUP BY 1, 2, 3
 )
 SELECT region, o_year, supp_nation,
-       round(revenue, 2) AS revenue,
-       round(revenue / sum(revenue) OVER (PARTITION BY region, o_year), 6) AS mkt_share
+       round(5e-10 + revenue, 2) AS revenue,
+       round(5e-10 + revenue / sum(revenue) OVER (PARTITION BY region, o_year), 6) AS mkt_share
 FROM rev
 ORDER BY region, o_year, supp_nation
 """,
@@ -318,8 +319,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
             "o_year",
             "supp_nation",
-            F.round(F.col("raw_rev"), 2).alias("revenue"),
-            F.round(F.col("raw_rev") / F.sum("raw_rev").over(w), 6).alias("mkt_share"),
+            rnd(F.col("raw_rev"), 2).alias("revenue"),
+            rnd(F.col("raw_rev") / F.sum("raw_rev").over(w), 6).alias("mkt_share"),
         )
         .orderBy("region", "o_year", "supp_nation")
     )
@@ -358,13 +359,13 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       round(5e-10 + sum(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
                                      ROWS UNBOUNDED PRECEDING), 2)  AS running_total,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+       round(5e-10 + avg(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
-       round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+       round(5e-10 + coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price,
        row_number() OVER (PARTITION BY o_custkey
                           ORDER BY o_orderdate, o_orderkey) AS order_seq
@@ -381,11 +382,11 @@ def q_customer_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.round(
+            rnd(
                 F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
             ).alias("running_total"),
-            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
-            F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            rnd(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+            rnd(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias(
                 "prev_price"
             ),
             F.row_number().over(w).alias("order_seq"),
@@ -402,7 +403,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        (grouping(l_returnflag) + grouping(l_linestatus))::BIGINT AS lvl,
        count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty
+       round(5e-10 + sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus, lvl
@@ -416,7 +417,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("l_returnflag") + F.grouping("l_linestatus")).cast("long").alias("lvl"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -436,7 +437,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL')   AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       round(5e-10 + sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -447,7 +448,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("o_totalprice"), 2).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -546,9 +547,9 @@ SELECT p_partkey,
        replace(p_brand, 'Brand#', 'B')                 AS brand_short,
        lpad(p_size::VARCHAR, 4, '0')                   AS size_padded,
        abs(p_retailprice - 1000.0)                     AS price_dist,
-       round(sqrt(p_retailprice), 6)                   AS price_sqrt,
-       round(ln(p_retailprice + 1), 6)                 AS price_ln,
-       round(pow(p_size, 2.0), 1)                      AS size_sq,
+       round(5e-10 + sqrt(p_retailprice), 6)                   AS price_sqrt,
+       round(5e-10 + ln(p_retailprice + 1), 6)                 AS price_ln,
+       round(5e-10 + pow(p_size, 2.0), 1)                      AS size_sq,
        floor(p_retailprice)::BIGINT                    AS price_floor,
        ceil(p_retailprice)::BIGINT                     AS price_ceil,
        sign(p_retailprice - 1000.0)::BIGINT            AS price_sign,
@@ -575,9 +576,9 @@ def q_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
             F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
             F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
-            F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-            F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
-            F.round(F.pow("p_size", F.lit(2.0)), 1).alias("size_sq"),
+            rnd(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+            rnd(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+            rnd(F.pow("p_size", F.lit(2.0)), 1).alias("size_sq"),
             F.floor("p_retailprice").alias("price_floor"),
             F.ceil("p_retailprice").alias("price_ceil"),
             F.signum(F.col("p_retailprice") - 1000.0).cast("long").alias("price_sign"),
@@ -600,10 +601,10 @@ def q_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
     oracle="""
 SELECT l_returnflag,
-       round(median(l_extendedprice), 4) AS median_price,
-       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
-       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
-       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+       round(5e-10 + median(l_extendedprice), 4) AS median_price,
+       round(5e-10 + percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+       round(5e-10 + percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
+       round(5e-10 + percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -616,10 +617,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            rnd(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            rnd(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+            rnd(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         )
         .orderBy("l_returnflag")
     )
@@ -630,12 +631,12 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
     oracle="""
 SELECT l_returnflag,
-       round(stddev_samp(l_extendedprice), 4) AS sd_price,
-       round(var_samp(l_quantity), 4)         AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
-       round(min(l_extendedprice), 2) AS min_price,
-       round(max(l_extendedprice), 2) AS max_price
+       round(5e-10 + stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(5e-10 + var_samp(l_quantity), 4)         AS var_qty,
+       round(5e-10 + corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+       round(5e-10 + covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+       round(5e-10 + min(l_extendedprice), 2) AS min_price,
+       round(5e-10 + max(l_extendedprice), 2) AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -648,12 +649,12 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+            rnd(F.max("l_extendedprice"), 2).alias("max_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -720,9 +721,9 @@ SELECT o_orderpriority,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
        count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
        count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
-       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
-       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
-       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
+       round(5e-10 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
+       round(5e-10 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+       round(5e-10 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -738,9 +739,9 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("status_f"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("status_o"),
             F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("status_p"),
-            F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias("total_f"),
-            F.round(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias("total_o"),
-            F.round(F.sum(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))), 2).alias("total_p"),
+            rnd(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias("total_f"),
+            rnd(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias("total_o"),
+            rnd(F.sum(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))), 2).alias("total_p"),
         )
         .orderBy("o_orderpriority")
     )
@@ -753,8 +754,8 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_name,
        coalesce(cust.n_cust, 0)  AS n_customers,
        coalesce(supp.n_supp, 0)  AS n_suppliers,
-       round(coalesce(cust.cust_bal, 0.0), 2) AS customer_balance,
-       round(coalesce(supp.supp_bal, 0.0), 2) AS supplier_balance
+       round(5e-10 + coalesce(cust.cust_bal, 0.0), 2) AS customer_balance,
+       round(5e-10 + coalesce(supp.supp_bal, 0.0), 2) AS supplier_balance
 FROM nation
 LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust, sum(c_acctbal) AS cust_bal
            FROM customer GROUP BY c_nationkey) cust ON n_nationkey = cust.c_nationkey
@@ -785,8 +786,8 @@ def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
             F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
-            F.round(F.coalesce("cust_bal", F.lit(0.0)), 2).alias("customer_balance"),
-            F.round(F.coalesce("supp_bal", F.lit(0.0)), 2).alias("supplier_balance"),
+            rnd(F.coalesce("cust_bal", F.lit(0.0)), 2).alias("customer_balance"),
+            rnd(F.coalesce("supp_bal", F.lit(0.0)), 2).alias("supplier_balance"),
         )
         .orderBy("n_name")
     )

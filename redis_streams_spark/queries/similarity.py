@@ -1,1 +1,141 @@
-"""similarity queries — populated incrementally (see SURVEY.md §2)."""
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+The oracle SQL mirrors the double-precision left-fold vector math exactly
+(see operators.similarity); round(5e-10 + ·,6) pins residual noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redis_streams_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neighbor_pairs,
+    ivf_topk,
+)
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_E_CTE = """
+e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)),
+                          (a, b) -> a + b)) AS norm
+  FROM embeddings
+)"""
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos(av: str, an: str, bv: str, bn: str) -> str:
+    return f"round(5e-10 + {_DOT.format(a=av, b=bv)} / ({an} * {bn}), 6)"
+
+
+@register(
+    "sim_bruteforce_topk",
+    tags=("similarity", "ann"),
+    bench=True,
+    oracle=f"""
+WITH {_E_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         {_cos('q.qv', 'q.qn', 'e.v', 'e.norm')} AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored) t
+WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query subset (vec_id%25==0):
+    the ANN correctness baseline.  Queries broadcast against streaming
+    candidates; per-query ranking windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, k=10, query_mod=25).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    tags=("similarity", "ann"),
+    oracle=f"""
+WITH {_E_CTE},
+by_dim AS (
+  SELECT label, dim, round(5e-10 + avg(val), 6) AS cval
+  FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM e) t
+  GROUP BY label, dim
+),
+cent AS (
+  SELECT label, list(cval ORDER BY dim) AS cv
+  FROM by_dim GROUP BY label
+),
+cent_n AS (
+  SELECT label, cv,
+         sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cnorm
+  FROM cent
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT query_id, qv, qn, label
+  FROM (SELECT q.query_id, q.qv, q.qn, c.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos('q.qv', 'q.qn', 'c.cv', 'c.cnorm')} DESC, c.label) AS pr
+        FROM q CROSS JOIN cent_n c) t
+  WHERE pr <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS cand_id, e.label AS probed_label,
+         {_cos('p.qv', 'p.qn', 'e.v', 'e.norm')} AS cosine
+  FROM probes p JOIN e ON e.label = p.label AND e.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, probed_label, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored) t
+WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF 2-probe ANN: label cells as the coarse quantizer, search only
+    the 2 nearest cells per query — the 100 TB path (candidate set shrinks
+    by n_cells/n_probe; centroid table is broadcast-sized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=10, query_mod=25, n_probe=2).select(
+        "query_id", "cand_id", "probed_label", "cosine", "rank"
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    tags=("dedup", "similarity"),
+    oracle=f"""
+WITH {_E_CTE},
+pairs AS (
+  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         {_cos('a.v', 'a.norm', 'b.v', 'b.norm')} AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, label, cosine, rank, cosine >= 0.35 AS is_near_dup
+FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                                   ORDER BY cosine DESC, b_id) AS rank
+      FROM pairs) t
+WHERE rank <= 3
+ORDER BY a_id, rank
+""",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: top-3 same-label neighbors
+    per vector with threshold flag (cell-bounded pair generation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neighbor_pairs(emb, k=3, near_dup_threshold=0.35)

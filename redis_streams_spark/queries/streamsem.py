@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
+from redis_streams_spark.functions.rounding import rnd
 
 _MS = "unix_millis(cast(ts as timestamp))"
 
@@ -64,7 +65,7 @@ SELECT consumer_id, batch_seq,
        count(*) AS n_items,
        min(msgid) AS first_msgid,
        max(msgid) AS last_msgid,
-       round(sum(value), 2) AS batch_value
+       round(5e-10 + sum(value), 2) AS batch_value
 FROM assigned
 GROUP BY consumer_id, batch_seq
 ORDER BY consumer_id, batch_seq
@@ -93,7 +94,7 @@ def q_stream_batch_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.min("msgid").alias("first_msgid"),
             F.max("msgid").alias("last_msgid"),
-            F.round(F.sum("value"), 2).alias("batch_value"),
+            rnd(F.sum("value"), 2).alias("batch_value"),
         )
         .orderBy("consumer_id", "batch_seq")
     )
@@ -168,7 +169,7 @@ WITH metrics AS (
 ), rated AS (
   SELECT *,
          CASE WHEN stream_pending > 0
-              THEN round(least(greatest(stream_length * 100.0 / stream_pending,
+              THEN round(5e-10 + least(greatest(stream_length * 100.0 / stream_pending,
                                         1.0), 100.0), 4)
               ELSE 0.0 END AS rate
   FROM metrics
@@ -185,7 +186,7 @@ ORDER BY event_type
 )
 def q_scaler_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaler advisor (S16-S18): the exact rate formula
-    ``round(clamp(length/pending*100, 1, 100), 4)`` (scaler.py:74-83) and
+    ``round(5e-10 + clamp(length/pending*100, 1, 100), 4)`` (scaler.py:74-83) and
     decision ladder (scaler.py:85-117) with default thresholds
     in=10/out=50 (scaler.py:99), per event_type stream.  Backlog/pending
     are offset arithmetic over window metadata — no data materialization,
@@ -216,7 +217,7 @@ def q_scaler_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate",
         F.when(
             F.col("stream_pending") > 0,
-            F.round(
+            rnd(
                 F.least(
                     F.greatest(
                         F.col("stream_length") * 100.0 / F.col("stream_pending"),

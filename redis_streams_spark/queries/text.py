@@ -21,6 +21,7 @@ from redis_streams_spark.functions.textfns import (
 )
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
+from redis_streams_spark.functions.rounding import rnd
 
 _FP_TOKEN_MOD = 1_000_003
 _FP_PRIME = 1_000_000_007
@@ -39,16 +40,16 @@ SELECT doc_id,
        len(w)::BIGINT AS n_words,
        len(regexp_extract_all(lower(text), '{BPE_RE}'))::BIGINT AS n_tokens_bpe,
        CASE WHEN len(w) > 0
-            THEN round(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+            THEN round(5e-10 + list_aggregate(list_transform(w, x -> len(x)), 'sum')
                        * 1.0 / len(w), 4)
             ELSE 0.0 END AS avg_word_len,
-       round(len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
+       round(5e-10 + len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
              / greatest(length(text), 1), 6) AS punct_ratio,
        CASE WHEN len(w) > 0
-            THEN round(len(list_filter(w, x -> list_contains({sql_str_list(STOPWORDS)}, x)))
+            THEN round(5e-10 + len(list_filter(w, x -> list_contains({sql_str_list(STOPWORDS)}, x)))
                        * 1.0 / len(w), 6)
             ELSE 0.0 END AS stopword_ratio,
-       round(1.0 / (1.0 + exp(-(
+       round(5e-10 + 1.0 / (1.0 + exp(-(
             0.2 * ln(1 + len(w))
             + 2.0 * (CASE WHEN len(w) > 0
                      THEN len(list_filter(w, x -> list_contains({sql_str_list(STOPWORDS)}, x)))
@@ -70,17 +71,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(w)
     stop_ratio = F.when(
         n_words > 0,
-        F.round(
+        rnd(
             F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))) * 1.0 / n_words, 6
         ),
     ).otherwise(0.0)
-    punct_ratio = F.round(
+    punct_ratio = rnd(
         F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
         * 1.0
         / F.greatest(F.length("text"), F.lit(1)),
         6,
     )
-    quality = F.round(
+    quality = rnd(
         1.0
         / (
             1.0
@@ -113,7 +114,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(F.lower("text"), F.lit(BPE_RE)).cast("long").alias("n_tokens_bpe"),
             F.when(
                 n_words > 0,
-                F.round(
+                rnd(
                     F.aggregate(
                         F.transform(w, lambda x: F.length(x)),
                         F.lit(0),

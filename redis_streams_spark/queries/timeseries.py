@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
+from redis_streams_spark.functions.rounding import rnd
 
 _MS = "unix_millis(cast(ts as timestamp))"
 
@@ -33,8 +34,8 @@ WIDTH_MS = 6 * 3600 * 1000
 SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_start_ms,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value,
+       round(5e-10 + sum(value), 2) AS sum_value,
+       round(5e-10 + avg(value), 4) AS avg_value,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events
 GROUP BY 1, 2
@@ -50,8 +51,8 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(day_ms.alias("day_start_ms"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("day_start_ms", "event_type")
@@ -71,7 +72,7 @@ WITH slots AS (
 )
 SELECT win_start_ms, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(5e-10 + sum(value), 2) AS sum_value
 FROM slots
 WHERE win_start_ms >= 0
 GROUP BY win_start_ms, event_type
@@ -93,7 +94,7 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("win_start_ms") >= 0)
         .groupBy("win_start_ms", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
         .orderBy("win_start_ms", "event_type")
     )
 
@@ -123,9 +124,9 @@ WITH marked AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       round(avg(n_events), 4) AS avg_events,
+       round(5e-10 + avg(n_events), 4) AS avg_events,
        max(duration_ms) AS max_duration_ms,
-       round(sum(session_value), 2) AS total_value
+       round(5e-10 + sum(session_value), 2) AS total_value
 FROM per_session
 GROUP BY user_id
 ORDER BY user_id
@@ -164,9 +165,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_session.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            rnd(F.avg("n_events"), 4).alias("avg_events"),
             F.max("duration_ms").alias("max_duration_ms"),
-            F.round(F.sum("session_value"), 2).alias("total_value"),
+            rnd(F.sum("session_value"), 2).alias("total_value"),
         )
         .orderBy("user_id")
     )
@@ -190,7 +191,7 @@ WITH o AS (
 )
 SELECT e.event_id,
        o.o_orderkey AS last_orderkey,
-       round(o.o_totalprice, 2) AS last_totalprice
+       round(5e-10 + o.o_totalprice, 2) AS last_totalprice
 FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.ems >= o.oms
 ORDER BY e.event_id
 """,
@@ -251,7 +252,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "last_orderkey",
-            F.round("last_totalprice", 2).alias("last_totalprice"),
+            rnd("last_totalprice", 2).alias("last_totalprice"),
         )
         .orderBy("event_id")
     )
@@ -267,7 +268,7 @@ WITH o AS (
 )
 SELECT o.o_orderkey,
        count(l_orderkey) AS n_shipments,
-       round(coalesce(sum(l_extendedprice), 0.0), 2) AS shipped_value
+       round(5e-10 + coalesce(sum(l_extendedprice), 0.0), 2) AS shipped_value
 FROM o LEFT JOIN lineitem
   ON epoch_ms(l_shipdate) >= o.oms
  AND epoch_ms(l_shipdate) <  o.oms + 604800000
@@ -321,7 +322,7 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.coalesce("cnt", F.lit(0).cast("long")).alias("n_shipments"),
-            F.round(F.coalesce("val", F.lit(0.0)), 2).alias("shipped_value"),
+            rnd(F.coalesce("val", F.lit(0.0)), 2).alias("shipped_value"),
         )
         .orderBy("o_orderkey")
     )
