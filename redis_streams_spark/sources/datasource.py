@@ -1,0 +1,207 @@
+"""Spark Python DataSource exposing a StreamLog as ``format("redislog")``.
+
+Structured-Streaming mapping of the reference's delivery semantics
+(SURVEY §3.1):
+
+- ``initialOffset`` = position 0 — the reference's group creation at id
+  ``0-0`` / deliver-from-beginning (common.py:20-41).
+- ``latestOffset`` plans at most ``batch_size`` rows per trigger — the
+  COUNT bound of the reference's time+count batch contract
+  (consumer.py:92-103); the TIME bound is the query's trigger interval.
+  This is the same planning idea as Kafka's ``maxOffsetsPerTrigger``.
+- The planned cursor is persisted in the log's group state
+  (``last_planned``) so a restarted query never regresses behind the
+  checkpoint — the group file plays the role Redis plays for
+  ``last-delivered-id``.
+- ``commit(end)`` records ``last_committed`` — the epoch-level ACK (S7).
+  Delivered-but-uncommitted positions (planned > committed) are exactly
+  the PEL: after a crash they are re-read from the offset log and
+  redelivered (at-least-once, like unacked messages, README.md:10).
+- The stream writer stages rows per task and appends on driver-side
+  ``commit`` with a per-batch marker for idempotent retry; ``maxlen``
+  retention runs inside commit (S2's trim-on-write).
+
+Options: path (log root), stream, group (default "spark"),
+batch_size (default 100), maxlen (writer only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from redis_streams_spark.sources.stream_log import StreamLog
+
+SCHEMA = "msgid string, content map<string,string>"
+
+
+@dataclass
+class RangePartition(InputPartition):
+    root: str
+    stream: str
+    start: int
+    end: int
+
+
+@dataclass
+class StagedCommit(WriterCommitMessage):
+    staging_path: str
+    n_rows: int
+
+
+def _opts(options) -> tuple[str, str, str, int]:
+    root = options.get("path")
+    if not root:
+        raise ValueError("option 'path' (stream log root dir) is required")
+    stream = options.get("stream", "stream")
+    group = options.get("group", "spark")
+    batch_size = int(options.get("batch_size", "100"))
+    return root, stream, group, batch_size
+
+
+class RedisLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "redislog"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> "RedisLogBatchReader":
+        return RedisLogBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "RedisLogStreamReader":
+        return RedisLogStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "RedisLogStreamWriter":
+        return RedisLogStreamWriter(self.options)
+
+
+class RedisLogBatchReader(DataSourceReader):
+    """Batch scan of the whole retained log (XRANGE - +)."""
+
+    def __init__(self, options):
+        self.root, self.stream, _, _ = _opts(options)
+
+    def partitions(self):
+        log = StreamLog(self.root, self.stream)
+        return [RangePartition(self.root, self.stream, log.first_pos(), log.count())]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        log = StreamLog(partition.root, partition.stream)
+        for _, msgid, content in log.read_slice(partition.start, partition.end):
+            yield (msgid, content)
+
+
+class RedisLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root, self.stream, self.group, self.batch_size = _opts(options)
+        self._log = StreamLog(self.root, self.stream)
+        self._log.create_group(self.group)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        """Plan the next micro-batch: advance the group cursor by at most
+        batch_size undelivered messages (deficit math of consumer.py:96
+        lives here)."""
+        log = self._log
+        state = log.group_state(self.group)
+        base = max(state["last_planned"], state["last_committed"])
+        planned = min(log.count(), base + self.batch_size)
+        if planned != state["last_planned"]:
+            state["last_planned"] = planned
+            state["last_delivered_pos"] = max(state["last_delivered_pos"], planned)
+            log.save_group(self.group, state)
+        return {"pos": planned}
+
+    def partitions(self, start: dict, end: dict):
+        return [RangePartition(self.root, self.stream, start["pos"], end["pos"])]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        log = StreamLog(partition.root, partition.stream)
+        for _, msgid, content in log.read_slice(partition.start, partition.end):
+            yield (msgid, content)
+
+    def commit(self, end: dict) -> None:
+        """Epoch ack: everything below end.pos is processed (S7)."""
+        state = self._log.group_state(self.group)
+        if end["pos"] > state["last_committed"]:
+            state["last_committed"] = end["pos"]
+            self._log.save_group(self.group, state)
+
+    def stop(self) -> None:
+        pass
+
+
+class RedisLogStreamWriter(DataSourceStreamWriter):
+    """Sink: every input row becomes one appended message.
+
+    Rows with a ``content`` map column pass through; any other schema is
+    serialized field→string (the reference's flat str|int|float payload,
+    producer.py:37).  Two-phase: tasks stage, driver commit appends +
+    trims; a batch marker makes replayed commits no-ops (idempotent).
+    """
+
+    def __init__(self, options):
+        self.root, self.stream, _, _ = _opts(options)
+        self.maxlen = int(options["maxlen"]) if "maxlen" in options else None
+
+    def write(self, iterator) -> StagedCommit:
+        staging_dir = os.path.join(self.root, self.stream, "staging")
+        os.makedirs(staging_dir, exist_ok=True)
+        path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                content = d["content"] if set(d) == {"content"} or (
+                    "content" in d and isinstance(d["content"], dict)
+                ) else d
+                f.write(json.dumps({k: str(v) for k, v in content.items()}) + "\n")
+                n += 1
+        return StagedCommit(staging_path=path, n_rows=n)
+
+    def _marker(self, batch_id: int) -> str:
+        commits = os.path.join(self.root, self.stream, "commits")
+        os.makedirs(commits, exist_ok=True)
+        return os.path.join(commits, str(batch_id))
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = self._marker(batchId)
+        if os.path.exists(marker):  # replayed epoch → already appended
+            for msg in messages:
+                if msg and os.path.exists(msg.staging_path):
+                    os.remove(msg.staging_path)
+            return
+        log = StreamLog(self.root, self.stream)
+        for msg in messages:
+            if msg is None:
+                continue
+            with open(msg.staging_path) as f:
+                for line in f:
+                    log.append(json.loads(line))
+            os.remove(msg.staging_path)
+        if self.maxlen is not None:
+            log.trim(self.maxlen)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg and os.path.exists(msg.staging_path):
+                os.remove(msg.staging_path)

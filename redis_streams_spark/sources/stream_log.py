@@ -1,0 +1,178 @@
+"""StreamLog — a file-backed append-only message log with consumer-group
+state, shaped like a Redis Stream (SURVEY §1.1).
+
+Layout (one directory per stream):
+    <root>/<stream>/log.jsonl           {"msgid": "...", "content": {...}} per line
+    <root>/<stream>/meta.json           {"appended": N, "first_pos": F,
+                                         "last_ms": .., "last_seq": ..}
+    <root>/<stream>/groups/<name>.json  cursor + PEL + consumer registry
+
+Semantics mirrored from the reference:
+- msgid is ``"<ms-epoch>-<seq>"``, monotonically increasing
+  (redis_streams_test/test_producer.py:14); seq disambiguates same-ms adds.
+- positions are global append indexes: they never shift on trim, exactly
+  like Redis msgids (trim advances ``first_pos``;
+  producer.py:26-35 ``maxlen``).
+- group state carries ``last_delivered_pos`` (the ``last-delivered-id``),
+  a PEL keyed by msgid (common.py:48-73), and per-consumer ``last_seen_ms``
+  (the monitor's idle source, monitor.py:154).
+
+This is the test/reference implementation of the storage contract; at
+100 TB the same interface maps onto segmented object storage with a
+manifest (meta.json generalizes to a manifest of sealed segments, and
+read_slice becomes a segment-range scan).  All group-state mutations go
+through atomic write-replace so concurrent readers never see torn JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _atomic_write(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+class StreamLog:
+    def __init__(self, root: str, stream: str):
+        self.root = root
+        self.stream = stream
+        self.dir = os.path.join(root, stream)
+        self.log_path = os.path.join(self.dir, "log.jsonl")
+        self.meta_path = os.path.join(self.dir, "meta.json")
+        self.groups_dir = os.path.join(self.dir, "groups")
+        os.makedirs(self.groups_dir, exist_ok=True)
+
+    # -- meta ------------------------------------------------------------
+    def _meta(self) -> dict:
+        if not os.path.exists(self.meta_path):
+            return {"appended": 0, "first_pos": 0, "last_ms": 0, "last_seq": -1}
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def count(self) -> int:
+        """Total messages ever appended (= next position)."""
+        return self._meta()["appended"]
+
+    def first_pos(self) -> int:
+        return self._meta()["first_pos"]
+
+    def xlen(self) -> int:
+        """Messages currently retained (post-trim) — Redis XLEN."""
+        m = self._meta()
+        return m["appended"] - m["first_pos"]
+
+    def last_msgid(self) -> str | None:
+        m = self._meta()
+        if m["appended"] == 0:
+            return None
+        return f"{m['last_ms']}-{m['last_seq']:06d}"
+
+    # -- append / read / trim -------------------------------------------
+    def append(self, content: dict, maxlen: int | None = None) -> str:
+        """Append one message; returns its msgid.  With ``maxlen`` the log
+        is trimmed to the newest ``maxlen`` entries (reference
+        producer.py:44-48 — ours is exact rather than ``MAXLEN ~``
+        approximate: a strictly stronger guarantee, noted divergence)."""
+        m = self._meta()
+        ms = int(time.time() * 1000)
+        seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
+        msgid = f"{ms}-{seq:06d}"
+        payload = {"msgid": msgid, "content": {k: str(v) for k, v in content.items()}}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(payload) + "\n")
+        m.update(appended=m["appended"] + 1, last_ms=ms, last_seq=seq)
+        _atomic_write(self.meta_path, m)
+        if maxlen is not None and self.xlen() > maxlen:
+            self.trim(maxlen)
+        return msgid
+
+    def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
+        """Messages with position in [start_pos, end_pos) as
+        (pos, msgid, content).  Positions below first_pos are gone
+        (trimmed) and silently skipped — same as XRANGE after XTRIM."""
+        if not os.path.exists(self.log_path):
+            return []
+        first = self.first_pos()
+        out = []
+        with open(self.log_path) as f:
+            for i, line in enumerate(f):
+                pos = first + i
+                if pos >= end_pos:
+                    break
+                if pos >= start_pos:
+                    rec = json.loads(line)
+                    out.append((pos, rec["msgid"], rec["content"]))
+        return out
+
+    def trim(self, maxlen: int) -> int:
+        """Keep only the newest ``maxlen`` messages; returns removed count."""
+        m = self._meta()
+        retained = m["appended"] - m["first_pos"]
+        excess = retained - maxlen
+        if excess <= 0:
+            return 0
+        with open(self.log_path) as f:
+            lines = f.readlines()
+        tmp = f"{self.log_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.writelines(lines[excess:])
+        os.replace(tmp, self.log_path)
+        m["first_pos"] += excess
+        _atomic_write(self.meta_path, m)
+        return excess
+
+    def delete(self) -> None:
+        """Reset the stream entirely (test-harness op, SURVEY S19)."""
+        for p in (self.log_path, self.meta_path):
+            if os.path.exists(p):
+                os.remove(p)
+        for g in self.list_groups():
+            self.destroy_group(g)
+
+    # -- consumer groups -------------------------------------------------
+    def _group_path(self, group: str) -> str:
+        return os.path.join(self.groups_dir, f"{group}.json")
+
+    def create_group(self, group: str) -> None:
+        """Idempotent group creation from position 0 (= XGROUP CREATE
+        <stream> <group> 0-0 MKSTREAM, common.py:20-41: deliver-from-
+        beginning, BUSYGROUP tolerated)."""
+        if not os.path.exists(self._group_path(group)):
+            _atomic_write(self._group_path(group), self._empty_group())
+
+    @staticmethod
+    def _empty_group() -> dict:
+        return {
+            "last_delivered_pos": 0,
+            "pel": {},
+            "consumers": {},
+            "last_planned": 0,
+            "last_committed": 0,
+        }
+
+    def group_state(self, group: str) -> dict:
+        if not os.path.exists(self._group_path(group)):
+            return self._empty_group()
+        with open(self._group_path(group)) as f:
+            return json.load(f)
+
+    def save_group(self, group: str, state: dict) -> None:
+        _atomic_write(self._group_path(group), state)
+
+    def list_groups(self) -> list[str]:
+        if not os.path.isdir(self.groups_dir):
+            return []
+        return sorted(
+            f[:-5] for f in os.listdir(self.groups_dir) if f.endswith(".json")
+        )
+
+    def destroy_group(self, group: str) -> None:
+        p = self._group_path(group)
+        if os.path.exists(p):
+            os.remove(p)

@@ -1,0 +1,258 @@
+"""Parity tests mirroring the reference's own suite (SURVEY §5):
+producer id format / growth / trim, consumer batch + deadline + ack +
+redelivery, monitor classification + cleanup, scaler decision ladder.
+
+These run without Spark — the parity API is client-side, like the
+reference's (whose only 'executor' is Redis; ours is StreamLog).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+
+import pytest
+
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import (
+    Consumer,
+    Monitor,
+    Producer,
+    Scale,
+    Scaler,
+    Status,
+)
+
+TEST_DATASET = [{"test": "data1"}, {"test": "data2"}]
+
+
+@pytest.fixture()
+def log(tmp_path):
+    return StreamLog(str(tmp_path), "teststream")
+
+
+def seed(log, n=2):
+    prod = Producer(log, "teststream", consumer_group="grp")
+    ids = [prod.add(TEST_DATASET[i % 2]) for i in range(n)]
+    return prod, ids
+
+
+# -- producer (test_producer.py:9-63 parity) ----------------------------
+
+def test_producer_id_format(log):
+    _, ids = seed(log, 1)
+    assert "-" in ids[0]  # <timestamp>-<seq>
+    ms = int(ids[0].split("-")[0])
+    assert abs(ms - time.time() * 1000) < 60_000
+
+
+def test_producer_stream_growth_and_unique_ids(log):
+    _, ids = seed(log, 5)
+    assert log.xlen() == 5
+    assert len(set(ids)) == 5
+    assert ids == sorted(ids)  # monotonic
+
+
+def test_producer_maxlen_trim(log):
+    prod = Producer(log, "teststream", maxlen=3)
+    for i in range(10):
+        prod.add({"iteration": i})
+    assert log.xlen() <= 3
+
+
+def test_producer_repr(log):
+    prod, _ = seed(log, 2)
+    assert "teststream" in repr(prod)
+
+
+# -- consumer (test_consumer.py:11-61 parity) ---------------------------
+
+def test_consumer_full_batch(log):
+    seed(log, 2)
+    con = Consumer(
+        log, "teststream", "grp", consumer_id="c1", batch_size=2, max_wait_time_ms=500
+    )
+    items = con.get_items()
+    assert len(items) == len(TEST_DATASET)
+    assert items[0].content == {"test": "data1"}
+    for it in items:
+        assert con.remove_item_from_consumer_group(it.msgid) == 1
+    assert log.group_state("grp")["pel"] == {}
+
+
+def test_consumer_deadline_partial_batch(log):
+    seed(log, 1)
+    con = Consumer(
+        log,
+        "teststream",
+        "grp",
+        consumer_id="c1",
+        batch_size=5,
+        max_wait_time_ms=300,
+        poll_time_ms=50,
+    )
+    t0 = time.time()
+    items = con.get_items()
+    elapsed_ms = (time.time() - t0) * 1000
+    assert len(items) == 1  # partial batch returned at deadline
+    assert elapsed_ms >= 300  # duration >= max_wait_time_ms
+
+
+def test_consumer_deprecated_ack_alias(log):
+    seed(log, 1)
+    con = Consumer(
+        log, "teststream", "grp", consumer_id="c1", batch_size=1, max_wait_time_ms=100
+    )
+    items = con.get_items()
+    with pytest.deprecated_call():
+        assert con.remove_item_from_stream(items[0].msgid) == 1
+
+
+def test_consumer_redelivery_of_unacked(log):
+    seed(log, 2)
+    con = Consumer(
+        log, "teststream", "grp", consumer_id="c1", batch_size=2, max_wait_time_ms=100
+    )
+    first = con.get_items()
+    assert len(first) == 2  # delivered but NOT acked
+    again = con.get_items()  # crash-recovery read: same messages again
+    assert [m.msgid for m in again] == [m.msgid for m in first]
+    state = log.group_state("grp")
+    assert all(e["times_delivered"] >= 2 for e in state["pel"].values())
+
+
+def test_pending_visibility_and_lost_count(log):
+    seed(log, 2)
+    con = Consumer(
+        log, "teststream", "grp", consumer_id="c1", batch_size=2, max_wait_time_ms=100
+    )
+    con.get_items()
+    pending = con.get_pending_items_of_consumer(item_count=10, consumer_id="c1")
+    assert len(pending) == 2
+    assert {"message_id", "consumer", "time_since_delivered", "times_delivered"} == set(
+        pending[0]
+    )
+    lost = con.remove_consumer("c1")
+    assert lost == 2  # messages lost with the consumer
+
+
+# -- monitor (test_monitor.py parity) -----------------------------------
+
+def test_monitor_status_classification(log):
+    mon = Monitor(log, "teststream", "grp", batch_size=2)
+    assert mon._get_status_by_metrics(pending=3, idle=0) == Status.PENDING.value
+    assert mon._get_status_by_metrics(pending=0, idle=31_000) == Status.IDLE.value
+    assert mon._get_status_by_metrics(pending=2, idle=1000) == Status.OK.value
+    # pending check takes priority
+    assert mon._get_status_by_metrics(pending=3, idle=99_999) == Status.PENDING.value
+
+
+def test_monitor_collect_and_print(log):
+    seed(log, 4)
+    con = Consumer(
+        log, "teststream", "grp", consumer_id="busy", batch_size=3, max_wait_time_ms=100
+    )
+    con.get_items()
+    mon = Monitor(log, "teststream", "grp", batch_size=2)
+    data = mon.collect_monitoring_data()
+    assert len(data) == 1
+    m = data[0]
+    assert m.consumer_id == "busy" and m.pending_items == 3
+    assert m.status == Status.PENDING.value
+    assert json.loads(str(m))["consumer_id"] == "busy"
+    out = io.StringIO()
+    mon.print_monitoring_data(out)
+    text = out.getvalue()
+    for col in ("Consumer id", "Idle time", "Pending items", "Status"):
+        assert col in text
+    assert "busy" in text
+
+
+def test_monitor_cleanup_reassigns_to_min_pending_healthy(log):
+    seed(log, 6)
+    victim = Consumer(
+        log, "teststream", "grp", consumer_id="victim", batch_size=4,
+        max_wait_time_ms=100,
+    )
+    victim.get_items()  # owns 4 pending > batch_size 2 → unhealthy
+    healthy = Consumer(
+        log, "teststream", "grp", consumer_id="healthy", batch_size=1,
+        max_wait_time_ms=100,
+    )
+    healthy.get_items()  # owns 1 pending → OK
+    mon = Monitor(
+        log, "teststream", "grp", batch_size=2, min_wait_time_ms=0
+    )
+    mon.collect_monitoring_data(auto_cleanup=True)
+    state = log.group_state("grp")
+    assert "victim" not in state["consumers"]
+    owners = {e["consumer"] for e in state["pel"].values()}
+    assert owners == {"healthy"}  # claimed, not lost
+    assert len(state["pel"]) == 5  # victim's 4 reassigned + healthy's own 1
+
+
+# -- scaler (test_scaler.py:11-144 parity) ------------------------------
+
+def _scaler_with(log, n_msgs, n_claimed, consumers):
+    seed(log, n_msgs)
+    for i, cid in enumerate(consumers):
+        con = Consumer(
+            log, "teststream", "grp", consumer_id=cid,
+            batch_size=n_claimed if i == 0 else 0,
+            max_wait_time_ms=50, poll_time_ms=10,
+        )
+        if i == 0 and n_claimed:
+            con.get_items()
+        else:
+            state = log.group_state("grp")
+            state["consumers"].setdefault(cid, {})["last_seen_ms"] = 0
+            log.save_group("grp", state)
+    return Scaler(log, "teststream", "grp")
+
+
+def test_scaler_empty_stream_no_scale(log):
+    sca = Scaler(log, "teststream", "grp")
+    rate, suggestion = sca.get_scale_decision()
+    assert (rate, suggestion) == (0, Scale.NOSCALE.value)
+
+
+def test_scaler_out_at_threshold(log):
+    # length=1, pending=2 → rate 50 ≥ out 50 → OUT (test_scaler.py case)
+    sca = _scaler_with(log, n_msgs=3, n_claimed=2, consumers=["c1"])
+    rate, suggestion = sca.get_scale_decision(scale_out_rate=50, scale_in_rate=20)
+    assert rate == 50
+    assert suggestion == Scale.OUT.value
+
+
+def test_scaler_in_below_threshold_with_two_consumers(log):
+    sca = _scaler_with(log, n_msgs=3, n_claimed=2, consumers=["c1", "c2"])
+    rate, suggestion = sca.get_scale_decision(scale_out_rate=80, scale_in_rate=75)
+    assert rate == 50
+    assert suggestion == Scale.IN.value
+
+
+def test_scaler_out_when_backlog_but_no_pending(log):
+    seed(log, 2)
+    sca = Scaler(log, "teststream", "grp")
+    rate, suggestion = sca.get_scale_decision()
+    assert rate == 0
+    assert suggestion == Scale.OUT.value  # rate 0 but backlog ≥ 1
+
+
+def test_scaler_threshold_validation(log):
+    sca = Scaler(log, "teststream", "grp")
+    with pytest.raises(ValueError):
+        sca.get_scale_decision(scale_out_rate=10, scale_in_rate=50)
+    with pytest.raises(ValueError):
+        sca.get_scale_decision(scale_out_rate=150, scale_in_rate=10)
+    with pytest.raises(ValueError):
+        sca.get_scale_decision(scale_out_rate=50, scale_in_rate=-1)
+
+
+def test_scaler_rate_clamped(log):
+    # big backlog vs tiny pending clamps to 100
+    sca = _scaler_with(log, n_msgs=50, n_claimed=1, consumers=["c1"])
+    rate, suggestion = sca.get_scale_decision()
+    assert rate == 100
+    assert suggestion == Scale.OUT.value

@@ -1,0 +1,139 @@
+"""Structured-Streaming source/sink tests for format("redislog").
+
+Covers the reference's delivery contract on Spark (SURVEY M2): deliver
+from beginning, ≤ batch_size rows per micro-batch, epoch commit as ack,
+no offset regression across reader restarts (replay-after-failure), sink
+append with idempotent commit + maxlen retention.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_streams_spark.sources.datasource import (
+    RedisLogDataSource,
+    RedisLogStreamReader,
+)
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Producer
+
+
+@pytest.fixture()
+def seeded_log(tmp_path):
+    log = StreamLog(str(tmp_path), "s1")
+    prod = Producer(log, "s1")
+    for i in range(23):
+        prod.add({"i": i, "payload": f"msg{i}"})
+    return str(tmp_path), log
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(RedisLogDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def test_batch_read(spark, seeded_log):
+    root, _ = seeded_log
+    _register(spark)
+    df = (
+        spark.read.format("redislog").option("path", root).option("stream", "s1").load()
+    )
+    rows = df.collect()
+    assert len(rows) == 23
+    assert df.columns == ["msgid", "content"]
+    assert rows[0]["content"]["payload"] == "msg0"
+
+
+def test_stream_reader_batch_cap_and_restart(seeded_log):
+    """Offset planning honors batch_size; a restarted reader resumes from
+    persisted group state instead of regressing (the last-delivered-id
+    role of the group cursor)."""
+    root, log = seeded_log
+    opts = {"path": root, "stream": "s1", "group": "g1", "batch_size": "10"}
+    r = RedisLogStreamReader(opts)
+    assert r.initialOffset() == {"pos": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"pos": 10}  # capped at batch_size
+    parts = r.partitions({"pos": 0}, o1)
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 10
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2 == {"pos": 20}
+    # crash before commit of batch 2; new reader (restart)
+    r2 = RedisLogStreamReader(opts)
+    o3 = r2.latestOffset()
+    assert o3["pos"] >= 20  # no regression below planned
+    replay = list(r2.read(r2.partitions({"pos": 10}, {"pos": 20})[0]))
+    assert len(replay) == 10  # uncommitted range is replayable (PEL)
+    o4 = r2.latestOffset()
+    assert o4 == {"pos": 23}  # tail
+
+    state = log.group_state("g1")
+    assert state["last_committed"] == 10
+    assert state["last_planned"] == 23
+
+
+def test_streaming_end_to_end_with_batch_cap(spark, seeded_log, tmp_path):
+    root, _ = seeded_log
+    _register(spark)
+    stream_df = (
+        spark.readStream.format("redislog")
+        .option("path", root)
+        .option("stream", "s1")
+        .option("group", "e2e")
+        .option("batch_size", "7")
+        .load()
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("redislog_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM redislog_out").collect()
+        assert len(out) == 23
+        batch_sizes = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert batch_sizes and max(batch_sizes) <= 7  # count bound per trigger
+    finally:
+        q.stop()
+
+
+def test_stream_writer_sink(spark, seeded_log, tmp_path):
+    """Copy one stream into another through the sink; commit is the
+    append point; maxlen retention applies on commit."""
+    root, _ = seeded_log
+    _register(spark)
+    src = (
+        spark.readStream.format("redislog")
+        .option("path", root)
+        .option("stream", "s1")
+        .option("group", "copy")
+        .option("batch_size", "50")
+        .load()
+    )
+    q = (
+        src.writeStream.format("redislog")
+        .option("path", root)
+        .option("stream", "s2")
+        .option("maxlen", "15")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = StreamLog(root, "s2")
+    assert out.count() == 23  # all appended
+    assert out.xlen() <= 15  # retention bound
+    kept = out.read_slice(out.first_pos(), out.count())
+    assert kept[-1][2]["payload"] == "msg22"  # newest retained
