@@ -1,0 +1,94 @@
+"""Event-time streaming layer (SURVEY M4): typed projection of the
+schemaless envelope + watermarked windows over the redislog source.
+
+The reference has NO event-time concept (wall-clock only,
+consumer.py:75-90); these operators are the Spark-native extension that
+the ``events`` fixture exercises.  The envelope's msgid doubles as
+ingest-time (``"<ms-epoch>-<seq>"``, SURVEY §1.1): ``ingest_ts`` is
+derived by splitting it — so even untyped payloads get a time axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_ingest_time(stream_df: DataFrame) -> DataFrame:
+    """Derive ingest-time from the msgid (<ms-epoch>-<seq>)."""
+    return stream_df.withColumn(
+        "ingest_ts",
+        F.timestamp_millis(F.split("msgid", "-").getItem(0).cast("long")),
+    )
+
+
+def project(stream_df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """Typed projection of the map<string,string> payload — the explicit
+    schema-on-read step (SURVEY §7 hard part (d): no inference magic).
+
+    ``fields`` maps payload key → Spark type DDL, e.g.
+    ``{"user_id": "long", "ts": "timestamp", "value": "double"}``.
+    """
+    cols: list[Column] = [F.col("msgid")]
+    for name, dtype in fields.items():
+        cols.append(F.col("content").getItem(name).cast(dtype).alias(name))
+    return stream_df.select(*cols)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *keys,
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (the streaming form of q_sessionize)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            key,
+            "n_events",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Event-time layer + foreachBatch bridge + listener monitor tests."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Producer
+from redis_streams_spark.streaming.bridge import open_stream, process_stream
+from redis_streams_spark.streaming.listener import MonitorListener
+from redis_streams_spark.streaming.windows import (
+    project,
+    tumbling_counts,
+    with_ingest_time,
+)
+
+
+def _seed_events(tmp_path, n=40):
+    log = StreamLog(str(tmp_path), "ev")
+    prod = Producer(log, "ev")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    for i in range(n):
+        prod.add(
+            {
+                "ts": f"2024-01-01 00:{i // 2:02d}:{(i * 7) % 60:02d}",
+                "user_id": i % 4,
+                "event_type": ["view", "click"][i % 2],
+                "value": round(1.5 * i, 2),
+                "base": base,
+            }
+        )
+    return str(tmp_path), log
+
+
+def test_project_and_ingest_time(spark, tmp_path):
+    root, _ = _seed_events(tmp_path, 6)
+    src = open_stream(spark, root, "ev", group="proj", batch_size=100)
+    typed = project(
+        with_ingest_time(src),
+        {"ts": "timestamp", "user_id": "long", "event_type": "string", "value": "double"},
+    )
+    q = (
+        typed.writeStream.format("memory")
+        .queryName("typed_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM typed_out ORDER BY msgid").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 6
+    r = rows[0]
+    assert r.user_id == 0 and r.event_type == "view"
+    assert r.ts is not None and r.value == 0.0
+
+
+def test_tumbling_watermark_agg(spark, tmp_path):
+    root, _ = _seed_events(tmp_path, 40)
+    src = open_stream(spark, root, "ev", group="win", batch_size=1000)
+    typed = project(
+        src, {"ts": "timestamp", "event_type": "string", "value": "double"}
+    )
+    agg = tumbling_counts(typed, window_size="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+    # 40 events over 20 minutes → 4 windows × 2 event types
+    assert sum(r.n for r in rows) == 40
+    assert len(rows) == 8
+    assert all(r.win_end > r.win_start for r in rows)
+
+
+def test_foreachbatch_bridge_ack_semantics(spark, tmp_path):
+    root, _ = _seed_events(tmp_path, 25)
+    seen: list[int] = []
+
+    def handle(df, epoch_id):
+        seen.append(df.count())
+
+    q = process_stream(
+        spark,
+        root,
+        "ev",
+        handle,
+        group="bridge",
+        batch_size=10,
+        checkpoint=str(tmp_path / "ck"),
+        trigger_ms=200,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(seen) == 25
+    assert max(seen) <= 10  # count bound per delivered batch
+    log = StreamLog(root, "ev")
+    state = log.group_state("bridge")
+    # epoch ack is at-least-once: the final epoch's source commit may race
+    # with stop(), leaving at most one batch_size window unacked (it would
+    # be replayed from the checkpoint on restart — the PEL contract)
+    assert state["last_committed"] >= 25 - 10
+    assert state["last_planned"] == 25
+
+
+def test_monitor_listener_progress(spark, tmp_path):
+    root, _ = _seed_events(tmp_path, 30)
+    listener = MonitorListener(batch_size=1000)
+    spark.streams.addListener(listener)
+    try:
+        q = process_stream(
+            spark,
+            root,
+            "ev",
+            lambda df, _: df.count(),
+            group="mon",
+            batch_size=10,
+            trigger_ms=200,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deadline = time.time() + 10
+        while not listener.metrics and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.metrics, "listener captured no progress"
+    m = listener.metrics[0]
+    assert m.status in {
+        "OK",
+        "WARNING - too many pending items",
+        "WARNING - idle for long time",
+    }
+    rate, suggestion = listener.scale_decision()
+    assert suggestion in {"OUT", "IN", "NO_SCALE"}
