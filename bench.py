@@ -31,8 +31,12 @@ def main() -> None:
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # warm-up: JVM + parquet footer caches, one tiny action
+    # warm-up: JVM, codegen, parquet reader path (footer + column readers)
+    from redis_streams_spark.session import load_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).limit(10).collect()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -50,19 +50,37 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-bound array
+    work (a single parquet file under maxPartitionBytes otherwise runs
+    serially on one core)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>) — distinct word n-gram shingles."""
-    return docs.select("doc_id", word_shingles(words("text"), n).alias("shingles"))
+    """(doc_id, shingles array<string>) — distinct word n-gram shingles.
+
+    Tokens are materialized as a column BEFORE the shingle lambda:
+    expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element, so building shingles directly over
+    ``words(text)`` would re-split the text O(shingles) times per row.
+    """
+    toks = fanout(docs).select("doc_id", words("text").alias("w"))
+    return toks.select("doc_id", word_shingles(F.col("w"), n).alias("shingles"))
 
 
 def minhash_band_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, band_idx, band_hash): LSH band buckets of the 32-perm
-    minhash signature.  Shingle hashing and the (a*h+b) mod P permutations
-    stay inside whole-stage codegen; the only shuffle is the doc_id
-    re-aggregation of the signature."""
-    sh = shingle_sets(docs, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    minhash signature."""
+    return band_rows_from_sets(shingle_sets(docs, n))
+
+
+def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
+    """Band rows from a (doc_id, shingles) frame.  Shingle hashing and the
+    (a*h+b) mod P permutations stay inside whole-stage codegen; the only
+    shuffle is the doc_id re-aggregation of the signature."""
+    sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
     h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
     mins = h.groupBy("doc_id").agg(
         *[
@@ -103,7 +121,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
     signatures; the verify join is an equi-join on doc_id against the
     (small) candidate set.
     """
-    bands = minhash_band_rows(docs, n)
+    # one shingle pass feeds signature build AND both verify sides — the
+    # classic reuse-a-stage persist (at cluster scale: a persisted/
+    # checkpointed intermediate table)
+    sets_ = shingle_sets(docs, n).persist()
+    bands = band_rows_from_sets(sets_)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -115,7 +137,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sets_ = shingle_sets(docs, n)
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
     joined = cands.join(sa, "a_id").join(sb, "b_id")
@@ -140,7 +161,7 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     positions keeps everything in built-in expressions (no UDF).
     """
     tf = (
-        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        fanout(docs).select("doc_id", F.explode(words("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("doc_id", h32(F.col("tok")).alias("h"), "tf")
@@ -212,10 +233,12 @@ def ngram_jaccard_pairs(
     (here: provenance `source`).  The bucket keys the pair join so the
     quadratic blow-up is bounded per-bucket and distributes across the
     cluster; array_intersect does the set math JVM-side."""
-    grams = docs.select(
-        "doc_id",
-        F.col(bucket_col).alias("bucket"),
-        char_ngrams(normalized_text(), n).alias("grams"),
+    # materialize the normalized string first — char_ngrams' substring
+    # lambda would otherwise recompute the regexp_replace per n-gram
+    grams = (
+        fanout(docs)
+        .select("doc_id", F.col(bucket_col).alias("bucket"), normalized_text().alias("norm"))
+        .select("doc_id", "bucket", char_ngrams(F.col("norm"), n).alias("grams"))
     )
     a, b = grams.alias("a"), grams.alias("b")
     joined = a.join(

@@ -66,7 +66,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side built-ins (no Python UDF): higher-order array functions over
     the token array — embarrassingly parallel per row at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
+    # materialize tokens once: column references inside the filter/
+    # aggregate lambdas below are cheap, a full split expression is not
+    base = docs.select("doc_id", "text", words("text").alias("w"))
+    w = F.col("w")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_words = F.size(w)
     stop_ratio = F.when(
@@ -107,7 +110,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        docs.select(
+        base.select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
             n_words.cast("long").alias("n_words"),
@@ -167,13 +170,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     language by lexicon hits over the token multiset; argmax with a fixed
     de>en>es>fr tie order.  Pure array built-ins, no shuffle at all."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
+    base = docs.select("doc_id", "lang", words("text").alias("w"))
+    w = F.col("w")
 
     def score(lang: str):
         lex = F.array(*[F.lit(s) for s in LANG_LEXICONS[lang]])
         return F.size(F.filter(w, lambda x: F.array_contains(lex, x))).cast("long")
 
-    scored = docs.select(
+    scored = base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         score("de").alias("score_de"),
