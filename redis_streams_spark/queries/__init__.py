@@ -16,6 +16,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         streamsem,
         text,
