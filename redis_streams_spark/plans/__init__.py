@@ -38,4 +38,5 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return plan_str(df).count("WholeStageCodegen")
+    """Number of WholeStageCodegen subtrees (pre-AQE plan)."""
+    return plan_str(df, mode="codegen").count("WholeStageCodegen subtree")

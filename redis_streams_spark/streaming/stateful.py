@@ -1,0 +1,59 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY §2.2 "Stateful ops" row: checkpointed state stores).
+
+``running_totals`` keeps a per-key (count, total) accumulator across
+micro-batches — the generalization of the reference's only state (the
+PEL, a per-consumer in-flight counter held server-side; here the state
+store is checkpointed by Spark and survives restarts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "key string, batch_rows bigint, total_rows bigint, total_value double"
+STATE_SCHEMA = "total_rows bigint, total_value double"
+
+
+def running_totals(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running row-count and value-sum across micro-batches.
+
+    Input: a streaming DataFrame with ``key_col`` and numeric
+    ``value_col``.  Output (update semantics): one row per key per batch
+    with the batch delta and the running totals.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total_rows, total_value = (
+            state.get if state.exists else (0, 0.0)
+        )
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            total_rows += len(pdf)
+            total_value += float(pdf[value_col].astype(float).sum())
+        state.update((total_rows, total_value))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total_rows],
+                "total_value": [round(total_value, 6)],
+            }
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

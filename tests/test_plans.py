@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the properties that make these queries
+survive a 100× scale-up must hold structurally, not by luck."""
+
+from __future__ import annotations
+
+from redis_streams_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    plan_str,
+    pushed_filters,
+    scan_read_schemas,
+)
+from redis_streams_spark.queries import all_queries
+
+
+def _df(spark, sf_dir, name):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "q01_pricing_summary")
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), "date filter must reach the scan"
+    schemas = scan_read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas), (
+        "unused columns must be pruned from the parquet read"
+    )
+    assert codegen_stage_count(df) > 0
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("q03_shipping_priority", "q05_local_supplier", "q14_promo_revenue"):
+        assert has_broadcast_join(_df(spark, sf_dir, name)), name
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    plan = plan_str(_df(spark, sf_dir, "q_range_join_bucketed"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildLeft, LeftOuter", ""
+    ) or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    plan = plan_str(_df(spark, sf_dir, "q_asof_join"))
+    assert "CartesianProduct" not in plan
+    # union+window as-of: the window partitions by key, no join of the
+    # big sides at all
+    assert "Window" in plan
+
+
+def test_minhash_no_python_udf(spark, sf_dir):
+    plan = plan_str(_df(spark, sf_dir, "dedup_minhash_lsh"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "minhash must stay JVM-side"
+    )
+
+
+def test_text_stats_no_python_udf(spark, sf_dir):
+    plan = plan_str(_df(spark, sf_dir, "text_stats"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

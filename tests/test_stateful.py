@@ -1,0 +1,45 @@
+"""applyInPandasWithState: state persists across micro-batches."""
+
+from __future__ import annotations
+
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Producer
+from redis_streams_spark.streaming.bridge import open_stream
+from redis_streams_spark.streaming.stateful import running_totals
+from redis_streams_spark.streaming.windows import project
+
+
+def test_running_totals_across_batches(spark, tmp_path):
+    log = StreamLog(str(tmp_path), "st")
+    prod = Producer(log, "st")
+    for i in range(30):
+        prod.add({"event_type": ["a", "b"][i % 2], "value": 1.5})
+
+    src = open_stream(spark, str(tmp_path), "st", group="stateful", batch_size=10)
+    typed = project(src, {"event_type": "string", "value": "double"})
+    out = running_totals(typed, key_col="event_type", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM stateful_out ORDER BY total_rows"
+        ).collect()
+    finally:
+        q.stop()
+    # 30 rows over ≥3 batches (batch cap 10) → multiple updates per key,
+    # running totals strictly increasing up to 15 per key
+    finals = {}
+    for r in rows:
+        finals[r.key] = (r.total_rows, r.total_value)
+    assert finals["a"] == (15, 22.5)
+    assert finals["b"] == (15, 22.5)
+    a_updates = [r.total_rows for r in rows if r.key == "a"]
+    assert len(a_updates) >= 2  # state carried across batches
+    assert a_updates == sorted(a_updates)
