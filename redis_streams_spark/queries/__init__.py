@@ -17,6 +17,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         streamsem,
         text,
