@@ -73,6 +73,19 @@ def sliding_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries/duplicates by key within
+    the watermark horizon (state is GC'd past it — bounded memory, the
+    streaming form of dedup_exact).  Use the msgid as key for
+    at-most-once delivery on top of the source's at-least-once."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
 def session_counts(
     events: DataFrame,
     ts_col: str = "ts",
