@@ -39,7 +39,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on md5 of normalized text: one hash-shuffle on the
     digest (never on the full text — at 100 TB the shuffle carries 32-byte
     keys, not documents)."""
-    hashed = docs.select(id_col, F.md5(normalized_text()).alias("content_hash"))
+    hashed = fanout(docs).select(id_col, F.md5(normalized_text()).alias("content_hash"))
     w = W.partitionBy("content_hash").orderBy(id_col)
     return hashed.select(
         id_col,

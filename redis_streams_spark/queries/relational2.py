@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.queries.base import register
-from redis_streams_spark.session import load_table, register_views
+from redis_streams_spark.session import load_table
 
 
 @register(
