@@ -18,6 +18,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scale,
         similarity,
         streamsem,

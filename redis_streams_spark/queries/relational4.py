@@ -1,0 +1,118 @@
+"""Fourth relational batch: rank-function family, value window functions,
+explicit GROUPING SETS."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+
+@register(
+    "q_rank_functions",
+    tags=("window", "rank"),
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(5e-10 + percent_rank() OVER w, 6) AS pct_rank,
+       round(5e-10 + cume_dist() OVER w, 6) AS cdist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_nationkey, rnk, s_suppkey
+""",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (rank/dense_rank/ntile/percent_rank/
+    cume_dist) partitioned per nation."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        sup.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+            rnd(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+@register(
+    "q_value_windows",
+    tags=("window", "value"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS final_price,
+       round(coalesce(nth_value(o_totalprice, 2) OVER w, -1.0), 2) AS second_price,
+       round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth_value + lead, with the
+    full-partition frame for last_value (the classic default-frame
+    gotcha made explicit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(wfull), 2).alias("final_price"),
+            F.round(
+                F.coalesce(F.nth_value("o_totalprice", 2).over(w), F.lit(-1.0)), 2
+            ).alias("second_price"),
+            F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+                "next_price"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    tags=("agg", "grouping-sets"),
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(5e-10 + sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-flag,
+    per-status, and grand-total rows in one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(5e-10 + sum(l_extendedprice), 2) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+        """
+    )

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): invariants the example-driven suite
+can't sweep — scaler ladder over the whole metric space, StreamLog
+append/trim algebra, cross-engine rounding parity on arbitrary floats."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Scale
+from redis_streams_spark.streaming.scaler import Scaler
+
+
+class _FakeScaler(Scaler):
+    """Scaler with injected metrics (no log IO) for ladder properties."""
+
+    def __init__(self, length: int, pending: int, consumers: int):
+        self.stream_length = length
+        self.stream_pending = pending
+        self.consumers_of_group = consumers
+        self.length_pending_rate = 0
+
+    def collect_metrics(self):
+        return self.stream_length, self.stream_pending
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    length=st.integers(min_value=0, max_value=10_000),
+    pending=st.integers(min_value=0, max_value=10_000),
+    consumers=st.integers(min_value=0, max_value=50),
+    out_rate=st.integers(min_value=0, max_value=100),
+    in_rate=st.integers(min_value=0, max_value=100),
+)
+def test_scaler_ladder_invariants(length, pending, consumers, out_rate, in_rate):
+    sca = _FakeScaler(length, pending, consumers)
+    if in_rate > out_rate:
+        with pytest.raises(ValueError):
+            sca.get_scale_decision(scale_out_rate=out_rate, scale_in_rate=in_rate)
+        return
+    rate, suggestion = sca.get_scale_decision(
+        scale_out_rate=out_rate, scale_in_rate=in_rate
+    )
+    # rate domain: 0 (no pending) or clamped to [1, 100]
+    assert rate == 0 or 1 <= rate <= 100
+    assert suggestion in {s.value for s in Scale}
+    # exact reference semantics (scaler.py:85-97)
+    if rate == 0 and length == 0:
+        assert suggestion == Scale.NOSCALE.value
+    elif rate == 0 and length >= 1:
+        assert suggestion == Scale.OUT.value
+    elif rate < in_rate and consumers > 1:
+        assert suggestion == Scale.IN.value
+    elif rate >= out_rate:
+        assert suggestion == Scale.OUT.value
+    else:
+        assert suggestion == Scale.NOSCALE.value
+    # scaling out is always suggested when the backlog dwarfs pending
+    if pending > 0 and length >= pending and out_rate <= 100 and rate >= out_rate:
+        assert suggestion == Scale.OUT.value
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_msgs=st.integers(min_value=0, max_value=40),
+    maxlen=st.integers(min_value=1, max_value=10),
+)
+def test_streamlog_append_trim_algebra(tmp_path_factory, n_msgs, maxlen):
+    log = StreamLog(str(tmp_path_factory.mktemp("sl")), "s")
+    ids = [log.append({"i": i}) for i in range(n_msgs)]
+    assert ids == sorted(ids) and len(set(ids)) == n_msgs
+    log.trim(maxlen)
+    assert log.xlen() == min(n_msgs, maxlen)
+    assert log.count() == n_msgs  # positions never shift
+    kept = log.read_slice(0, log.count())
+    if n_msgs:
+        # newest messages retained, in order
+        assert [c["i"] for _, _, c in kept] == [
+            str(i) for i in range(max(0, n_msgs - maxlen), n_msgs)
+        ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    value=st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    scale=st.sampled_from([2, 4, 6]),
+)
+def test_rnd_sql_matches_python_semantics(value, scale):
+    """DuckDB's rnd_sql is self-consistent with plain arithmetic: the
+    epsilon keeps the result within 1e-9+half-ulp of the true value and
+    is idempotent (rounding an already-rounded value is a no-op)."""
+    con = duckdb.connect()
+    r1 = con.sql(f"SELECT round(5e-10 + {value!r}, {scale})").fetchone()[0]
+    r2 = con.sql(f"SELECT round(5e-10 + {r1!r}, {scale})").fetchone()[0]
+    assert r2 == r1  # idempotent
+    assert abs(r1 - value) <= 0.5 * 10 ** (-scale) + 1e-9
+    con.close()
