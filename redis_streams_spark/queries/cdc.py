@@ -1,0 +1,128 @@
+"""CDC / upsert / sampling queries with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32, h32_sql
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.operators.upsert import merge_upsert, scd2_from_stream
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_MS = "unix_millis(cast(ts as timestamp))"
+
+
+@register(
+    "q_upsert_merge",
+    tags=("cdc", "upsert"),
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         round(c_acctbal + 500.0, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+), unioned AS (
+  SELECT *, 0 AS prio FROM customer
+  UNION ALL
+  SELECT * , 1 AS prio FROM changes
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY prio DESC) AS rn
+  FROM unioned
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       round(5e-10 + sum(c_acctbal), 2) AS total_balance,
+       count(*) FILTER (WHERE c_custkey % 10 = 0) AS n_updated
+FROM ranked WHERE rn = 1
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation (latest-wins upsert): a change set (+500.0
+    balance for every 10th customer) merged into the customer dim, then
+    aggregated.  One shuffle, no join (union + priority pick)."""
+    customer = load_table(spark, sf_dir, "customer")
+    changes = customer.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 500.0, 2)
+    )
+    merged = merge_upsert(customer, changes, key="c_custkey")
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.when(F.col("c_custkey") % 10 == 0, 1)).alias("n_updated"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q_scd2_events",
+    tags=("cdc", "scd2"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ms, event_id FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       ms AS valid_from_ms,
+       lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+       lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
+FROM changes
+ORDER BY user_id, valid_from_ms
+""",
+)
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 from a change stream: per-user event_type history as
+    validity intervals (consecutive duplicates collapsed, open-ended
+    current row)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_MS).alias("ms"), "event_id"
+    )
+    hist = scd2_from_stream(
+        ev, key="user_id", attr="event_type", ts_col="ms", order_col="event_id"
+    )
+    return (
+        hist.select(
+            "user_id",
+            "event_type",
+            F.col("valid_from").alias("valid_from_ms"),
+            F.col("valid_to").alias("valid_to_ms"),
+            "is_current",
+        )
+        .orderBy("user_id", "valid_from_ms")
+    )
+
+
+@register(
+    "q_hash_sample",
+    tags=("sampling",),
+    oracle=f"""
+SELECT count(*) AS n_sampled,
+       round(5e-10 + avg(o_totalprice), 4) AS avg_price,
+       round(5e-10 + 100.0 * count(*) /
+             (SELECT count(*) FROM orders), 4) AS sample_pct
+FROM orders
+WHERE {h32_sql("o_orderkey::VARCHAR")} % 100 < 10
+""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via key hashing (h32(key)%100 < 10) — the
+    deterministic alternative to RNG TABLESAMPLE: stable across runs,
+    engines, and re-partitioning, so samples are joinable across tables
+    sampled on the same key."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    sampled = orders.where(h32(F.col("o_orderkey").cast("string")) % 100 < 10)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
+        rnd(100.0 * F.count(F.lit(1)) / F.lit(total), 4).alias("sample_pct"),
+    )
