@@ -118,11 +118,14 @@ class RedisLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         """Plan the next micro-batch: advance the group cursor by at most
         batch_size undelivered messages (deficit math of consumer.py:96
-        lives here)."""
+        lives here).  ``batch_size=0`` disables the cap — required for
+        Trigger.AvailableNow, which snapshots ONE latestOffset() as its
+        end and would otherwise stop after a single capped batch."""
         log = self._log
         state = log.group_state(self.group)
         base = max(state["last_planned"], state["last_committed"])
-        planned = min(log.count(), base + self.batch_size)
+        total = log.count()
+        planned = total if self.batch_size <= 0 else min(total, base + self.batch_size)
         if planned != state["last_planned"]:
             state["last_planned"] = planned
             state["last_delivered_pos"] = max(state["last_delivered_pos"], planned)

@@ -137,3 +137,28 @@ def test_stream_writer_sink(spark, seeded_log, tmp_path):
     assert out.xlen() <= 15  # retention bound
     kept = out.read_slice(out.first_pos(), out.count())
     assert kept[-1][2]["payload"] == "msg22"  # newest retained
+
+
+def test_available_now_uncapped(spark, seeded_log, tmp_path):
+    """Trigger.AvailableNow snapshots one latestOffset() as its end, so
+    the per-trigger cap must be disabled (batch_size=0) to drain the
+    stream; with a cap it stops after one batch (documented)."""
+    root, _ = seeded_log
+    _register(spark)
+    src = (
+        spark.readStream.format("redislog")
+        .option("path", root)
+        .option("stream", "s1")
+        .option("group", "an")
+        .option("batch_size", "0")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("an_out")
+        .option("checkpointLocation", str(tmp_path / "ckan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM an_out").collect()[0].c == 23
