@@ -16,6 +16,7 @@ def _load_all() -> None:
         cdc,
         dedup,
         multimodal,
+        pyudf,
         relational,
         relational2,
         relational3,

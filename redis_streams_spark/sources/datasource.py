@@ -122,15 +122,21 @@ class RedisLogStreamReader(DataSourceStreamReader):
         Trigger.AvailableNow, which snapshots ONE latestOffset() as its
         end and would otherwise stop after a single capped batch."""
         log = self._log
-        state = log.group_state(self.group)
-        base = max(state["last_planned"], state["last_committed"])
-        total = log.count()
-        planned = total if self.batch_size <= 0 else min(total, base + self.batch_size)
-        if planned != state["last_planned"]:
-            state["last_planned"] = planned
-            state["last_delivered_pos"] = max(state["last_delivered_pos"], planned)
-            log.save_group(self.group, state)
-        return {"pos": planned}
+
+        def plan(state: dict) -> int:
+            base = max(state["last_planned"], state["last_committed"])
+            total = log.count()
+            planned = (
+                total if self.batch_size <= 0 else min(total, base + self.batch_size)
+            )
+            if planned != state["last_planned"]:
+                state["last_planned"] = planned
+                state["last_delivered_pos"] = max(
+                    state["last_delivered_pos"], planned
+                )
+            return planned
+
+        return {"pos": log.update_group(self.group, plan)}
 
     def partitions(self, start: dict, end: dict):
         return [RangePartition(self.root, self.stream, start["pos"], end["pos"])]
@@ -142,10 +148,12 @@ class RedisLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         """Epoch ack: everything below end.pos is processed (S7)."""
-        state = self._log.group_state(self.group)
-        if end["pos"] > state["last_committed"]:
-            state["last_committed"] = end["pos"]
-            self._log.save_group(self.group, state)
+
+        def ack(state: dict) -> None:
+            if end["pos"] > state["last_committed"]:
+                state["last_committed"] = end["pos"]
+
+        self._log.update_group(self.group, ack)
 
     def stop(self) -> None:
         pass

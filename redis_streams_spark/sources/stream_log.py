@@ -26,13 +26,21 @@ through atomic write-replace so concurrent readers never see torn JSON.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import threading
 import time
+import uuid
+from collections.abc import Callable
+from contextlib import contextmanager
 
 
 def _atomic_write(path: str, payload: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # tmp name must be unique per writer (pid AND thread — concurrent
+    # consumers may share a process), else writers clobber each other's
+    # staging file mid-rename
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, path)
@@ -164,6 +172,28 @@ class StreamLog:
 
     def save_group(self, group: str, state: dict) -> None:
         _atomic_write(self._group_path(group), state)
+
+    @contextmanager
+    def group_lock(self, group: str):
+        """Advisory exclusive lock for read-modify-write of group state —
+        serializes concurrent consumers/readers of the same group the way
+        Redis serializes XREADGROUP/XACK (single-threaded server)."""
+        lock_path = self._group_path(group) + ".lock"
+        with open(lock_path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    def update_group(self, group: str, mutator: Callable[[dict], object]) -> object:
+        """Atomically read-modify-write group state under the lock; the
+        mutator's return value is passed through."""
+        with self.group_lock(group):
+            state = self.group_state(group)
+            result = mutator(state)
+            self.save_group(group, state)
+            return result
 
     def list_groups(self) -> list[str]:
         if not os.path.isdir(self.groups_dir):

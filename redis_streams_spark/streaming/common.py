@@ -80,12 +80,15 @@ class BaseStreamClass:
         """XGROUP DELCONSUMER: drop the consumer and its PEL entries;
         returns the number of pending messages lost with it
         (common.py:75-85)."""
-        state = self.log.group_state(self.consumer_group)
-        lost = [
-            m for m, e in state["pel"].items() if e["consumer"] == consumer_to_delete
-        ]
-        for m in lost:
-            del state["pel"][m]
-        state["consumers"].pop(consumer_to_delete, None)
-        self.log.save_group(self.consumer_group, state)
-        return len(lost)
+        def evict(state: dict) -> int:
+            lost = [
+                m
+                for m, e in state["pel"].items()
+                if e["consumer"] == consumer_to_delete
+            ]
+            for m in lost:
+                del state["pel"][m]
+            state["consumers"].pop(consumer_to_delete, None)
+            return len(lost)
+
+        return self.log.update_group(self.consumer_group, evict)

@@ -67,34 +67,40 @@ class Consumer(BaseStreamClass):
 
     def _claim_new(self, deficit: int) -> int:
         """'>' read: move up to ``deficit`` never-delivered messages into
-        this consumer's PEL, advancing the group cursor."""
-        state = self.log.group_state(self.consumer_group)
-        self._touch(state)
-        start = state["last_delivered_pos"]
-        batch = self.log.read_slice(start, min(start + deficit, self.log.count()))
-        t = now_ms()
-        for pos, msgid, _ in batch:
-            state["pel"][msgid] = {
-                "pos": pos,
-                "consumer": self.consumer_id,
-                "delivered_ms": t,
-                "times_delivered": 1,
-            }
-            state["last_delivered_pos"] = pos + 1
-        self.log.save_group(self.consumer_group, state)
-        return len(batch)
+        this consumer's PEL, advancing the group cursor.  Runs under the
+        group lock so concurrent consumers claim disjoint messages (the
+        Redis-server serialization of XREADGROUP)."""
+
+        def claim(state: dict) -> int:
+            self._touch(state)
+            start = state["last_delivered_pos"]
+            batch = self.log.read_slice(start, min(start + deficit, self.log.count()))
+            t = now_ms()
+            for pos, msgid, _ in batch:
+                state["pel"][msgid] = {
+                    "pos": pos,
+                    "consumer": self.consumer_id,
+                    "delivered_ms": t,
+                    "times_delivered": 1,
+                }
+                state["last_delivered_pos"] = pos + 1
+            return len(batch)
+
+        return self.log.update_group(self.consumer_group, claim)
 
     # -- public API ------------------------------------------------------
     def get_items(self) -> list[RedisMsg]:
         """Collect up to batch_size messages, returning after at most
         ~max_wait_time_ms even when the batch is incomplete."""
         self._set_hard_stop_time()
-        state = self.log.group_state(self.consumer_group)
-        self._touch(state)
-        self.log.save_group(self.consumer_group, state)
-        recovered = {
-            m for m, e in state["pel"].items() if e["consumer"] == self.consumer_id
-        }
+
+        def register(state: dict) -> set[str]:
+            self._touch(state)
+            return {
+                m for m, e in state["pel"].items() if e["consumer"] == self.consumer_id
+            }
+
+        recovered = self.log.update_group(self.consumer_group, register)
         assigned = len(recovered)
         while self._keep_fetching(assigned):
             got = self._claim_new(max(1, self.batch_size - assigned))
@@ -103,19 +109,18 @@ class Consumer(BaseStreamClass):
                 remaining = self._hard_stop_ms - now_ms()
                 time.sleep(max(0.0, min(self.poll_time_ms, remaining) / 1000.0))
         # final '0' re-read of own PEL, capped at batch_size
-        state = self.log.group_state(self.consumer_group)
-        mine = sorted(
-            (e["pos"], msgid)
-            for msgid, e in state["pel"].items()
-            if e["consumer"] == self.consumer_id
-        )[: self.batch_size]
-        changed = False
-        for _, msgid in mine:
-            if msgid in recovered:  # redelivery bumps the counter
-                state["pel"][msgid]["times_delivered"] += 1
-                changed = True
-        if changed:
-            self.log.save_group(self.consumer_group, state)
+        def reread(state: dict) -> list[tuple[int, str]]:
+            mine = sorted(
+                (e["pos"], msgid)
+                for msgid, e in state["pel"].items()
+                if e["consumer"] == self.consumer_id
+            )[: self.batch_size]
+            for _, msgid in mine:
+                if msgid in recovered:  # redelivery bumps the counter
+                    state["pel"][msgid]["times_delivered"] += 1
+            return mine
+
+        mine = self.log.update_group(self.consumer_group, reread)
         by_pos = {
             pos: msgid for pos, msgid in mine
         }
@@ -135,11 +140,10 @@ class Consumer(BaseStreamClass):
         """XACK: drop one message from the PEL; the message itself stays
         in the stream (physical deletion is a retention concern —
         consumer.py:184-187 points at xdel/compaction)."""
-        state = self.log.group_state(self.consumer_group)
-        removed = 1 if state["pel"].pop(item_id, None) is not None else 0
-        if removed:
-            self.log.save_group(self.consumer_group, state)
-        return removed
+        return self.log.update_group(
+            self.consumer_group,
+            lambda state: 1 if state["pel"].pop(item_id, None) is not None else 0,
+        )
 
     def remove_item_from_stream(self, item_id: str) -> int:
         """Deprecated alias kept for API parity (consumer.py:193-207)."""

@@ -37,12 +37,13 @@ class ItemAckLog:
         return set(self.log.group_state(self.group).get("item_acks", []))
 
     def ack(self, msgid: str) -> None:
-        state = self.log.group_state(self.group)
-        acks = set(state.get("item_acks", []))
-        if msgid not in acks:
-            acks.add(msgid)
-            state["item_acks"] = sorted(acks)
-            self.log.save_group(self.group, state)
+        def add(state: dict) -> None:
+            acks = set(state.get("item_acks", []))
+            if msgid not in acks:
+                acks.add(msgid)
+                state["item_acks"] = sorted(acks)
+
+        self.log.update_group(self.group, add)
 
     def prune_below(self, pos: int) -> None:
         """Drop acks for msgids at positions below the commit frontier."""

@@ -76,21 +76,22 @@ class Monitor(BaseStreamClass):
         """XCLAIM with min_idle_time: re-own entries idle for at least
         min_wait_time_ms (fresher ones may still be processing); bumps the
         delivery counter.  Returns claimed count."""
-        state = self.log.group_state(self.consumer_group)
-        claimed = 0
-        for item in items:
-            msgid = item["message_id"]
-            entry = state["pel"].get(msgid)
-            if entry is None:
-                continue
-            if now_ms() - entry["delivered_ms"] < self.min_wait_time_ms:
-                continue
-            entry["consumer"] = consumer_to_assign
-            entry["delivered_ms"] = now_ms()
-            entry["times_delivered"] += 1
-            claimed += 1
-        self.log.save_group(self.consumer_group, state)
-        return claimed
+        def claim(state: dict) -> int:
+            claimed = 0
+            for item in items:
+                msgid = item["message_id"]
+                entry = state["pel"].get(msgid)
+                if entry is None:
+                    continue
+                if now_ms() - entry["delivered_ms"] < self.min_wait_time_ms:
+                    continue
+                entry["consumer"] = consumer_to_assign
+                entry["delivered_ms"] = now_ms()
+                entry["times_delivered"] += 1
+                claimed += 1
+            return claimed
+
+        return self.log.update_group(self.consumer_group, claim)
 
     def cleanup_unhealthy_consumer(
         self, pending_count: int, consumer_to_delete: str
