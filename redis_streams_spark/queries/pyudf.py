@@ -162,3 +162,40 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("custkey")
+
+
+@register(
+    "q_pandas_udaf",
+    tags=("udf", "udaf"),
+    oracle="""
+SELECT c_mktsegment,
+       round(5e-10 + avg(c_acctbal), 4) AS mean_balance,
+       round(5e-10 + max(c_acctbal) - min(c_acctbal), 2) AS balance_range
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): per-segment mean
+    and range computed in pandas, verified against plain SQL aggregates.
+    numpy's pairwise mean matches SQL avg to ~1e-12 — far inside the
+    4dp rounding."""
+
+    @pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @pandas_udf("double")
+    def range_udaf(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            rnd(mean_udaf("c_acctbal"), 4).alias("mean_balance"),
+            rnd(range_udaf("c_acctbal"), 2).alias("balance_range"),
+        )
+        .orderBy("c_mktsegment")
+    )
