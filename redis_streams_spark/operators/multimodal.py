@@ -132,3 +132,33 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
             yield out
 
     return src.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_plan(width, height, max_side: int = 256):
+    """Deterministic resize arithmetic (aspect-preserving fit into a
+    max_side box, floor semantics) — the Spark-side planning step of an
+    image-resize stage; the pixel transform itself would live in the
+    decode_features mapInPandas batch (codec-stubbed here)."""
+    from pyspark.sql import functions as F
+
+    scale_num = F.lit(max_side)
+    longest = F.greatest(width, height)
+    out_w = F.when(longest <= max_side, width).otherwise(
+        (width * scale_num / longest).cast("long")
+    )
+    out_h = F.when(longest <= max_side, height).otherwise(
+        (height * scale_num / longest).cast("long")
+    )
+    return out_w, out_h
+
+
+def frame_sample_indices(n_frames, k: int = 4):
+    """Deterministic frame sampling: k evenly-spaced frame indexes
+    (floor(i * n / k)), clamped to valid range — the video analog of
+    resize planning."""
+    from pyspark.sql import functions as F
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.least((i * n_frames / k).cast("long"), n_frames - 1),
+    )

@@ -157,3 +157,81 @@ def embedding_neighbor_pairs(
         .select("a_id", "b_id", "label", "cosine", "rank", "is_near_dup")
         .orderBy("a_id", "rank")
     )
+
+
+def signlsh_signature(v, n_planes: int = 16):
+    """Sign-LSH signature: bit p = sign(<v, w_p>) with pseudo-random
+    hyperplanes w_p derived deterministically from md5 of (plane, dim) —
+    so Spark and the SQL oracle build identical planes with no RNG.
+    w_pd = h32(p:d)/2^31 - 1  ∈ [-1, 1)."""
+    from redis_streams_spark.functions.hashing import h32
+
+    def plane_dot(p: int):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x
+                * (
+                    h32(F.concat(F.lit(f"{p}:"), d.cast("string"))) / F.lit(2147483648.0)
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(0)
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 25, n_planes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Sign-LSH bucketed ANN: 16-bit signature split into 4 bands of 4
+    bits; candidates share >=1 band with a query (equi-join on
+    (band_idx, band_bits)), then exact cosine re-rank of the deduped
+    candidate pairs.  The second ANN scale path next to IVF: no training
+    step, purely hash-derived, recall tuned by bands x bits."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    e = as_double_vec(emb).withColumn("sig", signlsh_signature(F.col("v"), n_planes))
+    band_rows = e.select(
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_bits", F.expr(f"shiftright(sig, band_idx * {bits_per_band}) & {mask}")
+    )
+    q_bands = band_rows.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_bits"
+    )
+    pairs = (
+        band_rows.join(F.broadcast(q_bands), ["band_idx", "band_bits"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv_"), F.col("norm").alias("cn")
+    )
+    scored = (
+        pairs.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("qn"), F.col("cv_"), F.col("cn")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

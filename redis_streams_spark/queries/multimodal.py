@@ -94,3 +94,53 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, verifying the pandas plumbing value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(docs).orderBy("doc_id")
+
+
+@register(
+    "mm_resize_sample",
+    tags=("multimodal", "resize"),
+    oracle=f"""
+WITH meta AS ({_META_SQL})
+SELECT doc_id, modality, width, height,
+       CASE WHEN greatest(width, height) <= 256 THEN width
+            ELSE (width * 256 // greatest(width, height)) END AS out_w,
+       CASE WHEN greatest(width, height) <= 256 THEN height
+            ELSE (height * 256 // greatest(width, height)) END AS out_h,
+       list_transform(range(0, 4),
+                      i -> least(i * n_frames // 4, n_frames - 1)) AS frame_idx
+FROM meta
+WHERE modality IN ('image', 'video')
+ORDER BY doc_id
+""",
+)
+def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning (fit into 256px box) + evenly-spaced frame
+    sampling over the fake-decoded dims — the deterministic Spark-side
+    arithmetic of the resize/frame-sample stages (pixel work is the
+    codec-stubbed mapInPandas batch)."""
+    from redis_streams_spark.operators.multimodal import (
+        fake_dims,
+        frame_sample_indices,
+        modality_col,
+        resize_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, h, nf = fake_dims(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        modality_col(F.col("doc_id")).alias("modality"),
+        w.alias("width"),
+        h.alias("height"),
+        nf.alias("n_frames"),
+    ).where(F.col("modality").isin("image", "video"))
+    out_w, out_h = resize_plan(F.col("width"), F.col("height"))
+    return base.select(
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        frame_sample_indices(F.col("n_frames")).alias("frame_idx"),
+    ).orderBy("doc_id")

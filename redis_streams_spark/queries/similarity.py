@@ -139,3 +139,66 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector with threshold flag (cell-bounded pair generation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neighbor_pairs(emb, k=3, near_dup_threshold=0.35)
+
+
+def _signlsh_oracle() -> str:
+    from redis_streams_spark.functions.hashing import h32_sql
+
+    # per-plane dot product: left fold over dims with md5-derived weights
+    def dot_p(p: int) -> str:
+        expr = f"'{p}:' || (d - 1)::VARCHAR"
+        w = f"({h32_sql(expr)} / 2147483648.0 - 1.0)"
+        return (
+            f"list_reduce(list_transform(range(1, len(v) + 1),"
+            f" d -> v[d] * {w}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot_p(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)),
+                          (a, b) -> a + b)) AS norm
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, v, norm, ({sig})::BIGINT AS sig FROM e
+), band_rows AS (
+  SELECT vec_id, sig, b AS band_idx, (sig >> (b * 4)) & 15 AS band_bits
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs
+), pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM band_rows q JOIN band_rows c
+    ON q.band_idx = c.band_idx AND q.band_bits = c.band_bits
+   AND q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT p.query_id, p.cand_id,
+         round(5e-10 + list_reduce(list_transform(range(1, len(qe.v) + 1),
+                          i -> qe.v[i] * ce.v[i]), (x, y) -> x + y)
+               / (qe.norm * ce.norm), 6) AS cosine
+  FROM pairs p
+  JOIN sigs qe ON qe.vec_id = p.query_id
+  JOIN sigs ce ON ce.vec_id = p.cand_id
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored) t
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_lsh_topk", tags=("similarity", "ann", "lsh"), oracle=_signlsh_oracle())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (16 md5-derived hyperplanes, 4 bands of 4
+    bits, exact cosine re-rank) — the training-free scale path; the
+    oracle rebuilds the identical hyperplanes and buckets in SQL."""
+    from redis_streams_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, k=10, query_mod=25, n_planes=16, bands=4).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
