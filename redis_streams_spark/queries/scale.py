@@ -57,6 +57,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_salted_join",
     tags=("scale", "skew", "join"),
+    bench=True,
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_lines,

@@ -68,6 +68,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     tags=("similarity", "ann"),
+    bench=True,
     oracle=f"""
 WITH {_E_CTE},
 by_dim AS (

@@ -176,6 +176,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_asof_join",
     tags=("join", "asof"),
+    bench=True,
     oracle="""
 WITH o AS (
   SELECT o_custkey % 150 AS k,
