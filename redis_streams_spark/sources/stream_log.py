@@ -103,19 +103,35 @@ class StreamLog:
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
         """Messages with position in [start_pos, end_pos) as
         (pos, msgid, content).  Positions below first_pos are gone
-        (trimmed) and silently skipped — same as XRANGE after XTRIM."""
+        (trimmed) and silently skipped — same as XRANGE after XTRIM.
+
+        A per-instance (pos → byte offset) cache makes monotonically
+        advancing readers (consumers claiming forward) O(batch) instead
+        of O(log length) per call; invalidated by trim (first_pos
+        changes)."""
         if not os.path.exists(self.log_path):
             return []
         first = self.first_pos()
-        out = []
+        cache = getattr(self, "_seek_cache", None)
+        out: list[tuple[int, str, dict]] = []
         with open(self.log_path) as f:
-            for i, line in enumerate(f):
-                pos = first + i
+            pos = first
+            if cache is not None and cache[0] == first and first <= cache[1] <= start_pos:
+                f.seek(cache[2])
+                pos = cache[1]
+            while True:
+                off = f.tell()
+                line = f.readline()
+                if not line:
+                    self._seek_cache = (first, pos, off)
+                    break
                 if pos >= end_pos:
+                    self._seek_cache = (first, pos, off)
                     break
                 if pos >= start_pos:
                     rec = json.loads(line)
                     out.append((pos, rec["msgid"], rec["content"]))
+                pos += 1
         return out
 
     def trim(self, maxlen: int) -> int:

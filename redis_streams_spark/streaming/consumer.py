@@ -37,7 +37,12 @@ class Consumer(BaseStreamClass):
         batch_size: int = 2,
         max_wait_time_ms: int = 10000,
         poll_time_ms: int = 1000,
+        cleanup_on_exit: bool = True,
     ):
+        # cleanup_on_exit: accepted for API parity; the reference stores
+        # it without ever acting on it (consumer.py:46,72 — dead
+        # parameter), and Spark-side consumer identity is managed by the
+        # scheduler, so it is likewise a no-op here.
         super().__init__(log=log, stream=stream, consumer_group=consumer_group)
         # default identity = pid+thread-id (consumer.py:42)
         self.consumer_id = str(
@@ -48,6 +53,7 @@ class Consumer(BaseStreamClass):
         self.batch_size = batch_size
         self.max_wait_time_ms = max_wait_time_ms
         self.poll_time_ms = poll_time_ms
+        self.cleanup_on_exit = cleanup_on_exit
         self._hard_stop_ms = 0
 
     # -- internals -------------------------------------------------------
@@ -144,6 +150,18 @@ class Consumer(BaseStreamClass):
             self.consumer_group,
             lambda state: 1 if state["pel"].pop(item_id, None) is not None else 0,
         )
+
+    def remove_items_from_consumer_group(self, item_ids: list[str]) -> int:
+        """Batch XACK (engine extension): one locked state update for a
+        whole batch — the high-throughput ack path (the reference only
+        offers per-item ack; per-item remains for parity)."""
+
+        def ack_all(state: dict) -> int:
+            return sum(
+                1 for i in item_ids if state["pel"].pop(i, None) is not None
+            )
+
+        return self.log.update_group(self.consumer_group, ack_all)
 
     def remove_item_from_stream(self, item_id: str) -> int:
         """Deprecated alias kept for API parity (consumer.py:193-207)."""
