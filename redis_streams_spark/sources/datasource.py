@@ -48,6 +48,32 @@ from redis_streams_spark.sources.stream_log import StreamLog
 SCHEMA = "msgid string, content map<string,string>"
 
 
+def _arrow_batches(records: list[tuple[int, str, dict]], chunk: int = 4096):
+    """Yield Arrow RecordBatches for (pos, msgid, content) records —
+    columnar transfer instead of per-row pickling (~10x on the read
+    path)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("msgid", pa.string()),
+            pa.field("content", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    for k in range(0, len(records), chunk):
+        part = records[k : k + chunk]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([msgid for _, msgid, _ in part]),
+                pa.array(
+                    [list(content.items()) for _, _, content in part],
+                    type=pa.map_(pa.string(), pa.string()),
+                ),
+            ],
+            schema=schema,
+        )
+
+
 @dataclass
 class RangePartition(InputPartition):
     root: str
@@ -100,10 +126,9 @@ class RedisLogBatchReader(DataSourceReader):
         log = StreamLog(self.root, self.stream)
         return [RangePartition(self.root, self.stream, log.first_pos(), log.count())]
 
-    def read(self, partition: RangePartition) -> Iterator[tuple]:
+    def read(self, partition: RangePartition):
         log = StreamLog(partition.root, partition.stream)
-        for _, msgid, content in log.read_slice(partition.start, partition.end):
-            yield (msgid, content)
+        yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
 
 class RedisLogStreamReader(DataSourceStreamReader):
@@ -141,10 +166,9 @@ class RedisLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         return [RangePartition(self.root, self.stream, start["pos"], end["pos"])]
 
-    def read(self, partition: RangePartition) -> Iterator[tuple]:
+    def read(self, partition: RangePartition):
         log = StreamLog(partition.root, partition.stream)
-        for _, msgid, content in log.read_slice(partition.start, partition.end):
-            yield (msgid, content)
+        yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
     def commit(self, end: dict) -> None:
         """Epoch ack: everything below end.pos is processed (S7)."""

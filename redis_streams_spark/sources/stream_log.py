@@ -36,6 +36,9 @@ from collections.abc import Callable
 from contextlib import contextmanager
 
 
+_INDEX_STEP = 256  # sparse offset-index granularity for read_slice
+
+
 def _atomic_write(path: str, payload: dict) -> None:
     # tmp name must be unique per writer (pid AND thread — concurrent
     # consumers may share a process), else writers clobber each other's
@@ -100,33 +103,65 @@ class StreamLog:
             self.trim(maxlen)
         return msgid
 
+    def append_many(self, contents: list[dict], maxlen: int | None = None) -> list[str]:
+        """Batch append: one meta write for the whole batch (the
+        amortization the reference lacks — producer.py:44-49 is one XADD
+        round trip per message)."""
+        if not contents:
+            return []
+        m = self._meta()
+        ms = int(time.time() * 1000)
+        seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
+        ids: list[str] = []
+        with open(self.log_path, "a") as f:
+            for content in contents:
+                msgid = f"{ms}-{seq:06d}"
+                ids.append(msgid)
+                f.write(
+                    json.dumps(
+                        {
+                            "msgid": msgid,
+                            "content": {k: str(v) for k, v in content.items()},
+                        }
+                    )
+                    + "\n"
+                )
+                seq += 1
+        m.update(appended=m["appended"] + len(contents), last_ms=ms, last_seq=seq - 1)
+        _atomic_write(self.meta_path, m)
+        if maxlen is not None and self.xlen() > maxlen:
+            self.trim(maxlen)
+        return ids
+
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
         """Messages with position in [start_pos, end_pos) as
         (pos, msgid, content).  Positions below first_pos are gone
         (trimmed) and silently skipped — same as XRANGE after XTRIM.
 
-        A per-instance (pos → byte offset) cache makes monotonically
-        advancing readers (consumers claiming forward) O(batch) instead
-        of O(log length) per call; invalidated by trim (first_pos
-        changes)."""
+        A sparse per-instance (pos → byte offset) index (one entry per
+        _INDEX_STEP lines, built as a side effect of scans) makes any
+        range read O(step + range) instead of O(log length); invalidated
+        by trim (first_pos changes)."""
         if not os.path.exists(self.log_path):
             return []
         first = self.first_pos()
-        cache = getattr(self, "_seek_cache", None)
+        if getattr(self, "_index_first", None) != first:
+            self._index_first = first
+            self._offset_index: dict[int, int] = {first: 0}
+        idx = self._offset_index
+        seek_pos = max(
+            (p for p in idx if p <= start_pos), default=first
+        )
         out: list[tuple[int, str, dict]] = []
         with open(self.log_path) as f:
-            pos = first
-            if cache is not None and cache[0] == first and first <= cache[1] <= start_pos:
-                f.seek(cache[2])
-                pos = cache[1]
+            pos = seek_pos
+            f.seek(idx[seek_pos])
             while True:
                 off = f.tell()
+                if pos % _INDEX_STEP == 0:
+                    idx[pos] = off
                 line = f.readline()
-                if not line:
-                    self._seek_cache = (first, pos, off)
-                    break
-                if pos >= end_pos:
-                    self._seek_cache = (first, pos, off)
+                if not line or pos >= end_pos:
                     break
                 if pos >= start_pos:
                     rec = json.loads(line)
