@@ -1,0 +1,76 @@
+"""Spark-native streaming example: the same pipeline as
+examples/consume_loop.py but on Structured Streaming — source with batch
+cap, typed projection, watermarked windows, listener-driven monitoring,
+scaling advice.
+
+Run: python examples/streaming_native.py
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from redis_streams_spark.session import get_spark
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Producer
+from redis_streams_spark.streaming.bridge import open_stream
+from redis_streams_spark.streaming.listener import MonitorListener
+from redis_streams_spark.streaming.windows import project, tumbling_counts
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="rss-native-")
+    spark = get_spark("streaming-native-example", cpus=4)
+    listener = MonitorListener(batch_size=1000)
+    spark.streams.addListener(listener)
+
+    # produce a burst of typed events
+    prod = Producer(StreamLog(root, "events"), "events")
+    prod.add_many(
+        [
+            {
+                "ts": f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}",
+                "event_type": ["view", "click", "purchase"][i % 3],
+                "value": round(0.5 * i, 2),
+            }
+            for i in range(600)
+        ]
+    )
+
+    # stream → typed projection → watermarked 5-minute windows
+    src = open_stream(spark, root, "events", group="native", batch_size=200)
+    typed = project(
+        src, {"ts": "timestamp", "event_type": "string", "value": "double"}
+    )
+    windows = tumbling_counts(typed, window_size="5 minutes", watermark="2 minutes")
+
+    q = (
+        windows.writeStream.format("memory")
+        .queryName("native_out")
+        .outputMode("complete")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    print("windowed aggregates:")
+    spark.sql(
+        "SELECT win_start, event_type, n, round(total, 2) AS total "
+        "FROM native_out ORDER BY win_start, event_type"
+    ).show(12, truncate=False)
+
+    print("monitor rows (one per micro-batch):")
+    for m in listener.metrics[:5]:
+        print(" ", m)
+    rate, suggestion = listener.scale_decision()
+    print(f"scaling advice: rate={rate} suggestion={suggestion}")
+
+    spark.streams.removeListener(listener)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
