@@ -141,7 +141,7 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_custkey,
        count(*) OVER w AS n_similar_price,
-       round(5e-10 + avg(o_totalprice) OVER w, 4) AS avg_similar_price
+       round(5e-10 + sum(o_totalprice) OVER w, 2) AS sum_similar_price
 FROM orders
 WINDOW w AS (ORDER BY o_totalprice
              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
@@ -160,7 +160,11 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.count(F.lit(1)).over(w).alias("n_similar_price"),
-            rnd(F.avg("o_totalprice").over(w), 4).alias("avg_similar_price"),
+            # frame SUM, not AVG: sums of 2dp money values are exact
+            # decimals, so incremental-window float noise (~1e-7) can
+            # never flip the 2dp rounding; an avg (sum/count) lands on
+            # arbitrary reals and straddles boundaries at high row counts
+            rnd(F.sum("o_totalprice").over(w), 2).alias("sum_similar_price"),
         )
         .orderBy("o_orderkey")
     )

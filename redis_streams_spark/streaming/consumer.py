@@ -66,11 +66,6 @@ class Consumer(BaseStreamClass):
     def _touch(self, state: dict) -> None:
         state["consumers"].setdefault(self.consumer_id, {})["last_seen_ms"] = now_ms()
 
-    def _assigned_count(self, state: dict) -> int:
-        return sum(
-            1 for e in state["pel"].values() if e["consumer"] == self.consumer_id
-        )
-
     def _claim_new(self, deficit: int) -> int:
         """'>' read: move up to ``deficit`` never-delivered messages into
         this consumer's PEL, advancing the group cursor.  Runs under the
