@@ -257,3 +257,55 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster_id)
+    with cluster_id = min node id in the component — the step that turns
+    pairwise dedup verdicts into canonical document clusters.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; converges in O(diameter)
+    rounds (near-dup clusters are tiny chains, typically 1-3).  Each
+    round is a distributed join+agg — the driver only checks the
+    convergence counter, never the data.  At 100 TB this is the standard
+    large-graph CC pattern (alternating large/small-star variants exist
+    for adversarial diameters).
+    """
+    # persist the (usually expensive) edge lineage ONCE — every iteration
+    # joins against it, and without the persist the whole upstream
+    # pipeline (e.g. n-gram similarity) re-executes per round
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint truncates the logical plan each round — without it
+    # the lineage (and Catalyst analysis time) grows per iteration, the
+    # classic iterative-DataFrame pathology
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        candidate = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionByName(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        merged = labels.join(candidate, "node").localCheckpoint()
+        changed = merged.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        labels = merged.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

@@ -8,6 +8,7 @@ layout) so the LSH pipelines hash-match exactly — not just statistically.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.hashing import (
     LSH_BANDS,
@@ -180,13 +181,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     tags=("dedup", "ngram"),
     oracle=f"""
-WITH grams AS (
-  SELECT doc_id, source AS bucket,
-         list_distinct(CASE WHEN len({_NORM_SQL}) >= 4 THEN
-           list_transform(range(1, len({_NORM_SQL}) - 2),
-                          i -> substr({_NORM_SQL}, i, 4))
+WITH norms AS (
+  SELECT doc_id, source AS bucket, {_NORM_SQL} AS nrm FROM documents
+), grams AS (
+  SELECT doc_id, bucket,
+         list_distinct(CASE WHEN len(nrm) >= 4 THEN
+           list_transform(range(1, len(nrm) - 2), i -> substr(nrm, i, 4))
            ELSE [] END) AS g
-  FROM documents
+  FROM norms
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        round(5e-10 + len(list_intersect(a.g, b.g)) * 1.0 /
@@ -204,3 +206,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic cost per bucket; bucket keys the join distribution)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=4, bucket_col="source", threshold=0.4)
+
+
+_NGRAM_EDGES_SQL = f"""
+norms AS (
+  SELECT doc_id, source AS bucket, {_NORM_SQL} AS nrm FROM documents
+), grams AS (
+  SELECT doc_id, bucket,
+         list_distinct(CASE WHEN len(nrm) >= 4 THEN
+           list_transform(range(1, len(nrm) - 2), i -> substr(nrm, i, 4))
+           ELSE [] END) AS g
+  FROM norms
+), edges AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+        greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1) >= 0.4
+)"""
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "clusters"),
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_EDGES_SQL},
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM edges
+  UNION SELECT b_id, a_id FROM edges
+), reach(node, lbl) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) n(a)
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM comp
+ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram-Jaccard pairs (≥0.4, same source
+    bucket) → connected components → canonical id (min doc in
+    component) + cluster size.  The end-product of a dedup pipeline:
+    keep is_canonical, drop the rest.  Oracle: recursive-CTE reachability
+    in DuckDB over identical edges."""
+    from pyspark.sql import Window as W
+
+    from redis_streams_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=4, bucket_col="source", threshold=0.4)
+    comp = connected_components(edges.select("a_id", "b_id"))
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1))
+            .over(W.partitionBy("cluster_id"))
+            .alias("cluster_size"),
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
