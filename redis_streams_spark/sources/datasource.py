@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
@@ -114,6 +115,9 @@ class RedisLogDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "RedisLogStreamWriter":
         return RedisLogStreamWriter(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "RedisLogBatchWriter":
+        return RedisLogBatchWriter(self.options, overwrite)
 
 
 class RedisLogBatchReader(DataSourceReader):
@@ -237,6 +241,53 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
             f.write("ok")
 
     def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg and os.path.exists(msg.staging_path):
+                os.remove(msg.staging_path)
+
+
+class RedisLogBatchWriter(DataSourceWriter):
+    """Batch sink: ``df.write.format("redislog")`` appends every row as a
+    message (overwrite mode resets the stream first).  Same staged
+    two-phase commit as the stream writer, minus epoch markers (a batch
+    job commits once)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.root, self.stream, _, _ = _opts(options)
+        self.maxlen = int(options["maxlen"]) if "maxlen" in options else None
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> StagedCommit:
+        staging_dir = os.path.join(self.root, self.stream, "staging")
+        os.makedirs(staging_dir, exist_ok=True)
+        path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                content = (
+                    d["content"]
+                    if "content" in d and isinstance(d["content"], dict)
+                    else d
+                )
+                f.write(json.dumps({k: str(v) for k, v in content.items()}) + "\n")
+                n += 1
+        return StagedCommit(staging_path=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        log = StreamLog(self.root, self.stream)
+        if self.overwrite:
+            log.delete()
+        rows: list[dict] = []
+        for msg in messages:
+            if msg is None:
+                continue
+            with open(msg.staging_path) as f:
+                rows.extend(json.loads(line) for line in f)
+            os.remove(msg.staging_path)
+        log.append_many(rows, maxlen=self.maxlen)
+
+    def abort(self, messages) -> None:
         for msg in messages:
             if msg and os.path.exists(msg.staging_path):
                 os.remove(msg.staging_path)

@@ -164,3 +164,46 @@ def test_available_now_uncapped(spark, seeded_log, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) c FROM an_out").collect()[0].c == 23
+
+
+def test_batch_writer_roundtrip(spark, tmp_path, sf_dir):
+    """df.write.format('redislog') batch sink: arbitrary flat rows become
+    messages; read back via the batch reader."""
+    _register(spark)
+    from redis_streams_spark.session import load_table
+
+    nation = load_table(spark, sf_dir, "nation").limit(10)
+    (
+        nation.write.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "dim")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "dim")
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 10
+    names = {r["content"]["n_name"] for r in rows}
+    assert all(n.startswith("NATION_") for n in names)
+    # overwrite mode resets the stream
+    (
+        nation.limit(3)
+        .write.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "dim")
+        .mode("overwrite")
+        .save()
+    )
+    assert (
+        spark.read.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "dim")
+        .load()
+        .count()
+        == 3
+    )
