@@ -209,15 +209,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_EDGES_SQL = f"""
-norms AS (
+norms AS MATERIALIZED (
   SELECT doc_id, source AS bucket, {_NORM_SQL} AS nrm FROM documents
-), grams AS (
+), grams AS MATERIALIZED (
   SELECT doc_id, bucket,
          list_distinct(CASE WHEN len(nrm) >= 4 THEN
            list_transform(range(1, len(nrm) - 2), i -> substr(nrm, i, 4))
            ELSE [] END) AS g
   FROM norms
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.g, b.g)) * 1.0 /
@@ -230,7 +230,7 @@ norms AS (
     tags=("dedup", "clusters"),
     oracle=f"""
 WITH RECURSIVE {_NGRAM_EDGES_SQL},
-sym AS (
+sym AS MATERIALIZED (
   SELECT a_id AS a, b_id AS b FROM edges
   UNION SELECT b_id, a_id FROM edges
 ), reach(node, lbl) AS (
