@@ -229,10 +229,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 4, bucket_col: str = "source", threshold: float = 0.2
 ) -> DataFrame:
-    """Character n-gram Jaccard between all doc pairs sharing a bucket
-    (here: provenance `source`).  The bucket keys the pair join so the
-    quadratic blow-up is bounded per-bucket and distributes across the
-    cluster; array_intersect does the set math JVM-side."""
+    """Character n-gram Jaccard via an INVERTED INDEX: explode distinct
+    grams, equi-join postings on (bucket, gram), group-count the
+    intersection, then derive Jaccard from the precomputed set sizes.
+
+    Scale: the old shape (all-pairs join keyed on bucket alone, carrying
+    full gram arrays) is quadratic in bucket size — a provenance bucket is
+    unbounded at 100 TB.  Here the join is keyed on (bucket, gram): only
+    docs that actually SHARE a gram ever meet, cost is sum over grams of
+    df² within a bucket (df = docs containing that gram), the shuffle
+    carries 4-char postings instead of whole gram arrays, and any
+    threshold > 0 is unaffected because zero-intersection pairs can't
+    qualify.  Set sizes ride along on the postings (min-agg per pair) so
+    no extra join is needed."""
     # materialize the normalized string first — char_ngrams' substring
     # lambda would otherwise recompute the regexp_replace per n-gram
     grams = (
@@ -240,19 +249,36 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.col(bucket_col).alias("bucket"), normalized_text().alias("norm"))
         .select("doc_id", "bucket", char_ngrams(F.col("norm"), n).alias("grams"))
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    joined = a.join(
+    # postings: one row per (doc, distinct gram); sz rides along so the
+    # pair aggregation below needs no second join against a sizes table
+    inv = grams.select(
+        "doc_id", "bucket", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.gram") == F.col("b.gram"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    inter = F.size(F.array_intersect("a.grams", "b.grams"))
-    union = F.size("a.grams") + F.size("b.grams") - inter
+    inter = (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.sz").alias("na"),
+            F.min("b.sz").alias("nb"),
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("n_common")
     return (
-        joined.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        inter.select(
+            "a_id",
+            "b_id",
+            rnd(F.col("n_common") * 1.0 / F.greatest(union, F.lit(1)), 6).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")

@@ -124,30 +124,57 @@ def ivf_topk(
 
 
 def embedding_neighbor_pairs(
-    emb: DataFrame, k: int = 3, near_dup_threshold: float = 0.35
+    emb: DataFrame,
+    k: int = 3,
+    near_dup_threshold: float = 0.35,
+    n_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidates: top-k most similar same-label
-    neighbors per vector (a<b pairs), flagged against the threshold.
-    Same-label restriction bounds the pair count per cell."""
-    e = as_double_vec(emb)
-    a = e.select(
-        "label",
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("norm").alias("an"),
+    """Embedding-cosine near-dup candidates: sign-LSH band buckets generate
+    the candidate pairs, exact cosine verifies them; top-k candidates per
+    vector (a<b pairs), flagged against the threshold.
+
+    Scale: the old shape joined every same-label pair — quadratic per label
+    cell, unbounded at 100 TB.  Here the pair join is an equi-join on
+    (label, band_idx, band_bits): only vectors whose signatures collide in
+    ≥1 of the 4-bit bands ever meet, which is the same recall dial as
+    ``lsh_topk`` (collision probability rises steeply with cosine), and the
+    exact re-score keeps verification honest."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    # signature build is reused by the band rows AND both verify sides
+    e = (
+        as_double_vec(emb)
+        .withColumn("sig", signlsh_signature(F.col("v"), n_planes))
+        .persist()
     )
-    b = e.select(
+    band_rows = e.select(
         "label",
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        F.col("norm").alias("bn"),
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_bits", F.expr(f"shiftright(sig, band_idx * {bits_per_band}) & {mask}")
     )
-    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
-    scored = pairs.select(
-        "label",
-        "a_id",
-        "b_id",
-        cosine(F.col("av"), F.col("an"), F.col("bv"), F.col("bn")).alias("cosine"),
+    a = band_rows.select("label", F.col("vec_id").alias("a_id"), "band_idx", "band_bits")
+    b = band_rows.select("label", F.col("vec_id").alias("b_id"), "band_idx", "band_bits")
+    cands = (
+        a.join(b, ["label", "band_idx", "band_bits"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("label", "a_id", "b_id")
+        .distinct()
+    )
+    av = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("norm").alias("an"))
+    bv = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    scored = (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "label",
+            "a_id",
+            "b_id",
+            cosine(F.col("av"), F.col("an"), F.col("bv"), F.col("bn")).alias("cosine"),
+        )
     )
     w = W.partitionBy("a_id").orderBy(F.desc("cosine"), "b_id")
     return (

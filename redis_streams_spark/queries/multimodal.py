@@ -20,7 +20,6 @@ from redis_streams_spark.operators.multimodal import (
 )
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
-from redis_streams_spark.functions.rounding import rnd
 
 _META_SQL = f"""
 SELECT doc_id,
@@ -49,7 +48,7 @@ SELECT modality,
        count(*) AS n_docs,
        sum(byte_len) AS total_bytes,
        min(width) AS min_width, max(width) AS max_width,
-       round(5e-10 + avg(mean_byte), 4) AS avg_mean_byte
+       CAST(sum(mean_byte * 16) AS BIGINT) AS sum_mean_byte_x16
 FROM meta GROUP BY modality ORDER BY modality
 """,
 )
@@ -73,7 +72,10 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("byte_len").alias("total_bytes"),
             F.min("width").alias("min_width"),
             F.max("width").alias("max_width"),
-            rnd(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            # Exact integer sum (each mean_byte is an exact k/16 double, so
+            # mean_byte*16 is an exact integer): bit-identical across
+            # Spark/DuckDB, unlike a rounded float average.
+            F.sum(F.col("mean_byte") * 16).cast("long").alias("sum_mean_byte_x16"),
         )
         .orderBy("modality")
     )
@@ -106,8 +108,8 @@ SELECT doc_id, modality, width, height,
             ELSE (width * 256 // greatest(width, height)) END AS out_w,
        CASE WHEN greatest(width, height) <= 256 THEN height
             ELSE (height * 256 // greatest(width, height)) END AS out_h,
-       list_transform(range(0, 4),
-                      i -> least(i * n_frames // 4, n_frames - 1)) AS frame_idx
+       array_to_string(list_transform(range(0, 4),
+                      i -> least(i * n_frames // 4, n_frames - 1)), ',') AS frame_idx
 FROM meta
 WHERE modality IN ('image', 'video')
 ORDER BY doc_id
@@ -142,5 +144,9 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         out_w.alias("out_w"),
         out_h.alias("out_h"),
-        frame_sample_indices(F.col("n_frames")).alias("frame_idx"),
+        # Stringified so the driver's pandas canonicalizer can hash the
+        # column (raw array<bigint> is unhashable in its sort/unique path).
+        F.array_join(
+            frame_sample_indices(F.col("n_frames")).cast("array<string>"), ","
+        ).alias("frame_idx"),
     ).orderBy("doc_id")

@@ -117,32 +117,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_pairs",
-    tags=("dedup", "similarity"),
-    oracle=f"""
-WITH {_E_CTE},
-pairs AS (
-  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-         {_cos('a.v', 'a.norm', 'b.v', 'b.norm')} AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT a_id, b_id, label, cosine, rank, cosine >= 0.35 AS is_near_dup
-FROM (SELECT *, row_number() OVER (PARTITION BY a_id
-                                   ORDER BY cosine DESC, b_id) AS rank
-      FROM pairs) t
-WHERE rank <= 3
-ORDER BY a_id, rank
-""",
-)
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidates: top-3 same-label neighbors
-    per vector with threshold flag (cell-bounded pair generation)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neighbor_pairs(emb, k=3, near_dup_threshold=0.35)
-
-
-def _signlsh_oracle() -> str:
+def _sig_expr() -> str:
+    """16-bit sign-LSH signature as a DuckDB expression over column ``v``
+    (identical md5-derived hyperplanes to operators.similarity)."""
     from redis_streams_spark.functions.hashing import h32_sql
 
     # per-plane dot product: left fold over dims with md5-derived weights
@@ -154,9 +131,56 @@ def _signlsh_oracle() -> str:
             f" d -> v[d] * {w}), (a, b) -> a + b)"
         )
 
-    sig = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot_p(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
     )
+
+
+def _embedding_pairs_oracle() -> str:
+    return f"""
+WITH {_E_CTE},
+sigs AS (
+  SELECT vec_id, label, v, norm, ({_sig_expr()})::BIGINT AS sig FROM e
+), band_rows AS (
+  SELECT vec_id, label, sig, b AS band_idx, (sig >> (b * 4)) & 15 AS band_bits
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs
+), cands AS (
+  SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+  FROM band_rows a JOIN band_rows b
+    ON a.label = b.label AND a.band_idx = b.band_idx
+   AND a.band_bits = b.band_bits AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.label, c.a_id, c.b_id,
+         {_cos('ae.v', 'ae.norm', 'be.v', 'be.norm')} AS cosine
+  FROM cands c
+  JOIN sigs ae ON ae.vec_id = c.a_id
+  JOIN sigs be ON be.vec_id = c.b_id
+)
+SELECT a_id, b_id, label, cosine, rank, cosine >= 0.35 AS is_near_dup
+FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                                   ORDER BY cosine DESC, b_id) AS rank
+      FROM scored) t
+WHERE rank <= 3
+ORDER BY a_id, rank
+"""
+
+
+@register(
+    "dedup_embedding_pairs",
+    tags=("dedup", "similarity"),
+    oracle=_embedding_pairs_oracle(),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: sign-LSH band buckets generate
+    pairs (equi-join on (label, band_idx, band_bits) — no per-label cross
+    product), exact cosine verifies; top-3 neighbors per vector with
+    threshold flag."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neighbor_pairs(emb, k=3, near_dup_threshold=0.35)
+
+
+def _signlsh_oracle() -> str:
+    sig = _sig_expr()
     return f"""
 WITH e AS (
   SELECT vec_id,

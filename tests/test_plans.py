@@ -59,3 +59,31 @@ def test_minhash_no_python_udf(spark, sf_dir):
 def test_text_stats_no_python_udf(spark, sf_dir):
     plan = plan_str(_df(spark, sf_dir, "text_stats"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_pairs_inverted_index(spark, sf_dir):
+    """The pair join must be keyed on (bucket, gram) — an inverted-index
+    equi-join — not a bucket-only join that is quadratic in bucket size."""
+    plan = plan_str(_df(spark, sf_dir, "dedup_ngram_jaccard"))
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "join" in ln.lower() or "keys" in ln.lower()
+    ]
+    assert any("gram" in ln for ln in join_lines), (
+        "pair join must include the gram in its equi-join keys"
+    )
+
+
+def test_embedding_pairs_lsh_keyed(spark, sf_dir):
+    """Candidate generation must equi-join on the sign-LSH band bits,
+    never a label-only join (quadratic per label cell)."""
+    plan = plan_str(_df(spark, sf_dir, "dedup_embedding_pairs"))
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "join" in ln.lower() or "keys" in ln.lower()
+    ]
+    assert any("band_bits" in ln for ln in join_lines), (
+        "pair join must include band_bits in its equi-join keys"
+    )
