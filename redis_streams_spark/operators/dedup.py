@@ -79,7 +79,17 @@ def minhash_band_rows(docs: DataFrame, n: int = 3) -> DataFrame:
 def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
     """Band rows from a (doc_id, shingles) frame.  Shingle hashing and the
     (a*h+b) mod P permutations stay inside whole-stage codegen; the only
-    shuffle is the doc_id re-aggregation of the signature."""
+    shuffle is the doc_id re-aggregation of the signature.
+
+    Shape note (measured, do not "simplify"): computing the signature
+    per-row with nested higher-order functions (transform over a literal
+    coefficient array + array_min) avoids the groupBy shuffle but runs 3×
+    SLOWER end-to-end at sf0.01 — Spark evaluates HOF lambdas with
+    interpreted expression evaluation outside whole-stage codegen, so 32
+    codegen'd scalar min-aggregates beat 32 interpreted array folds even
+    paying the shuffle.  The shuffle carries (doc_id, 32×long) rows —
+    signature-sized, not document-sized — so it also scales fine.
+    """
     sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
     h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
     mins = h.groupBy("doc_id").agg(
@@ -286,7 +296,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id)
     with cluster_id = min node id in the component — the step that turns
@@ -298,8 +312,21 @@ def connected_components(
     round is a distributed join+agg — the driver only checks the
     convergence counter, never the data.  At 100 TB this is the standard
     large-graph CC pattern (alternating large/small-star variants exist
-    for adversarial diameters).
+    for adversarial diameters — upgrade path if cluster diameters grow
+    beyond a handful of rounds).
+
+    ``reliable_checkpoint=True`` uses ``checkpoint()`` (written to
+    ``spark.sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint()``: on a real cluster an executor loss invalidates
+    local checkpoints mid-iteration, killing a long CC run; reliable
+    checkpoints survive.  Local mode keeps the cheaper default.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     # persist the (usually expensive) edge lineage ONCE — every iteration
     # joins against it, and without the persist the whole upstream
     # pipeline (e.g. n-gram similarity) re-executes per round
@@ -311,15 +338,14 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # localCheckpoint truncates the logical plan each round — without it
+    # checkpointing truncates the logical plan each round — without it
     # the lineage (and Catalyst analysis time) grows per iteration, the
     # classic iterative-DataFrame pathology
-    sym = sym.localCheckpoint()
-    labels = (
+    sym = ckpt(sym)
+    labels = ckpt(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         candidate = (
@@ -329,7 +355,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lbl").alias("new_lbl"))
         )
-        merged = labels.join(candidate, "node").localCheckpoint()
+        merged = ckpt(labels.join(candidate, "node"))
         changed = merged.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
         labels = merged.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:

@@ -109,10 +109,11 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT o_custkey AS custkey, count(*) AS n_orders,
          round(5e-10 + sum(o_totalprice), 2) AS order_value
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey
 ), l AS (
   SELECT o_custkey AS custkey, count(DISTINCT l_orderkey)::BIGINT AS n_line_orders
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey <= 300
   GROUP BY o_custkey
 )
 SELECT coalesce(o.custkey, l.custkey) AS custkey,
@@ -127,14 +128,21 @@ ORDER BY custkey
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas: reconcile per-customer order counts from
     two independent sources (orders vs lineitem-derived) in one pandas
-    callback per key group — the two-sided pandas surface."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    callback per key group — the two-sided pandas surface.  Bounded to
+    custkey <= 300: cogroup invokes the callback once PER KEY, so the
+    per-group pandas overhead scales with key count, and 300 groups prove
+    the surface at a fraction of the gate cost."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select(F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
         .join(
-            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") <= 300)
+            .select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("custkey"), "l_orderkey")

@@ -230,19 +230,50 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_aggs", tags=("agg", "approx"))
+@register(
+    "q_approx_aggs",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       round(5e-10 + percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS exact_median,
+       count(*) AS n,
+       TRUE AS orders_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + quantile sketch) — sketch
-    internals differ between engines, so this is a rows-only check (no
-    oracle).  At 100 TB these replace exact distinct/percentile where a
-    bounded error is acceptable: no expand, single pass, mergeable."""
+    """Approximate aggregates (HLL distinct + quantile sketch).  Sketch
+    internals are engine-specific, so the sketch outputs themselves are
+    not compared; instead the query emits exact values (hash-compared)
+    plus deterministic bounded-error booleans — Spark computes
+    ``|approx − exact| / exact ≤ 0.05`` from its own sketches while the
+    oracle asserts TRUE, so a sketch drifting out of bound flips the
+    boolean and fails the driver hash gate.  At 100 TB the approx forms
+    replace exact distinct/percentile where bounded error is acceptable:
+    no expand, single pass, mergeable."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        rnd(exact_median, 2).alias("exact_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rel_err = lambda approx, exact: F.abs(approx - F.col(exact)) / F.col(exact)  # noqa: E731
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-            F.count(F.lit(1)).alias("n"),
+        agg.select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_median",
+            "n",
+            (rel_err(F.col("approx_orders"), "exact_orders") <= 0.05).alias("orders_ok"),
+            (rel_err(F.col("approx_median"), "exact_median") <= 0.05).alias("median_ok"),
         )
         .orderBy("l_returnflag")
     )

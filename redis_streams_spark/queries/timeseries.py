@@ -327,3 +327,53 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_interval_join",
+    tags=("join", "stream-semantics"),
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cms
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS pms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, p.pms - c.cms AS gap_ms
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.pms >= c.cms
+ AND p.pms <= c.cms + 3600000
+ORDER BY click_id, purchase_id
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream interval join
+    (tests/test_stream_stream_join.py): purchases within one hour after
+    each click by the same user.  Identical join predicate — equi-key on
+    user_id plus an event-time range — so the driver hash gate verifies
+    the interval semantics the streaming test asserts shape-only.  The
+    equi-key makes it a hash-partitioned join with the range as a
+    post-filter; state at streaming scale is bounded by the watermark,
+    here by the key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr(_MS)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ms.alias("cms")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", ms.alias("pms")
+    )
+    return (
+        clicks.join(
+            buys,
+            (clicks.user_id == buys.user_id)
+            & (F.col("pms") >= F.col("cms"))
+            & (F.col("pms") <= F.col("cms") + 3600000),
+        )
+        .select(
+            "click_id", "purchase_id", (F.col("pms") - F.col("cms")).alias("gap_ms")
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -85,22 +85,41 @@ class StreamLog:
         return f"{m['last_ms']}-{m['last_seq']:06d}"
 
     # -- append / read / trim -------------------------------------------
+    @contextmanager
+    def stream_lock(self):
+        """Advisory exclusive lock serializing log+meta read-modify-write
+        (append/trim).  Redis XADD is atomic server-side; without this,
+        two concurrent producers both read appended=N and one message
+        becomes permanently invisible (meta undercount) or duplicate
+        msgids get minted from a clobbered last_ms/last_seq."""
+        lock_path = os.path.join(self.dir, "stream.lock")
+        with open(lock_path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def append(self, content: dict, maxlen: int | None = None) -> str:
         """Append one message; returns its msgid.  With ``maxlen`` the log
         is trimmed to the newest ``maxlen`` entries (reference
         producer.py:44-48 — ours is exact rather than ``MAXLEN ~``
         approximate: a strictly stronger guarantee, noted divergence)."""
-        m = self._meta()
-        ms = int(time.time() * 1000)
-        seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
-        msgid = f"{ms}-{seq:06d}"
-        payload = {"msgid": msgid, "content": {k: str(v) for k, v in content.items()}}
-        with open(self.log_path, "a") as f:
-            f.write(json.dumps(payload) + "\n")
-        m.update(appended=m["appended"] + 1, last_ms=ms, last_seq=seq)
-        _atomic_write(self.meta_path, m)
-        if maxlen is not None and self.xlen() > maxlen:
-            self.trim(maxlen)
+        with self.stream_lock():
+            m = self._meta()
+            ms = int(time.time() * 1000)
+            seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
+            msgid = f"{ms}-{seq:06d}"
+            payload = {
+                "msgid": msgid,
+                "content": {k: str(v) for k, v in content.items()},
+            }
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+            m.update(appended=m["appended"] + 1, last_ms=ms, last_seq=seq)
+            _atomic_write(self.meta_path, m)
+            if maxlen is not None and self.xlen() > maxlen:
+                self._trim_locked(maxlen)
         return msgid
 
     def append_many(self, contents: list[dict], maxlen: int | None = None) -> list[str]:
@@ -109,28 +128,31 @@ class StreamLog:
         round trip per message)."""
         if not contents:
             return []
-        m = self._meta()
-        ms = int(time.time() * 1000)
-        seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
-        ids: list[str] = []
-        with open(self.log_path, "a") as f:
-            for content in contents:
-                msgid = f"{ms}-{seq:06d}"
-                ids.append(msgid)
-                f.write(
-                    json.dumps(
-                        {
-                            "msgid": msgid,
-                            "content": {k: str(v) for k, v in content.items()},
-                        }
+        with self.stream_lock():
+            m = self._meta()
+            ms = int(time.time() * 1000)
+            seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
+            ids: list[str] = []
+            with open(self.log_path, "a") as f:
+                for content in contents:
+                    msgid = f"{ms}-{seq:06d}"
+                    ids.append(msgid)
+                    f.write(
+                        json.dumps(
+                            {
+                                "msgid": msgid,
+                                "content": {k: str(v) for k, v in content.items()},
+                            }
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-                seq += 1
-        m.update(appended=m["appended"] + len(contents), last_ms=ms, last_seq=seq - 1)
-        _atomic_write(self.meta_path, m)
-        if maxlen is not None and self.xlen() > maxlen:
-            self.trim(maxlen)
+                    seq += 1
+            m.update(
+                appended=m["appended"] + len(contents), last_ms=ms, last_seq=seq - 1
+            )
+            _atomic_write(self.meta_path, m)
+            if maxlen is not None and self.xlen() > maxlen:
+                self._trim_locked(maxlen)
         return ids
 
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
@@ -171,6 +193,10 @@ class StreamLog:
 
     def trim(self, maxlen: int) -> int:
         """Keep only the newest ``maxlen`` messages; returns removed count."""
+        with self.stream_lock():
+            return self._trim_locked(maxlen)
+
+    def _trim_locked(self, maxlen: int) -> int:
         m = self._meta()
         retained = m["appended"] - m["first_pos"]
         excess = retained - maxlen

@@ -46,19 +46,24 @@ class ItemAckLog:
         self.log.update_group(self.group, add)
 
     def prune_below(self, pos: int) -> None:
-        """Drop acks for msgids at positions below the commit frontier."""
-        state = self.log.group_state(self.group)
-        acks = set(state.get("item_acks", []))
-        if not acks:
-            return
+        """Drop acks for msgids at positions below the commit frontier.
+
+        Runs through update_group so the read-modify-write holds the group
+        lock — a concurrent ack() or reader commit() must not be lost."""
         keep_ids = {
             msgid
             for _, msgid, _ in self.log.read_slice(pos, self.log.count())
         }
-        pruned = sorted(acks & keep_ids)
-        if pruned != state.get("item_acks", []):
-            state["item_acks"] = pruned
-            self.log.save_group(self.group, state)
+
+        def prune(state: dict) -> None:
+            acks = set(state.get("item_acks", []))
+            if not acks:
+                return
+            pruned = sorted(acks & keep_ids)
+            if pruned != state.get("item_acks", []):
+                state["item_acks"] = pruned
+
+        self.log.update_group(self.group, prune)
 
 
 class AckedBatchProcessor:

@@ -121,10 +121,11 @@ class Monitor(BaseStreamClass):
                 )
         self.unhealthy_consumers = {}
 
-    def collect_monitoring_data(self, auto_cleanup: bool = False) -> list[ConsumerMetrics]:
+    def collect_monitoring_data(self, auto_cleanup: bool = True) -> list[ConsumerMetrics]:
         """Sweep all groups of the stream: classify every consumer, pick
         the assignee (min-pending healthy), optionally clean up
-        (monitor.py:140-193)."""
+        (monitor.py:140-193).  Default auto_cleanup=True matches the
+        reference signature (monitor.py:140)."""
         self.collected_consumers_data = []
         self.unhealthy_consumers = {}
         self.consumer_to_assign = ""

@@ -192,6 +192,27 @@ def test_monitor_cleanup_reassigns_to_min_pending_healthy(log):
     assert len(state["pel"]) == 5  # victim's 4 reassigned + healthy's own 1
 
 
+def test_monitor_auto_cleanup_default_true(log):
+    """Reference signature collect_monitoring_data(auto_cleanup=True)
+    (monitor.py:140): the default sweep performs the cleanup."""
+    seed(log, 6)
+    victim = Consumer(
+        log, "teststream", "grp", consumer_id="victim", batch_size=4,
+        max_wait_time_ms=100,
+    )
+    victim.get_items()
+    healthy = Consumer(
+        log, "teststream", "grp", consumer_id="healthy", batch_size=1,
+        max_wait_time_ms=100,
+    )
+    healthy.get_items()
+    mon = Monitor(log, "teststream", "grp", batch_size=2, min_wait_time_ms=0)
+    mon.collect_monitoring_data()  # no args: default must clean up
+    state = log.group_state("grp")
+    assert "victim" not in state["consumers"]
+    assert {e["consumer"] for e in state["pel"].values()} == {"healthy"}
+
+
 # -- scaler (test_scaler.py:11-144 parity) ------------------------------
 
 def _scaler_with(log, n_msgs, n_claimed, consumers):

@@ -45,10 +45,12 @@ def main() -> int:
             traceback.print_exc(limit=6)
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, spark={t_spark:.1f}s)")
             n_skip += 1
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
@@ -57,15 +59,19 @@ def main() -> int:
             print(f"FAIL {name}: DUCKDB ERROR: {str(e)[:300]}")
             n_fail += 1
             continue
+        t_duck = time.time() - t1
 
         problems = compare(scols, srows, dcols, drows)
         if problems:
-            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            print(f"FAIL {name} (spark={t_spark:.1f}s duck={t_duck:.1f}s)")
             for p in problems:
                 print(f"   {p}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name} ({len(srows)} rows, "
+                f"spark={t_spark:.1f}s duck={t_duck:.1f}s)"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
