@@ -44,6 +44,23 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # InferFiltersFromGenerate turns every explode(computed_array) into an
+    # inferred `size(arr)>0 AND isnotnull(arr)` filter that predicate
+    # pushdown then inlines BELOW the parallelizing repartition — the whole
+    # tokenize/shingle higher-order-function chain gets re-evaluated (twice,
+    # interpreted) inside the narrow scan stage.  Measured on the minhash
+    # band build at sf0.1: 24 s with the rule, 1.4 s without.  Excluding it
+    # is safe: the rule only ADDS redundant filters (Generate explode
+    # already skips empty/null arrays); merged, not overwritten, so user
+    # exclusions survive.
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        existing = ""
+    if rule not in existing.split(","):
+        merged = f"{existing},{rule}" if existing else rule
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     return spark
 
 

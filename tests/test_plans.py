@@ -87,3 +87,27 @@ def test_embedding_pairs_lsh_keyed(spark, sf_dir):
     assert any("band_bits" in ln for ln in join_lines), (
         "pair join must include band_bits in its equi-join keys"
     )
+
+
+def test_no_inferred_generate_filter_in_scan_stage(spark, sf_dir):
+    """InferFiltersFromGenerate must stay excluded (session.configure):
+    it inlines the whole shingle HOF chain as an inferred filter BELOW the
+    fanout repartition, serializing it into the narrow scan stage
+    (measured 24s vs 1.4s on the sf0.1 band build)."""
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    assert "InferFiltersFromGenerate" in excluded
+    from redis_streams_spark.operators.dedup import shingle_sets, band_rows_from_sets
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_str(band_rows_from_sets(shingle_sets(docs, 3)))
+    # the scan-side filter (below the exchange) must not mention the
+    # tokenizer; find the Scan block and check no filter above it inlines
+    # a split() of the text column
+    scan_idx = plan.find("Scan parquet")
+    before_exchange = plan[:plan.find("REPARTITION")]
+    assert scan_idx != -1
+    assert "split(lower(text" not in before_exchange, (
+        "tokenizer expression leaked below the repartition (inferred "
+        "Generate filter pushed into the scan stage)"
+    )
