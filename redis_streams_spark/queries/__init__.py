@@ -21,6 +21,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         scale,
         similarity,
         streamsem,
