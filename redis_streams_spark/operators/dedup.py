@@ -81,22 +81,30 @@ def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
     (a*h+b) mod P permutations stay inside whole-stage codegen; the only
     shuffle is the doc_id re-aggregation of the signature.
 
-    Shape note (measured, do not "simplify"): computing the signature
-    per-row with nested higher-order functions (transform over a literal
-    coefficient array + array_min) avoids the groupBy shuffle but runs 3×
-    SLOWER end-to-end at sf0.01 — Spark evaluates HOF lambdas with
-    interpreted expression evaluation outside whole-stage codegen, so 32
-    codegen'd scalar min-aggregates beat 32 interpreted array folds even
-    paying the shuffle.  The shuffle carries (doc_id, 32×long) rows —
-    signature-sized, not document-sized — so it also scales fine.
+    Shape notes (measured at sf0.1, do not "simplify"):
+    - The permutations are computed in a PROJECTION and the aggregates are
+      plain ``min(col)``: putting ``(a*h+b) % P`` inside the 32 aggregate
+      functions made the generated aggregate code big enough that cold
+      whole-stage-codegen compile took 5.7 s vs 1.9 s projection-first
+      (warm runs identical).  The driver's bench is one-shot cold.
+    - Computing the signature per-row with nested higher-order functions
+      (transform over a coefficient array + array_min) avoids the groupBy
+      shuffle but runs 3× slower — HOF lambdas evaluate interpreted,
+      outside whole-stage codegen.  The shuffle here carries
+      (doc_id, 32×long) rows — signature-sized, not document-sized — so
+      it also scales fine.
     """
     sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
     h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
-    mins = h.groupBy("doc_id").agg(
+    perms = h.select(
+        "doc_id",
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"p{j}")
             for j, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+        ],
+    )
+    mins = perms.groupBy("doc_id").agg(
+        *[F.min(f"p{j}").alias(f"m{j}") for j in range(len(MINHASH_COEFFS))]
     )
     bands = mins.select(
         "doc_id",

@@ -16,6 +16,7 @@ def _load_all() -> None:
         cdc,
         dedup,
         multimodal,
+        pipelines,
         pyudf,
         relational,
         relational2,
