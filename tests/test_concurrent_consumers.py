@@ -43,3 +43,28 @@ def test_concurrent_consumers_disjoint(tmp_path):
     assert len(all_ids) == n  # nothing lost
     assert len(set(all_ids)) == n  # nothing double-delivered
     assert sum(1 for r in results if r) >= 2  # work actually spread
+
+
+def test_concurrent_producers_no_lost_appends(tmp_path):
+    """Concurrent producers must not lose messages or mint duplicate
+    msgids: the stream_lock serializes the meta read-modify-write the way
+    Redis serializes XADD (reference producer.py:44-49 is atomic
+    server-side)."""
+    log = StreamLog(str(tmp_path), "cp")
+    n_threads, per_thread = 8, 50
+
+    def run(t: int) -> list[str]:
+        prod = Producer(StreamLog(str(tmp_path), "cp"), "cp")
+        return [prod.add({"t": t, "i": i}) for i in range(per_thread)]
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        results = list(ex.map(run, range(n_threads)))
+
+    ids = [m for r in results for m in r]
+    total = n_threads * per_thread
+    assert len(set(ids)) == total  # unique msgids
+    assert log.count() == total  # meta counted every append
+    # every appended line is readable at its position (no clobbered meta)
+    rows = log.read_slice(0, log.count())
+    assert len(rows) == total
+    assert sorted(msgid for _, msgid, _ in rows) == sorted(ids)

@@ -111,3 +111,12 @@ def test_no_inferred_generate_filter_in_scan_stage(spark, sf_dir):
         "tokenizer expression leaked below the repartition (inferred "
         "Generate filter pushed into the scan stage)"
     )
+
+
+def test_interval_join_equi_keyed(spark, sf_dir):
+    """The stream-stream-shaped interval join must hash on user_id with
+    the time range as a residual — a nested-loop/cartesian over events
+    would be quadratic at scale."""
+    plan = plan_str(_df(spark, sf_dir, "q_interval_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
