@@ -51,10 +51,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def fanout(df: DataFrame) -> DataFrame:
-    """Spread a small-file scan across the cluster before CPU-bound array
-    work (a single parquet file under maxPartitionBytes otherwise runs
-    serially on one core)."""
+    """Spread an under-parallel scan across the cluster before CPU-bound
+    array work (a single parquet file under maxPartitionBytes otherwise
+    runs serially on one core).
+
+    Conditional: at 100 TB the scan already has thousands of splits and an
+    unconditional repartition would be a pointless full-corpus shuffle of
+    the text column — so the rebalance only happens when the scan has
+    fewer partitions than the cluster has cores.  Inspecting the
+    partition count triggers physical planning only, no job."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
     return df.repartition(par)
 
 

@@ -186,6 +186,72 @@ def embedding_neighbor_pairs(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic distributed KMeans (Lloyd) over the embedding column:
+    seeds = the first ``k`` vec_ids, similarity = 6dp-rounded cosine
+    (argmax, ties to the lower centroid id), centroid rebuild = per-dim
+    average rounded to 6 dp, a FIXED number of iterations.  Every step is
+    deterministic and engine-agnostic, so the whole iterative algorithm is
+    oracle-checkable — not just rows-only.
+
+    Scale shape: centroids are k tiny rows (broadcast); assignment is a
+    map-side argmax over the broadcast (the classic distributed-KMeans
+    plan); the rebuild distributes over (cid, dim) so wide vectors
+    parallelize across dims too.  Returns (vec_id, cluster_id, cosine)
+    for the final assignment."""
+    e = as_double_vec(emb).select("vec_id", "v", "norm")
+    cent = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    assign = None
+    for _ in range(iters):
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "norm",
+            "cid",
+            cosine(F.col("v"), F.col("norm"), F.col("cv"), F.col("cnorm")).alias(
+                "cosine"
+            ),
+        )
+        warg = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "cid")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(warg))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "norm", "cid", "cosine")
+        )
+        by_dim = (
+            assign.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(rnd(F.avg("val"), 6).alias("cval"))
+        )
+        cent = (
+            by_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        )
+    # final assignment against the last rebuilt centroids
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("v"), F.col("norm"), F.col("cv"), F.col("cnorm")).alias("cosine"),
+    )
+    warg = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(warg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "cosine")
+        .orderBy("vec_id")
+    )
+
+
 def signlsh_signature(v, n_planes: int = 16):
     """Sign-LSH signature: bit p = sign(<v, w_p>) with pseudo-random
     hyperplanes w_p derived deterministically from md5 of (plane, dim) —

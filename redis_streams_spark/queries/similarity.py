@@ -227,3 +227,65 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, k=10, query_mod=25, n_planes=16, bands=4).select(
         "query_id", "cand_id", "cosine", "rank"
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations as a CTE chain mirroring
+    operators.similarity.kmeans_assign exactly (seeds, 6dp-rounded cosine
+    argmax with cid tiebreak, 6dp-rounded per-dim centroid rebuild)."""
+    parts = [
+        f"WITH {_E_CTE}",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        cos = _cos("e.v", "e.norm", "c.cv", "c.cnorm")
+        parts.append(
+            f"""asg{i + 1} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM e CROSS JOIN cent{i} c) t
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""bd{i + 1} AS (
+  SELECT cid, dim, round(5e-10 + avg(val), 6) AS cval
+  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+        FROM asg{i + 1}) t
+  GROUP BY cid, dim)"""
+        )
+        parts.append(
+            f"""cent{i + 1} AS (
+  SELECT cid, cv,
+         sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cnorm
+  FROM (SELECT cid, list(cval ORDER BY dim) AS cv FROM bd{i + 1} GROUP BY cid) t)"""
+        )
+    final_cos = _cos("e.v", "e.norm", "c.cv", "c.cnorm")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id, cid AS cluster_id, cosine
+FROM (
+  SELECT e.vec_id, c.cid, {final_cos} AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {final_cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN cent{iters} c) t
+WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+
+
+@register("sim_kmeans_clusters", tags=("similarity", "clustering", "iterative"), oracle=_kmeans_oracle())
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed KMeans (2 Lloyd rounds, 8 seeded
+    centroids, cosine argmax) — an ITERATIVE algorithm verified value-
+    exact against an unrolled SQL oracle: fixed seeds, fixed rounds, and
+    6dp rounding at every step make both engines converge identically.
+    Scale: broadcast centroids, map-side argmax, (cid, dim)-distributed
+    rebuild."""
+    from redis_streams_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2)
