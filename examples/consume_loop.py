@@ -11,8 +11,11 @@ Run: python examples/consume_loop.py [workdir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from redis_streams_spark.sources.stream_log import StreamLog
 from redis_streams_spark.streaming import Consumer, Monitor, Producer, Scaler

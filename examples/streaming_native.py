@@ -8,7 +8,11 @@ Run: python examples/streaming_native.py
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

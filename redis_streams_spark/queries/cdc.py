@@ -126,3 +126,42 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
         rnd(100.0 * F.count(F.lit(1)) / F.lit(total), 4).alias("sample_pct"),
     )
+
+
+@register(
+    "q_hash_sample_join",
+    tags=("sampling", "join"),
+    oracle=f"""
+WITH so AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE {h32_sql("o_orderkey::VARCHAR")} % 100 < 10
+), sl AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem
+  WHERE {h32_sql("l_orderkey::VARCHAR")} % 100 < 10
+)
+SELECT count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       count(*) AS n_lines,
+       round(5e-10 + sum(l_extendedprice), 2) AS line_value
+FROM so JOIN sl ON o_orderkey = l_orderkey
+""",
+)
+def q_hash_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of key-hash sampling (vs RNG TABLESAMPLE): two tables
+    sampled INDEPENDENTLY on the same key stay joinable — every sampled
+    order keeps ALL its sampled lineitems, because membership depends
+    only on h32(orderkey).  A 10% row sample of each side would keep
+    ~1% of pairs; this keeps 10% of complete order groups."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        h32(F.col("o_orderkey").cast("string")) % 100 < 10
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        h32(F.col("l_orderkey").cast("string")) % 100 < 10
+    )
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            rnd(F.sum("l_extendedprice"), 2).alias("line_value"),
+        )
+    )
