@@ -31,10 +31,19 @@ def main() -> None:
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # warm-up: JVM, codegen, parquet reader path (footer + column readers)
+    # warm-up: JVM, codegen, parquet reader path (footer + column readers),
+    # and the operator infrastructure the headline queries share (window
+    # exec, hash agg, exchange, md5/regexp expressions) — warm-up work is
+    # excluded from every timing below
     from redis_streams_spark.session import load_table
 
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.sql(
+        "SELECT id % 7 AS k, count(*), sum(id), "
+        "row_number() OVER (PARTITION BY id % 7 ORDER BY id) AS rn, "
+        "md5(cast(id AS string)) AS h "
+        "FROM range(10000) GROUP BY id, k"
+    ).write.format("noop").mode("overwrite").save()
     for t in ("lineitem", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).limit(10).collect()
 
