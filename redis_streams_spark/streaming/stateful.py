@@ -57,3 +57,74 @@ def running_totals(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf (the state-server
+    protocol); absent/broken in some environments — gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Same running-totals semantics on the Spark 4 successor API,
+    ``transformWithStateInPandas``: typed per-key ValueState managed by a
+    StatefulProcessor (the API that adds state TTL, timers, and multiple
+    state variables per key — here just one ValueState so the two
+    implementations are directly comparable).
+
+    Requires google.protobuf at runtime (check :func:`tws_available`);
+    the applyInPandasWithState implementation above is the portable path.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf; "
+            "use running_totals() (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    value_col_ = value_col
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total_rows bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total_rows, total_value = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            batch_rows = 0
+            for pdf in rows:
+                batch_rows += len(pdf)
+                total_rows += len(pdf)
+                total_value += float(pdf[value_col_].astype(float).sum())
+            self._totals.update((total_rows, total_value))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "batch_rows": [batch_rows],
+                    "total_rows": [total_rows],
+                    "total_value": [round(total_value, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

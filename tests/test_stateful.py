@@ -43,3 +43,49 @@ def test_running_totals_across_batches(spark, tmp_path):
     a_updates = [r.total_rows for r in rows if r.key == "a"]
     assert len(a_updates) >= 2  # state carried across batches
     assert a_updates == sorted(a_updates)
+
+
+def test_running_totals_tws_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) carries the
+    same per-key totals across micro-batches as the
+    applyInPandasWithState implementation.  Skipped where google.protobuf
+    (the TWS state-server protocol dependency) is unavailable."""
+    import pytest
+
+    from redis_streams_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState gated off")
+
+    log = StreamLog(str(tmp_path), "tws")
+    prod = Producer(log, "tws")
+    for i in range(30):
+        prod.add({"event_type": ["a", "b"][i % 2], "value": 1.5})
+
+    src = open_stream(spark, str(tmp_path), "tws", group="tws", batch_size=10)
+    typed = project(src, {"event_type": "string", "value": "double"})
+    out = running_totals_tws(typed, key_col="event_type", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_out ORDER BY total_rows").collect()
+    finally:
+        q.stop()
+    finals = {}
+    for r in rows:
+        finals[r.key] = (r.total_rows, r.total_value)
+    assert finals["a"] == (15, 22.5)
+    assert finals["b"] == (15, 22.5)
+    a_updates = [r.total_rows for r in rows if r.key == "a"]
+    assert len(a_updates) >= 2
+    assert a_updates == sorted(a_updates)
