@@ -377,3 +377,84 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_rounds: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same (node, cluster_id=component min) contract as
+    :func:`connected_components`, but converging in O(log n) rounds
+    REGARDLESS of component diameter, vs O(diameter) for min-label
+    propagation.  This is the adversarial-diameter upgrade path the
+    min-label docstring references: use it when near-dup clusters can
+    chain (e.g. template drift across a crawl).
+
+    Per round, both stars are pure join+agg — no collect_list, no driver
+    data:
+    - large-star: m(u) = min over Γ(u) ∪ {u}; every LARGER neighbor of u
+      re-points to m(u).
+    - small-star: on canonical (u → smaller v) edges, every smaller
+      neighbor and u itself point to the minimum.
+    Terminates when the canonical edge set stops changing (checked with
+    an except().limit(1) probe, a scalar — not a materialization).
+    """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
+    raw = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # node universe (kept so self-pair singletons survive the u≠v filter)
+    nodes = ckpt(
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = ckpt(raw.where(F.col("u") != F.col("v")).distinct())
+    for _ in range(max_rounds):
+        # -- large-star ------------------------------------------------
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star ------------------------------------------------
+        canon = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = canon.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            canon.join(smins, "u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(smins.select(F.col("u").alias("n"), "m"))
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        nxt = ckpt(ss)
+        progressed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if progressed == 0:
+            break
+    # converged: every edge is (node → component root); roots and
+    # singletons label themselves
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    )

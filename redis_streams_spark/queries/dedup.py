@@ -225,10 +225,7 @@ norms AS MATERIALIZED (
 )"""
 
 
-@register(
-    "dedup_clusters",
-    tags=("dedup", "clusters"),
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_NGRAM_EDGES_SQL},
 sym AS MATERIALIZED (
   SELECT a_id AS a, b_id AS b FROM edges
@@ -245,7 +242,13 @@ SELECT node AS doc_id, cluster_id,
        node = cluster_id AS is_canonical
 FROM comp
 ORDER BY doc_id
-""",
+"""
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "clusters"),
+    oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: n-gram-Jaccard pairs (≥0.4, same source
@@ -260,6 +263,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, n=4, bucket_col="source", threshold=0.4)
     comp = connected_components(edges.select("a_id", "b_id"))
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1))
+            .over(W.partitionBy("cluster_id"))
+            .alias("cluster_size"),
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_clusters_star",
+    tags=("dedup", "clusters", "iterative"),
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical clusters to dedup_clusters, computed by the alternating
+    large-star/small-star contraction instead of min-label propagation —
+    O(log n) rounds regardless of component diameter, the shape that
+    survives adversarial near-dup chains (template drift across a crawl)
+    at 100 TB.  Same recursive-reachability oracle: both algorithms must
+    produce the same components."""
+    from pyspark.sql import Window as W
+
+    from redis_streams_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=4, bucket_col="source", threshold=0.4)
+    comp = connected_components_star(edges.select("a_id", "b_id"))
     return (
         comp.select(
             F.col("node").alias("doc_id"),

@@ -34,3 +34,29 @@ def test_connected_components_checkpoint_modes(spark, reliable):
     out = connected_components(edges, reliable_checkpoint=reliable)
     got = {r["node"]: r["cluster_id"] for r in out.collect()}
     assert got == EXPECTED
+
+
+def test_star_cc_matches_propagation(spark):
+    """Alternating-star CC returns identical clusters to min-label
+    propagation on the shared fixture."""
+    from redis_streams_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(EDGES, "a_id bigint, b_id bigint")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_star_cc_long_chain_few_rounds(spark):
+    """A 60-node chain (diameter 60) must resolve within far fewer star
+    rounds than its diameter — the O(log n) property that makes the star
+    variant the adversarial-diameter scale path."""
+    from redis_streams_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    edges = spark.createDataFrame(chain, "a_id bigint, b_id bigint")
+    out = connected_components_star(edges, max_rounds=8)
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(61)}
