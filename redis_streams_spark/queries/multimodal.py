@@ -150,3 +150,52 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             frame_sample_indices(F.col("n_frames")).cast("array<string>"), ","
         ).alias("frame_idx"),
     ).orderBy("doc_id")
+
+
+@register(
+    "mm_binary_dedup",
+    tags=("multimodal", "dedup"),
+    oracle="""
+WITH blobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS checksum  -- VARCHAR md5 hashes the UTF-8 bytes =
+                                -- Spark's md5(encode(text,'UTF-8'))
+  FROM documents
+), groups AS (
+  SELECT doc_id, modality, checksum,
+         count(*) OVER (PARTITION BY checksum) AS n_copies,
+         row_number() OVER (PARTITION BY checksum ORDER BY doc_id) = 1
+           AS is_canonical
+  FROM blobs
+)
+SELECT modality,
+       count(*) AS n_assets,
+       sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS n_unique,
+       sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS n_dropped
+FROM groups GROUP BY modality ORDER BY modality
+""",
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level exact dedup over the BINARY payload (checksum-keyed,
+    the standard image/audio asset dedup): identical payloads collapse to
+    one canonical asset per md5.  The shuffle carries 32-byte digests —
+    the multi-gigabyte payload column never moves, and is pruned from
+    the scan entirely because only its checksum is projected."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs).select("doc_id", "modality", F.md5("payload").alias("checksum"))
+    w = W.partitionBy("checksum").orderBy("doc_id")
+    groups = blobs.withColumn("is_canonical", F.row_number().over(w) == 1)
+    return (
+        groups.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_unique"),
+            F.sum((~F.col("is_canonical")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("modality")
+    )
