@@ -91,14 +91,25 @@ class StreamLog:
         (append/trim).  Redis XADD is atomic server-side; without this,
         two concurrent producers both read appended=N and one message
         becomes permanently invisible (meta undercount) or duplicate
-        msgids get minted from a clobbered last_ms/last_seq."""
-        lock_path = os.path.join(self.dir, "stream.lock")
-        with open(lock_path, "w") as f:
-            fcntl.flock(f, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(f, fcntl.LOCK_UN)
+        msgids get minted from a clobbered last_ms/last_seq.
+
+        The lock-file handle is cached per (instance, thread) — reopening
+        per append measurably halves single-message producer throughput.
+        flock excludes per open-file-description, so the cache must be
+        thread-local: two threads sharing one fd would both "hold" the
+        lock; with per-thread fds, threads, instances, and processes all
+        exclude each other correctly."""
+        tl = getattr(self, "_lock_tl", None)
+        if tl is None:
+            tl = self._lock_tl = threading.local()
+        f = getattr(tl, "f", None)
+        if f is None or f.closed:
+            f = tl.f = open(os.path.join(self.dir, "stream.lock"), "w")
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
     def append(self, content: dict, maxlen: int | None = None) -> str:
         """Append one message; returns its msgid.  With ``maxlen`` the log
