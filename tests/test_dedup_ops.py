@@ -60,3 +60,51 @@ def test_star_cc_long_chain_few_rounds(spark):
     out = connected_components_star(edges, max_rounds=8)
     got = {r["node"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_cc_algorithms_agree_with_union_find(spark, seed):
+    """Both CC implementations must match a Python union-find reference
+    on random graphs (fixed seeds): two independent distributed
+    algorithms and a sequential oracle triangulate each other."""
+    import random
+
+    from redis_streams_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(seed)
+    n_nodes, n_edges = 40, 35
+    pairs = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    touched = {x for ab in pairs for x in ab}
+    # canonical label = min node of the component, over touched nodes only
+    comp_min = {}
+    for x in touched:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    edges = spark.createDataFrame(pairs, "a_id bigint, b_id bigint")
+    got_prop = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    got_star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got_prop == expected
+    assert got_star == expected
