@@ -142,7 +142,11 @@ def embedding_neighbor_pairs(
     exact re-score keeps verification honest."""
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    # signature build is reused by the band rows AND both verify sides
+    # signature build is reused by the band rows AND both verify sides.
+    # Cache lifecycle: the persist lives until the session evicts it (LRU)
+    # or the caller unpersists — acceptable for one-shot query runs; a
+    # long-lived service should write the signature table out instead of
+    # caching it (same note as minhash_lsh_pairs' shingle persist).
     e = (
         as_double_vec(emb)
         .withColumn("sig", signlsh_signature(F.col("v"), n_planes))
@@ -205,7 +209,6 @@ def kmeans_assign(
     cent = e.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    assign = None
     for _ in range(iters):
         scored = e.crossJoin(F.broadcast(cent)).select(
             "vec_id",

@@ -182,12 +182,13 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-level exact dedup over the BINARY payload (checksum-keyed,
     the standard image/audio asset dedup): identical payloads collapse to
     one canonical asset per md5.  The shuffle carries 32-byte digests —
-    the multi-gigabyte payload column never moves, and is pruned from
-    the scan entirely because only its checksum is projected."""
+    the multi-gigabyte payload column never moves; the ingest-time
+    ``checksum`` column from attach_blob is reused rather than re-hashing
+    the payload (at real scale the checksum is computed once at ingest)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    blobs = attach_blob(docs).select("doc_id", "modality", F.md5("payload").alias("checksum"))
+    blobs = attach_blob(docs).select("doc_id", "modality", "checksum")
     w = W.partitionBy("checksum").orderBy("doc_id")
     groups = blobs.withColumn("is_canonical", F.row_number().over(w) == 1)
     return (

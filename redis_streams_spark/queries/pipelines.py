@@ -19,11 +19,10 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.hashing import h32, h32_sql
 from redis_streams_spark.functions.textfns import PUNCT_RE, words, words_sql
-from redis_streams_spark.operators.dedup import NORM_RE, normalized_text
+from redis_streams_spark.operators.dedup import normalized_text
 from redis_streams_spark.queries.base import register
+from redis_streams_spark.queries.dedup import _NORM_SQL
 from redis_streams_spark.session import load_table
-
-_NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
 
 MIN_WORDS = 20
 MAX_PUNCT_RATIO = 0.1

@@ -141,35 +141,41 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "scalar-subquery"),
     oracle="""
 WITH v AS (
-  SELECT s_nationkey, sum(l_extendedprice * l_quantity) AS val
+  SELECT s_nationkey, round(5e-10 + sum(l_extendedprice * l_quantity), 2) AS val
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_nationkey
 )
-SELECT n_name, round(5e-10 + val, 2) AS value
+SELECT n_name, val AS value
 FROM v JOIN nation ON s_nationkey = n_nationkey
-WHERE val > (SELECT sum(val) * 0.09 FROM v)
+WHERE val > (SELECT round(5e-10 + sum(val) * 0.09, 2) FROM v)
 ORDER BY value DESC, n_name
 """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: group value filtered against a global-total scalar
     subquery (HAVING share > fraction).  partsupp stand-in: supplier-keyed
-    lineitem value.  Scale: the scalar global total is a 1-row broadcast
-    cross join, not a driver collect; the per-nation agg is partial+final."""
+    lineitem value.  Both comparison operands are rounded to 2 dp BEFORE
+    the filter so the engines compare identical decimals — comparing raw
+    double sums is order-dependent at the ulp level and can flip row
+    membership across engines (same convention as q15's max).  Scale: the
+    scalar global total is a 1-row broadcast cross join, not a driver
+    collect; the per-nation agg is partial+final."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     v = (
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("val")
+        )
     )
-    total = v.agg((F.sum("val") * 0.09).alias("threshold"))
+    total = v.agg(rnd(F.sum("val") * 0.09, 2).alias("threshold"))
     return (
         v.crossJoin(F.broadcast(total))
         .where(F.col("val") > F.col("threshold"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("n_name", rnd(F.col("val"), 2).alias("value"))
+        .select("n_name", F.col("val").alias("value"))
         .orderBy(F.desc("value"), "n_name")
     )
 

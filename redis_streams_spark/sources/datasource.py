@@ -239,7 +239,12 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
             with open(msg.staging_path) as f:
                 rows.extend(json.loads(line) for line in f)
             os.remove(msg.staging_path)
-        log.append_many(rows, maxlen=self.maxlen)
+        if rows:
+            log.append_many(rows, maxlen=self.maxlen)
+        elif self.maxlen is not None:
+            # empty epoch still re-enforces retention (another writer may
+            # have grown the stream past maxlen since the last batch)
+            log.trim(self.maxlen)
         with open(marker, "w") as f:
             f.write("ok")
 

@@ -57,7 +57,23 @@ class StreamLog:
         self.log_path = os.path.join(self.dir, "log.jsonl")
         self.meta_path = os.path.join(self.dir, "meta.json")
         self.groups_dir = os.path.join(self.dir, "groups")
+        # created eagerly: a lazy check-then-set in stream_lock() would let
+        # racing threads clobber each other's threading.local and leak fds
+        self._lock_tl = threading.local()
         os.makedirs(self.groups_dir, exist_ok=True)
+
+    # threading.local (and any cached lock fd / offset index) cannot and
+    # must not cross a pickle boundary — DataSource partitions serialize
+    # StreamLog to executors; each deserialized copy gets fresh locals
+    def __getstate__(self) -> dict:
+        state = self.__dict__.copy()
+        for k in ("_lock_tl", "_offset_index", "_index_first"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._lock_tl = threading.local()
 
     # -- meta ------------------------------------------------------------
     def _meta(self) -> dict:
@@ -99,9 +115,7 @@ class StreamLog:
         thread-local: two threads sharing one fd would both "hold" the
         lock; with per-thread fds, threads, instances, and processes all
         exclude each other correctly."""
-        tl = getattr(self, "_lock_tl", None)
-        if tl is None:
-            tl = self._lock_tl = threading.local()
+        tl = self._lock_tl
         f = getattr(tl, "f", None)
         if f is None or f.closed:
             f = tl.f = open(os.path.join(self.dir, "stream.lock"), "w")

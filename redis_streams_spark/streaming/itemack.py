@@ -49,16 +49,19 @@ class ItemAckLog:
         """Drop acks for msgids at positions below the commit frontier.
 
         Runs through update_group so the read-modify-write holds the group
-        lock — a concurrent ack() or reader commit() must not be lost."""
-        keep_ids = {
-            msgid
-            for _, msgid, _ in self.log.read_slice(pos, self.log.count())
-        }
+        lock — and keep_ids is computed INSIDE the mutator: snapshotting
+        the log before taking the lock would race a concurrent append+ack
+        (the new msgid would be absent from the stale snapshot and its ack
+        silently pruned)."""
 
         def prune(state: dict) -> None:
             acks = set(state.get("item_acks", []))
             if not acks:
                 return
+            keep_ids = {
+                msgid
+                for _, msgid, _ in self.log.read_slice(pos, self.log.count())
+            }
             pruned = sorted(acks & keep_ids)
             if pruned != state.get("item_acks", []):
                 state["item_acks"] = pruned

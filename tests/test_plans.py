@@ -104,9 +104,13 @@ def test_no_inferred_generate_filter_in_scan_stage(spark, sf_dir):
     # the scan-side filter (below the exchange) must not mention the
     # tokenizer; find the Scan block and check no filter above it inlines
     # a split() of the text column
-    scan_idx = plan.find("Scan parquet")
-    before_exchange = plan[:plan.find("REPARTITION")]
-    assert scan_idx != -1
+    assert plan.find("Scan parquet") != -1
+    rep_idx = plan.find("REPARTITION")
+    if rep_idx == -1:
+        # conditional fanout() skipped the rebalance (scan already has
+        # >= core-count partitions) — no exchange to leak below
+        return
+    before_exchange = plan[:rep_idx]
     assert "split(lower(text" not in before_exchange, (
         "tokenizer expression leaked below the repartition (inferred "
         "Generate filter pushed into the scan stage)"
