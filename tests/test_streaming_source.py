@@ -207,3 +207,71 @@ def test_batch_writer_roundtrip(spark, tmp_path, sf_dir):
         .count()
         == 3
     )
+
+
+def test_stream_writer_commit_replay_idempotent(tmp_path):
+    """A replayed epoch commit (same batchId after a driver failure) must
+    not double-append: the batch marker makes the second commit a no-op."""
+    import json as _json
+    import os as _os
+
+    from redis_streams_spark.sources.datasource import (
+        RedisLogStreamWriter,
+        StagedCommit,
+    )
+    from redis_streams_spark.sources.stream_log import StreamLog
+
+    root = str(tmp_path)
+    writer = RedisLogStreamWriter({"path": root, "stream": "rw"})
+
+    def stage(rows):
+        d = _os.path.join(root, "rw", "staging")
+        _os.makedirs(d, exist_ok=True)
+        p = _os.path.join(d, "s1.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        return StagedCommit(staging_path=p, n_rows=len(rows))
+
+    writer.commit([stage([{"k": "1"}, {"k": "2"}])], batchId=7)
+    log = StreamLog(root, "rw")
+    assert log.xlen() == 2
+    # replay of the SAME epoch (fresh staging file, same batchId)
+    writer.commit([stage([{"k": "1"}, {"k": "2"}])], batchId=7)
+    assert log.xlen() == 2  # idempotent — no double append
+    # next epoch appends normally
+    writer.commit([stage([{"k": "3"}])], batchId=8)
+    assert log.xlen() == 3
+
+
+def test_union_of_two_stream_sources(spark, tmp_path):
+    """Two redislog streams compose with plain DataFrame union — the
+    multi-stream ingestion shape (per-topic logs unioned into one
+    pipeline)."""
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+
+    for name, vals in (("s_a", [1, 2]), ("s_b", [3])):
+        prod = Producer(StreamLog(str(tmp_path), name), name)
+        for v in vals:
+            prod.add({"v": v})
+
+    a = open_stream(spark, str(tmp_path), "s_a", group="u", batch_size=10)
+    b = open_stream(spark, str(tmp_path), "s_b", group="u", batch_size=10)
+    q = (
+        a.unionByName(b)
+        .writeStream.format("memory")
+        .queryName("union_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    vals = sorted(
+        r.content["v"] for r in spark.sql("SELECT * FROM union_out").collect()
+    )
+    assert vals == ["1", "2", "3"]
