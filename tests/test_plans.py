@@ -124,3 +124,56 @@ def test_interval_join_equi_keyed(spark, sf_dir):
     plan = plan_str(_df(spark, sf_dir, "q_interval_join"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries where a nested-loop join IS the right plan: a broadcast of a
+# 1-row scalar (thresholds, global aggregates) or a tiny frame (centroid
+# table, stream-state rows, the exhaustive-baseline query set).
+_BNLJ_OK = {
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "q_eviction_plan",
+    "q_monitor_status",
+    "q_pending_entries",
+    "q_scaler_decision",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_clusters",
+}
+# Queries whose point is the Python execution surface.
+_PYTHON_OK = {
+    "q_pandas_udf_norm",
+    "q_pandas_udaf",
+    "q_udtf_bigrams",
+    "q_cogroup_reconcile",
+    "mm_decode_features",
+}
+
+
+def test_all_query_plans_clean(spark, sf_dir):
+    """Fleet-wide plan gate over every registered query: no cartesian
+    products anywhere, nested-loop joins only where a scalar/tiny
+    broadcast makes them the right plan, Python evaluation only in the
+    declared Python-surface queries."""
+    problems = []
+    for name, spec in all_queries().items():
+        plan = plan_str(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        py_marks = [
+            m
+            for m in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "CoGroup",
+            )
+            if m in plan
+        ]
+        if py_marks and name not in _PYTHON_OK:
+            problems.append(f"{name}: unexpected Python path {py_marks}")
+    assert not problems, "\n".join(problems)
