@@ -454,3 +454,51 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_datetime_gallery",
+    tags=("scalar", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)    AS yr,
+       month(o_orderdate)   AS mth,
+       quarter(o_orderdate) AS qtr,
+       day(o_orderdate)     AS dom,
+       isodow(o_orderdate) - 1 AS wd,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_epoch_95,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS eom,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+)
+def q_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar gallery: extraction (year/month/quarter/day/
+    weekday), truncation, date arithmetic, day difference, end-of-month,
+    and formatting — all pure projections that stay in whole-stage
+    codegen.  Date-typed results are rendered as strings so both engines
+    emit identical values (weekday normalized to Monday=0 on both)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year(d).cast("long").alias("yr"),
+            F.month(d).cast("long").alias("mth"),
+            F.quarter(d).cast("long").alias("qtr"),
+            F.dayofmonth(d).cast("long").alias("dom"),
+            F.weekday(d).cast("long").alias("wd"),
+            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.date_add(F.to_date(d), 30), "yyyy-MM-dd").alias("plus30"),
+            F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_epoch_95"),
+            F.date_format(F.last_day(F.to_date(d)), "yyyy-MM-dd").alias("eom"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
