@@ -22,6 +22,14 @@ This is the test/reference implementation of the storage contract; at
 manifest (meta.json generalizes to a manifest of sealed segments, and
 read_slice becomes a segment-range scan).  All group-state mutations go
 through atomic write-replace so concurrent readers never see torn JSON.
+
+Locking honesty: the advisory flocks assume a POSIX-coherent filesystem
+(local disk, or a shared FS with working byte-range locks).  NFS flock
+semantics vary by mount options, and object stores have no flock at all
+— an object-store deployment replaces both locks with conditional-put
+(compare-and-swap on the manifest/group-state etag), which the
+update_group(mutator) API is shaped for: the mutator re-runs on a CAS
+conflict.
 """
 
 from __future__ import annotations
