@@ -289,3 +289,89 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, iters=2)
+
+
+def _recall_oracle() -> str:
+    """Compose the already-registered brute-force / IVF / LSH oracles as
+    CTEs and measure top-10 overlap — recall@10 of each ANN path against
+    the exact baseline, computed identically on both engines."""
+    from redis_streams_spark.queries.base import REGISTRY
+
+    bf = REGISTRY["sim_bruteforce_topk"].oracle
+    ivf = REGISTRY["sim_ivf_topk"].oracle
+    lsh = REGISTRY["sim_lsh_topk"].oracle
+    return f"""
+WITH bf AS ({bf}),
+ivf AS ({ivf}),
+lsh AS ({lsh})
+SELECT round(5e-10 + count(DISTINCT (i.query_id, i.cand_id)) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS ivf_recall_at_10,
+       round(5e-10 + (SELECT count(*) FROM bf b JOIN lsh l
+                      ON b.query_id = l.query_id AND b.cand_id = l.cand_id) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS lsh_recall_at_10,
+       (SELECT count(DISTINCT query_id) FROM bf) AS n_queries
+FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+"""
+
+
+@register("sim_recall_report", tags=("similarity", "ann", "quality"), oracle=_recall_oracle())
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN scale paths (IVF 2-probe, sign-LSH) against
+    the exact brute-force baseline — the accuracy/cost dial made
+    measurable and hash-verified (deterministic tie-breaks make the top-k
+    sets identical on both engines).  At scale this is the query you run
+    on a sample to tune n_probe / bands before committing to a sweep."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bf feeds three comparisons — cache it; fuse the per-path hit counts
+    # into ONE job via a labeled union so the whole report is 2 actions
+    bf = (
+        brute_force_topk(emb, k=10, query_mod=25)
+        .select("query_id", "cand_id")
+        .persist()
+    )
+    labeled = (
+        ivf_topk(emb, k=10, query_mod=25)
+        .select("query_id", "cand_id")
+        .withColumn("path", F.lit("ivf"))
+        .unionByName(
+            lsh_topk(emb, k=10, query_mod=25)
+            .select("query_id", "cand_id")
+            .withColumn("path", F.lit("lsh"))
+        )
+    )
+    hits = {
+        r["path"]: r["hits"]
+        for r in bf.join(labeled, ["query_id", "cand_id"])
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    }
+    totals = bf.agg(
+        F.count(F.lit(1)).alias("n_bf"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).collect()[0]
+    bf.unpersist()
+    from redis_streams_spark.functions.rounding import rnd
+
+    return spark.createDataFrame(
+        [
+            (
+                hits.get("ivf", 0) * 1.0 / totals["n_bf"],
+                hits.get("lsh", 0) * 1.0 / totals["n_bf"],
+                totals["n_queries"],
+            )
+        ],
+        "ivf_recall_at_10 double, lsh_recall_at_10 double, n_queries bigint",
+    ).select(
+        rnd(F.col("ivf_recall_at_10"), 4).alias("ivf_recall_at_10"),
+        rnd(F.col("lsh_recall_at_10"), 4).alias("lsh_recall_at_10"),
+        "n_queries",
+    )
