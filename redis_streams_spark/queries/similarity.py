@@ -329,9 +329,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_topk,
     )
 
+    from redis_streams_spark.functions.rounding import rnd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # bf feeds three comparisons — cache it; fuse the per-path hit counts
-    # into ONE job via a labeled union so the whole report is 2 actions
+    # fully LAZY (like every other registered query — callers may build
+    # the plan without executing it): the baseline feeds three branches,
+    # so it is persisted (materialized on first action, reused by the
+    # rest); both per-path hit counts fuse into one labeled-union
+    # aggregate, and the final row is a crossJoin of two 1-row aggregates
     bf = (
         brute_force_topk(emb, k=10, query_mod=25)
         .select("query_id", "cand_id")
@@ -347,31 +352,23 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("path", F.lit("lsh"))
         )
     )
-    hits = {
-        r["path"]: r["hits"]
-        for r in bf.join(labeled, ["query_id", "cand_id"])
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .collect()
-    }
+    hits = (
+        bf.join(labeled, ["query_id", "cand_id"])
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("path") == "ivf", 1)), F.lit(0)
+            ).alias("ivf_hits"),
+            F.coalesce(
+                F.sum(F.when(F.col("path") == "lsh", 1)), F.lit(0)
+            ).alias("lsh_hits"),
+        )
+    )
     totals = bf.agg(
         F.count(F.lit(1)).alias("n_bf"),
         F.count_distinct("query_id").alias("n_queries"),
-    ).collect()[0]
-    bf.unpersist()
-    from redis_streams_spark.functions.rounding import rnd
-
-    return spark.createDataFrame(
-        [
-            (
-                hits.get("ivf", 0) * 1.0 / totals["n_bf"],
-                hits.get("lsh", 0) * 1.0 / totals["n_bf"],
-                totals["n_queries"],
-            )
-        ],
-        "ivf_recall_at_10 double, lsh_recall_at_10 double, n_queries bigint",
-    ).select(
-        rnd(F.col("ivf_recall_at_10"), 4).alias("ivf_recall_at_10"),
-        rnd(F.col("lsh_recall_at_10"), 4).alias("lsh_recall_at_10"),
+    )
+    return totals.crossJoin(hits).select(
+        rnd(F.col("ivf_hits") * 1.0 / F.col("n_bf"), 4).alias("ivf_recall_at_10"),
+        rnd(F.col("lsh_hits") * 1.0 / F.col("n_bf"), 4).alias("lsh_recall_at_10"),
         "n_queries",
     )

@@ -140,6 +140,7 @@ _BNLJ_OK = {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_kmeans_clusters",
+    "sim_recall_report",  # crossJoin of two 1-row aggregates
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
@@ -155,7 +156,12 @@ def test_all_query_plans_clean(spark, sf_dir):
     """Fleet-wide plan gate over every registered query: no cartesian
     products anywhere, nested-loop joins only where a scalar/tiny
     broadcast makes them the right plan, Python evaluation only in the
-    declared Python-surface queries."""
+    declared Python-surface queries.
+
+    Known blind spot: the two dedup_clusters* queries checkpoint inside
+    their iterations, so the returned plan is truncated at the checkpoint
+    scan — their per-round join shapes are covered separately by
+    tests/test_dedup_ops.py's union-find triangulation instead."""
     problems = []
     for name, spec in all_queries().items():
         plan = plan_str(spec.fn(spark, sf_dir))

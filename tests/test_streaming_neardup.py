@@ -37,19 +37,24 @@ def test_streaming_neardup_flags_later_arrivals(spark, tmp_path):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
+    FRESH = (
+        "a totally new paragraph describing watermark propagation through "
+        "stateful operators and the role of event time in window eviction"
+    )
     try:
         q.processAllAvailable()
         assert nd.flagged().count() == 0  # nothing to collide with yet
-        # later arrivals: a near-dup of doc 1 and a fresh unrelated doc
+        # later arrivals IN ONE BATCH: a near-dup of doc 1, and a
+        # same-batch identical pair (5, 6)
         prod.add({"doc_id": 3, "text": VARIANT})
-        prod.add({"doc_id": 4, "text": OTHER + " plus some extra tail words"})
+        prod.add({"doc_id": 5, "text": FRESH})
+        prod.add({"doc_id": 6, "text": FRESH})
         q.processAllAvailable()
     finally:
         q.stop()
 
     flags = {r.doc_id: r.n_collisions for r in nd.flagged().collect()}
-    assert 3 in flags and flags[3] >= 1  # variant collides with doc 1
-    # doc 4 shares most of OTHER's text -> may or may not band-collide
-    # depending on shingle overlap; doc 1/2 must NOT be flagged (nothing
-    # preceded them)
-    assert 1 not in flags and 2 not in flags
+    assert 3 in flags and flags[3] >= 1  # variant collides with prior doc 1
+    assert 6 in flags and flags[6] >= 1  # same-batch copy: later id flagged
+    # doc 1/2 preceded everything; doc 5 is the EARLIER of the pair
+    assert 1 not in flags and 2 not in flags and 5 not in flags
