@@ -14,6 +14,7 @@ def _load_all() -> None:
     # import for side effect: each module populates REGISTRY
     from redis_streams_spark.queries import (  # noqa: F401
         cdc,
+        contamination,
         dedup,
         multimodal,
         pipelines,

@@ -89,6 +89,21 @@ def test_embedding_pairs_lsh_keyed(spark, sf_dir):
     )
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must be broadcast: the 100 TB corpus side
+    is membership-tested map-side, never shuffled for the join."""
+    df = _df(spark, sf_dir, "text_decontaminate")
+    assert has_broadcast_join(df)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hygiene_ops_stay_jvm_side(spark, sf_dir):
+    for name in ("text_pii_scrub", "text_repetition", "text_decontaminate"):
+        plan = plan_str(_df(spark, sf_dir, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_no_inferred_generate_filter_in_scan_stage(spark, sf_dir):
     """InferFiltersFromGenerate must stay excluded (session.configure):
     it inlines the whole shingle HOF chain as an inferred filter BELOW the
