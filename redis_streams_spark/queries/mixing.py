@@ -1,0 +1,120 @@
+"""Corpus-mixing operators: deterministic stratified sampling toward a
+target domain mixture, and per-source token budgeting.
+
+Training-data pipelines rebalance domains before tokenization: compute
+each source's token mass, then sample sources at different rates to hit a
+target mixture.  Both operators are deterministic (md5-hash gating, no
+RNG) so they carry full-value DuckDB oracles and produce identical samples
+on every engine and every run — a requirement for reproducible data
+recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32, h32_sql
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.functions.textfns import words, words_sql
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+# Equal-representation mixture: aim for ~this many docs from EVERY source
+# regardless of its raw size (sources are wildly imbalanced in real
+# corpora; the slim test tables are uniform but the operator doesn't know
+# that).
+_TARGET_PER_SOURCE = 15
+_2_32 = 4_294_967_296
+
+
+@register(
+    "q_stratified_sample",
+    tags=("sampling", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts c USING (source)
+WHERE {h32_sql('d.doc_id::VARCHAR')} * c.n_s < {_TARGET_PER_SOURCE} * {_2_32}
+ORDER BY d.doc_id
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep each document iff
+    ``h32(doc_id) * n_source < target * 2^32`` — an ALL-INTEGER gate
+    (expected ``target`` docs per source) with no float boundary to
+    disagree across engines, no RNG, and replay-stable membership.
+
+    Scale shape: the per-source count table has domain cardinality (tens
+    to thousands of rows at 100 TB) and is broadcast; the corpus side is
+    filtered map-side in the scan stage — no shuffle of sampled-out rows.
+    The product stays < 2^63 for any source under ~2^31 docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .where(
+            h32(F.col("doc_id").cast("string")) * F.col("n_s")
+            < F.lit(_TARGET_PER_SOURCE) * F.lit(_2_32)
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_budget",
+    tags=("tokens", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len({words_sql('text')}))::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       {rnd_sql('n_tokens * 1.0 / sum(n_tokens) OVER ()', 6)} AS corpus_share,
+       sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+       {rnd_sql(
+           'sum(n_tokens) OVER (ORDER BY n_tokens DESC, source '
+           'ROWS UNBOUNDED PRECEDING) * 1.0 / sum(n_tokens) OVER ()', 6)}
+         AS cum_share
+FROM per_source
+ORDER BY n_tokens DESC, source
+""",
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget with cumulative corpus share — the
+    "which domains fill my 1T-token budget" report.  The heavy part is
+    one partial-aggregated groupBy (shuffle carries one row per source);
+    the windows then run over the domain-cardinality aggregate, which is
+    negligible at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text"))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("n_tokens"), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(w_all)
+    cum = F.sum("n_tokens").over(w_cum)
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rnd(F.col("n_tokens") * 1.0 / total, 6).alias("corpus_share"),
+            cum.cast("long").alias("cum_tokens"),
+            rnd(cum * 1.0 / total, 6).alias("cum_share"),
+        )
+        .orderBy(F.desc("n_tokens"), "source")
+    )
