@@ -18,6 +18,7 @@ def _load_all() -> None:
         dedup,
         mixing,
         multimodal,
+        nullsem,
         pipelines,
         pyudf,
         relational,
