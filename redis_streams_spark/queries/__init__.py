@@ -16,6 +16,7 @@ def _load_all() -> None:
         cdc,
         contamination,
         dedup,
+        llmprep,
         mixing,
         multimodal,
         nullsem,

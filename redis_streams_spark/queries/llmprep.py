@@ -1,0 +1,259 @@
+"""Training-data preparation operators: sequence packing, TF-IDF term
+scoring, embedding quantization — plus the recursive-CTE surface (Spark 4
+``WITH RECURSIVE``) exercised on a key hierarchy.
+
+These are the steps between a cleaned corpus and a tokenized training set:
+pack documents into fixed-length sequences, score terms for filtering or
+retrieval, and quantize embedding vectors for a compact ANN index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.functions.textfns import words, words_sql
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "q_seq_packing",
+    tags=("tokens", "packing", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len({words_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT - n_tokens
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       (cum_before // {_SEQ_LEN})::BIGINT AS chunk_id,
+       (cum_before % {_SEQ_LEN})::BIGINT AS offset_in_chunk,
+       ((cum_before % {_SEQ_LEN}) + n_tokens > {_SEQ_LEN}) AS spans_boundary
+FROM cum
+ORDER BY source, doc_id
+""",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source, documents are laid
+    end-to-end in doc_id order and cut into {512}-token training
+    sequences; each doc gets its chunk id, offset, and a spans-boundary
+    flag.  One window cumsum partitioned by source — at 100 TB the
+    packing is embarrassingly parallel across sources (and within a
+    source, hierarchical packing by (source, shard) keeps any single
+    window partition bounded; same plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return (
+        toks.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum_before.alias("cum_before"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum_before") / _SEQ_LEN).cast("long").alias("chunk_id"),
+            (F.col("cum_before") % _SEQ_LEN).cast("long").alias("offset_in_chunk"),
+            ((F.col("cum_before") % _SEQ_LEN) + F.col("n_tokens") > _SEQ_LEN).alias(
+                "spans_boundary"
+            ),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "text_tfidf",
+    tags=("text", "tfidf", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         {rnd_sql('tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))', 6)} AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored) t
+WHERE rn <= 5
+ORDER BY doc_id, tfidf DESC, term
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.  Two partial-aggregated shuffles
+    (term counts per doc; document frequency per term), an equi-join on
+    the term (vocabulary-sized, not corpus-sized), and a per-doc top-k
+    window.  The corpus size enters as a broadcast scalar, not a join of
+    the big sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal like the SQL's CROSS JOIN n
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        rnd(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+# list_reduce (not list_aggregate 'sum'): a strict left-fold whose
+# float-addition order matches Spark's F.aggregate exactly — 'sum' is free
+# to reassociate and drifts in the last ulp on ~60% of vectors
+_ERR_EXPR = (
+    "list_reduce(list_transform(range(1, len(v) + 1), "
+    "i -> abs(qv[i] * (maxabs / 127.0) - v[i])), (acc, x) -> acc + x) / len(v)"
+)
+
+
+@register(
+    "q_embed_quantize",
+    tags=("embeddings", "quantization", "llm-pipeline"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+  FROM e
+), q AS (
+  SELECT vec_id, maxabs,
+         list_transform(v, x -> floor(x * (127.0 / maxabs) + 0.5)) AS qv,
+         v
+  FROM s WHERE maxabs > 0
+)
+SELECT vec_id,
+       {rnd_sql('maxabs', 6)} AS maxabs,
+       list_aggregate(qv, 'sum')::BIGINT AS q_sum,
+       list_aggregate(list_transform(qv, x -> x * x), 'sum')::BIGINT AS q_sumsq,
+       {rnd_sql(_ERR_EXPR, 8)}
+         AS mean_abs_err
+FROM q
+ORDER BY vec_id
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale
+    127/max|x|, quantize with ``floor(x*scale + 0.5)`` (identical IEEE
+    arithmetic on both engines — no round-half ambiguity), report exact
+    integer checksums of the quantized vector plus the mean absolute
+    dequantization error.  Per-row array expressions only; at 100 TB this
+    is a map-only pass that cuts ANN index memory 4× (the IVF/LSH
+    operators accept the dequantized vectors unchanged)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    s = e.select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("maxabs"),
+    ).where(F.col("maxabs") > 0)
+    scale = 127.0 / F.col("maxabs")
+    # renamed to maxabs_raw: the final select outputs a ROUNDED column
+    # named `maxabs`, and Spark's lateral-column-alias resolution would
+    # otherwise bind the F.col("maxabs") inside the error expression to
+    # that rounded sibling alias instead of the child column (measured:
+    # shifts mean_abs_err by ~1e-8 — enough to flip the 8dp hash gate)
+    q = s.select(
+        "vec_id",
+        F.col("maxabs").alias("maxabs_raw"),
+        "v",
+        F.transform("v", lambda x: F.floor(x * scale + 0.5)).alias("qv"),
+    )
+    inv = F.col("maxabs_raw") / 127.0
+    err_terms = F.zip_with(
+        F.col("qv"), F.col("v"), lambda qx, vx: F.abs(qx * inv - vx)
+    )
+    return (
+        q.select(
+            "vec_id",
+            rnd(F.col("maxabs_raw"), 6).alias("maxabs"),
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+            ).alias("q_sum"),
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, x: acc + (x * x).cast("long")
+            ).alias("q_sumsq"),
+            rnd(
+                F.aggregate(err_terms, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("v"),
+                8,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_recursive_cte",
+    tags=("recursive", "sql-surface"),
+    oracle="""
+WITH RECURSIVE up(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 1000
+  UNION ALL
+  SELECT custkey, anc // 10, depth + 1 FROM up WHERE anc >= 10
+)
+SELECT custkey, min(anc)::BIGINT AS root, max(depth)::BIGINT AS depth
+FROM up
+GROUP BY custkey
+ORDER BY custkey
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE`` — UnionLoop execution):
+    walk the implicit decimal hierarchy ``parent = custkey div 10`` to
+    the single-digit root, reporting each key's root and depth.  Fixed
+    recursion depth log10(maxkey); each iteration is a full DataFrame op
+    so the loop distributes — no driver-side row iteration."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_rc")
+    return spark.sql(
+        """
+WITH RECURSIVE up(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer_rc WHERE c_custkey < 1000
+  UNION ALL
+  SELECT custkey, anc div 10, depth + 1 FROM up WHERE anc >= 10
+)
+SELECT custkey, min(anc) AS root, max(depth) AS depth
+FROM up
+GROUP BY custkey
+ORDER BY custkey
+"""
+    )
