@@ -1,0 +1,91 @@
+"""End-to-end LLM training-data pipeline over the `documents` corpus:
+
+  quality filter → exact dedup → near-dup (MinHash-LSH) clustering →
+  benchmark decontamination → stratified domain sampling →
+  sequence packing
+
+Every stage is one of the engine's registered operators composed as plain
+DataFrames — nothing here collects to the driver except the final summary
+counts.  At 100 TB the same composition holds: the stages are
+shuffle-bounded by doc keys and gram/band joins, never doc×doc pairs.
+
+Run: python examples/llm_corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redis_streams_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    normalized_text,
+)
+from redis_streams_spark.queries import all_queries
+from redis_streams_spark.session import get_spark, load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("llm-corpus-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality filter: keep docs that aren't pathologically repetitive
+    rep = all_queries()["text_repetition"].fn(spark, sf_dir)
+    keep_q = rep.where(~F.col("repetitive")).select("doc_id")
+    docs_q = docs.join(keep_q, "doc_id")
+    n1 = docs_q.count()
+
+    # 2. exact dedup (md5 of normalized text; digests shuffle, docs don't);
+    # exact_dedup returns per-doc hash metadata — join the canonical ids
+    # back to recover the document columns for the near-dup stage
+    canon = exact_dedup(docs_q.withColumn("norm", normalized_text())).where(
+        F.col("is_canonical")
+    )
+    uniq = docs_q.join(canon.select("doc_id"), "doc_id")
+    n2 = uniq.count()
+
+    # 3. near-dup clusters: keep each cluster's min doc_id
+    pairs = minhash_lsh_pairs(uniq, threshold=0.5).select("a_id", "b_id")
+    clusters = connected_components(pairs)  # (node, cluster_id=min reachable id)
+    losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = uniq.join(losers, "doc_id", "left_anti")
+    n3 = survivors.count()
+
+    # 4. decontamination: drop docs overlapping the benchmark source
+    decon = all_queries()["text_decontaminate"].fn(spark, sf_dir)
+    clean = survivors.join(decon.where(~F.col("flagged")).select("doc_id"), "doc_id")
+    n4 = clean.count()
+
+    # 5. stratified sample toward the target mixture (deterministic hash gate)
+    sample = all_queries()["q_stratified_sample"].fn(spark, sf_dir).select("doc_id")
+    mixed = clean.join(sample, "doc_id")
+    n5 = mixed.count()
+
+    # 6. sequence packing report for what remains
+    packing = all_queries()["q_seq_packing"].fn(spark, sf_dir).join(
+        mixed.select("doc_id"), "doc_id"
+    )
+    n_chunks = packing.select("source", "chunk_id").distinct().count()
+
+    print(f"documents           : {n0}")
+    print(f"after quality filter: {n1}")
+    print(f"after exact dedup   : {n2}")
+    print(f"after near-dup      : {n3}")
+    print(f"after decontam      : {n4}")
+    print(f"after mixing sample : {n5}")
+    print(f"packed chunks       : {n_chunks}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

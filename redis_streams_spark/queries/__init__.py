@@ -16,6 +16,7 @@ def _load_all() -> None:
         cdc,
         contamination,
         dedup,
+        formats,
         llmprep,
         mixing,
         multimodal,
