@@ -21,11 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from redis_streams_spark.functions.textfns import words
 from redis_streams_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
-    normalized_text,
 )
 from redis_streams_spark.queries import all_queries
 from redis_streams_spark.session import get_spark, load_table
@@ -46,9 +46,7 @@ def main() -> None:
     # 2. exact dedup (md5 of normalized text; digests shuffle, docs don't);
     # exact_dedup returns per-doc hash metadata — join the canonical ids
     # back to recover the document columns for the near-dup stage
-    canon = exact_dedup(docs_q.withColumn("norm", normalized_text())).where(
-        F.col("is_canonical")
-    )
+    canon = exact_dedup(docs_q).where(F.col("is_canonical"))
     uniq = docs_q.join(canon.select("doc_id"), "doc_id")
     n2 = uniq.count()
 
@@ -71,11 +69,24 @@ def main() -> None:
     mixed = clean.join(sample, "doc_id")
     n5 = mixed.count()
 
-    # 6. sequence packing report for what remains
-    packing = all_queries()["q_seq_packing"].fn(spark, sf_dir).join(
-        mixed.select("doc_id"), "doc_id"
+    # 6. REPACK the survivors into 512-token sequences — packing must run
+    # on the cleaned corpus (the registered q_seq_packing packs the raw
+    # corpus, whose chunk ids would have holes where removed docs sat)
+    from pyspark.sql import Window
+
+    toks = mixed.select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tokens")
     )
-    n_chunks = packing.select("source", "chunk_id").distinct().count()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    packing = toks.select("source", cum_before.alias("cum_before")).select(
+        "source", F.expr("cum_before div 512").alias("chunk_id")
+    )
+    n_chunks = packing.distinct().count()
 
     print(f"documents           : {n0}")
     print(f"after quality filter: {n1}")

@@ -11,6 +11,7 @@ the format round trip lost information.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +51,13 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             "l_linestatus",
         )
     )
+    # path is unique per (process, full sf_dir): concurrent sessions (the
+    # driver gate + a local check run) must not overwrite each other's
+    # files mid-scan, and distinct roots with equal basenames must not
+    # silently share data
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        "/tmp/spark-graft-formats", os.path.basename(sf_dir.rstrip("/")), fmt
+        "/tmp/spark-graft-formats", f"{tag}-{os.getpid()}", fmt
     )
     writer = sub.write.mode("overwrite")
     if fmt == "csv":

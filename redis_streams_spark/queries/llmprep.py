@@ -71,7 +71,10 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_tokens",
-            (F.col("cum_before") / _SEQ_LEN).cast("long").alias("chunk_id"),
+            # integer `div`, not float `/`: a double quotient rounds above
+            # 2^53 cumulative tokens and would diverge from the oracle's
+            # exact `//` at the scales this module advertises
+            F.expr(f"cum_before div {_SEQ_LEN}").alias("chunk_id"),
             (F.col("cum_before") % _SEQ_LEN).cast("long").alias("offset_in_chunk"),
             ((F.col("cum_before") % _SEQ_LEN) + F.col("n_tokens") > _SEQ_LEN).alias(
                 "spans_boundary"
@@ -116,13 +119,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar; embedded as a literal like the SQL's CROSS JOIN n
-    scored = tf.join(df_, "term").select(
+    # corpus size as a lazy 1-row crossJoin (the SQL's CROSS JOIN n):
+    # an eager docs.count() here would fire a Spark job every time the
+    # PLAN is built — the fleet plan sweep and the driver gate both
+    # construct plans without collecting
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(n).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        rnd(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        rnd(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6).alias(
+            "tfidf"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

@@ -163,8 +163,9 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, collapsing the count toward 0, while NOT EXISTS keeps row-by-row
     semantics.  All three counts in one row — the regression canary for
     anyone 'optimizing' NOT IN into an anti-join without the null guard.
-    (Spark plans the null-aware case as NAAJ: broadcast null-aware
-    anti-join; whitelisted in the plan gate for exactly this query.)"""
+    (Spark plans the null-aware case as a BroadcastHashJoin in NAAJ mode
+    — a hash join, so the plan gate's cartesian/BNLJ sweep passes it
+    without any whitelist entry.)"""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     cust.select(

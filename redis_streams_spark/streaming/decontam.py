@@ -48,7 +48,12 @@ def decontaminate_stream(
     micro-batch under the exploded-rows-stay-in-epoch guarantee of
     foreachBatch; for a pure append-mode sink, run this inside
     foreachBatch like the near-dup handler).
+
+    At-least-once delivery can hand one document to an epoch TWICE (same
+    doc_id, different msgid); without dedup the hit count doubles and
+    contam_ratio inflates past truth — so the id is deduplicated first.
     """
+    typed_stream = typed_stream.dropDuplicates([id_col])
     sets_ = typed_stream.select(
         F.col(id_col),
         word_shingles(words(F.col(text_col)), n).alias("grams"),

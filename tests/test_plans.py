@@ -156,6 +156,7 @@ _BNLJ_OK = {
     "sim_ivf_topk",
     "sim_kmeans_clusters",
     "sim_recall_report",  # crossJoin of two 1-row aggregates
+    "text_tfidf",  # lazy 1-row corpus-count crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

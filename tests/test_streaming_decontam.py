@@ -75,6 +75,24 @@ def test_streaming_decontam_epoch_replay_idempotent(spark, tmp_path, sf_dir):
     assert first == second  # overwrite, not append
 
 
+def test_decontaminate_stream_dedups_intra_batch_duplicates(spark, sf_dir):
+    # at-least-once delivery can hand the same doc to one epoch twice;
+    # hit counts must not double (contam_ratio would inflate past truth)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_grams(docs.where(F.col("source") == "src19"))
+    sample = docs.where(F.col("source") != "src19").limit(10).select("doc_id", "text")
+    doubled = sample.unionAll(sample)
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in decontaminate_stream(doubled, bench).collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in decontaminate_stream(sample, bench).collect()
+    }
+    assert got == want
+
+
 def test_decontaminate_stream_is_batch_equivalent_transform(spark, sf_dir):
     # the transformation itself is engine-agnostic: applied to a plain
     # batch frame it reproduces the registered query's verdict columns
