@@ -38,7 +38,14 @@ def words_sql(expr: str) -> str:
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), distinct; empty when < n words."""
+    """Word n-gram shingles (space-joined), distinct; empty when < n words.
+
+    SET semantics: element ORDER is unspecified (Spark's array_distinct
+    keeps first occurrence, DuckDB's list_distinct does not — found by
+    the cross-engine property test).  Every consumer must treat the
+    array as a set (explode + equi-join, size()); never emit it raw in
+    an oracle-hashed output — sort it first if an array output is ever
+    needed."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + k) for k in range(n)]
@@ -60,7 +67,8 @@ def word_shingles_sql(toks: str, n: int = 3) -> str:
 
 
 def char_ngrams(norm: Column, n: int = 4) -> Column:
-    """Distinct character n-grams of an already-normalized string."""
+    """Distinct character n-grams of an already-normalized string.
+    SET semantics — same order caveat as :func:`word_shingles`."""
     idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
     return F.array_distinct(
         F.when(

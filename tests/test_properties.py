@@ -100,3 +100,68 @@ def test_rnd_sql_matches_python_semantics(value, scale):
     assert r2 == r1  # idempotent
     assert abs(r1 - value) <= 0.5 * 10 ** (-scale) + 1e-9
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine text-primitive parity on adversarial strings.
+#
+# The oracle gate proves parity on the fixture corpus; these prove it on
+# hypothesis-generated strings (empty tokens, runs of separators, digits,
+# accented latin).  Examples are BATCHED: each hypothesis example carries a
+# list of strings evaluated in ONE Spark job + ONE DuckDB query, keeping
+# wall time sane.  Alphabet note: tokenization lowercases, and Java and
+# DuckDB agree on ASCII + latin-1 lower(); locale-sensitive exotica
+# (dotted-I, final sigma) are out of the engine's documented contract.
+# ---------------------------------------------------------------------------
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("abcXYZ012 .,;:!?-_/") + ["à", "é", "ñ", "Å", "ü"]
+)
+_DOC_STRINGS = st.lists(
+    st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=40),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_DOC_STRINGS)
+def test_text_primitives_cross_engine(spark, texts):
+    from redis_streams_spark.functions.hashing import h32, h32_sql
+    from redis_streams_spark.functions.textfns import (
+        word_shingles,
+        word_shingles_sql,
+        words,
+        words_sql,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    # shingle arrays compare as SETS: array_distinct/list_distinct do not
+    # agree on element order (see word_shingles docstring)
+    srows = {
+        r.id: (r.w, sorted(r.sh), r.h)
+        for r in df.select(
+            "id",
+            words("text").alias("w"),
+            word_shingles(words("text"), 3).alias("sh"),
+            h32(F.col("text")).alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") AS v(id, text)",
+        texts,
+    )
+    drows = {
+        i: (w, sorted(sh), h)
+        for i, w, sh, h in con.sql(
+            f"SELECT id, {words_sql('text')}, "
+            f"{word_shingles_sql(words_sql('text'), 3)}, {h32_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert srows == drows
