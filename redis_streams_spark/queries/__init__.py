@@ -15,6 +15,7 @@ def _load_all() -> None:
     from redis_streams_spark.queries import (  # noqa: F401
         cdc,
         contamination,
+        decimalsem,
         dedup,
         formats,
         llmprep,
