@@ -7,6 +7,7 @@ so every query has a full-value DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.hashing import h32, h32_sql
@@ -16,12 +17,14 @@ from redis_streams_spark.functions.textfns import (
     PUNCT_RE,
     STOPWORDS,
     sql_str_list,
+    word_shingles_sql,
     words,
     words_sql,
 )
+from redis_streams_spark.operators.dedup import shingle_sets
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
-from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
 
 _FP_TOKEN_MOD = 1_000_003
 _FP_PRIME = 1_000_000_007
@@ -271,4 +274,67 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("tok", "n", "df")
         .orderBy(F.desc("n"), "tok")
+    )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    tags=("text", "dedup", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sets AS (
+  SELECT doc_id, {word_shingles_sql('w', 5)} AS grams FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sets
+), hashed AS (
+  SELECT doc_id, md5(gram) AS g FROM ex
+), counted AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY g) AS n_docs FROM hashed
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+       {rnd_sql('sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)}
+         AS dup_fraction
+FROM counted GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated n-gram fraction per document (the
+    cross-document repetition signal from web-corpus cleaning recipes:
+    what share of a doc's distinct word 5-grams also occur in some OTHER
+    document — or twice in this one via distinct-set semantics never, so
+    n_docs counts documents).
+
+    Scale shape: shingles are per-doc DISTINCT, so after explode the key
+    ``md5(gram)`` appears once per containing document; a window count
+    over that 16-byte digest gives document frequency without a big-big
+    self-join, and the only shuffles are (1) by gram digest, (2) by
+    doc_id for the final roll-up.  The shuffle rows carry
+    (doc_id, digest) — never document text.  Complements
+    ``text_repetition`` (within-doc dup fractions): this is the
+    between-doc signal used to kill boilerplate-heavy pages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = shingle_sets(docs, n=5)
+    hashed = sets_.select("doc_id", F.explode("shingles").alias("gram")).select(
+        "doc_id", F.md5("gram").alias("g")
+    )
+    counted = hashed.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("g")).alias("n_docs")
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            rnd(F.col("dup_grams") * 1.0 / F.col("n_grams"), 6).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
     )
