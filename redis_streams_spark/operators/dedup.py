@@ -458,3 +458,73 @@ def connected_components_star(
             "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
         )
     )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Ingest-time dedup of a new batch against an existing corpus:
+    per batch doc a verdict ``exact_dup`` (normalized-text digest already
+    in history), ``near_dup`` (shares an LSH band with a history doc and
+    exact shingle-Jaccard ≥ threshold), or ``keep``; ``match_id`` is the
+    smallest matching history doc_id (exact match wins precedence).
+
+    This is the batch form of the streaming near-dup path
+    (``streaming/neardup.py``): at 100 TB the history side's digests and
+    band rows are a persisted index that each ingest batch equi-joins
+    against — both joins are keyed on digests (32-byte md5 / band hash),
+    never on document text, and the batch side is tiny relative to
+    history, so candidate fan-out is bounded by true near-dup density.
+    """
+    bnorm = batch.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
+    hnorm = history.select(
+        F.col("doc_id").alias("h_id"), F.md5(normalized_text()).alias("content_hash")
+    )
+    exact = (
+        bnorm.join(hnorm, "content_hash")
+        .groupBy("doc_id")
+        .agg(F.min("h_id").alias("exact_match"))
+    )
+    bsets = shingle_sets(batch, n).persist()
+    hsets = shingle_sets(history, n).persist()
+    cands = (
+        band_rows_from_sets(bsets)
+        .join(
+            band_rows_from_sets(hsets).select(
+                F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_id", "h_id")
+        .distinct()
+    )
+    ver = cands.join(
+        bsets.select("doc_id", F.col("shingles").alias("sa")), "doc_id"
+    ).join(
+        hsets.select(F.col("doc_id").alias("h_id"), F.col("shingles").alias("sb")),
+        "h_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    near = (
+        ver.where(rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6) >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("h_id").alias("near_match"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -21,6 +21,7 @@ from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
 from redis_streams_spark.operators.dedup import (
     NORM_RE,
     exact_dedup,
+    incremental_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_docs,
@@ -306,3 +307,83 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BATCH_PRED = "doc_id % 10 = 7"
+
+
+def _incremental_oracle() -> str:
+    min_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    jac = (
+        "round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 / "
+        "greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
+), hv AS (
+  SELECT doc_id, {h32_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) t
+), sigs AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), ch AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents
+), exact AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_match
+  FROM ch b JOIN ch h ON b.content_hash = h.content_hash
+  WHERE b.{_BATCH_PRED} AND NOT h.{_BATCH_PRED}
+  GROUP BY b.doc_id
+), cands AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS h_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.{_BATCH_PRED} AND NOT b.{_BATCH_PRED}
+), near AS (
+  SELECT c.doc_id, min(c.h_id) AS near_match
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_id
+  JOIN sh sb ON sb.doc_id = c.h_id
+  WHERE {jac} >= 0.3
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS verdict,
+       coalesce(e.exact_match, n.near_match) AS match_id
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+WHERE d.{_BATCH_PRED}
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_incremental", tags=("dedup", "lsh", "ingest"), oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup against the accumulated corpus (batch form of
+    the streaming near-dup path): docs with ``doc_id % 10 = 7`` play the
+    incoming batch, the rest the history; each batch doc gets
+    exact_dup / near_dup / keep + the matched history doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.expr(_BATCH_PRED))
+    history = docs.where(~F.expr(_BATCH_PRED))
+    return incremental_dedup(history, batch, n=3, threshold=0.3)

@@ -108,3 +108,38 @@ def test_cc_algorithms_agree_with_union_find(spark, seed):
     }
     assert got_prop == expected
     assert got_star == expected
+
+
+def test_incremental_dedup_verdict_precedence(spark):
+    """Exact digest match beats near-dup; unrelated docs keep.
+
+    The sf-data oracle row only exercises near_dup/keep (the synthetic
+    corpus has no exact duplicates across the batch split), so the
+    exact_dup path and its precedence over a simultaneous band match are
+    pinned here."""
+    from redis_streams_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame(
+        [
+            (5, base),  # exact twin of batch doc 100 (and near of 101)
+            (2, base + " extra trailing words here"),  # nearest twin of 101
+            (3, "completely different content with many unique tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base.upper() + "!"),  # normalizes to doc 1's text exactly
+            (101, base + " extra trailing words here padded"),  # near of 2
+            (102, "nothing in common with any history document at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in incremental_dedup(history, batch).collect()
+    }
+    assert got[100] == ("exact_dup", 5)  # also band-matches 5, exact wins
+    assert got[101] == ("near_dup", 2)  # near-matches {2, 5}; min id reported
+    assert got[102] == ("keep", None)
