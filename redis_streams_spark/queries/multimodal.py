@@ -46,7 +46,7 @@ FROM documents
 WITH meta AS ({_META_SQL})
 SELECT modality,
        count(*) AS n_docs,
-       sum(byte_len) AS total_bytes,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
        min(width) AS min_width, max(width) AS max_width,
        CAST(sum(mean_byte * 16) AS BIGINT) AS sum_mean_byte_x16
 FROM meta GROUP BY modality ORDER BY modality
@@ -173,8 +173,10 @@ WITH blobs AS (
 )
 SELECT modality,
        count(*) AS n_assets,
-       sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS n_unique,
-       sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS n_dropped
+       -- CAST: DuckDB integer sum() yields HUGEINT, which lands as float64
+       -- via pandas and hash-mismatches Spark's int64 in the driver gate.
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM groups GROUP BY modality ORDER BY modality
 """,
 )

@@ -12,6 +12,24 @@ import traceback
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def _to_py(v):
+    """numpy/pandas scalar → native Python, preserving int-vs-float kind
+    (that kind distinction is what the driver's hash is sensitive to)."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):  # np.int64 → int, np.float64 → float, ...
+        v = v.item()
+    if isinstance(v, float) and pd.isna(v):
+        return None  # pandas NULL-in-float column; Spark .collect() gives None
+    if isinstance(v, np.ndarray):
+        return [_to_py(x) for x in v.tolist()]
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
 
 from redis_streams_spark.oracle import compare  # noqa: E402
 from redis_streams_spark.session import TABLES, get_spark  # noqa: E402
@@ -52,9 +70,15 @@ def main() -> int:
             continue
         t1 = time.time()
         try:
-            rel = con.sql(oracles[name])
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            # Fetch via pandas, mirroring the driver's canonicalizer path:
+            # e.g. DuckDB HUGEINT sums arrive as float64 there (hash-mismatch
+            # vs Spark int64) while fetchall() would hide it as Python int.
+            pdf = con.sql(oracles[name]).df()
+            dcols = list(pdf.columns)
+            drows = [
+                tuple(_to_py(v) for v in row)
+                for row in pdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR: {str(e)[:300]}")
             n_fail += 1
