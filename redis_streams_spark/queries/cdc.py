@@ -73,7 +73,11 @@ WITH ordered AS (
 )
 SELECT user_id, event_type,
        ms AS valid_from_ms,
-       lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+       -- sentinel -1 instead of NULL: a nullable BIGINT column gets
+       -- float-promoted by pandas-based canonicalizers (NaN), breaking
+       -- the int-vs-float type-family check against Spark's bigint
+       coalesce(lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id), -1)
+         AS valid_to_ms,
        lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
 FROM changes
 ORDER BY user_id, valid_from_ms
@@ -94,7 +98,7 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("valid_from").alias("valid_from_ms"),
-            F.col("valid_to").alias("valid_to_ms"),
+            F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to_ms"),
             "is_current",
         )
         .orderBy("user_id", "valid_from_ms")

@@ -368,7 +368,10 @@ SELECT d.doc_id,
        CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
             WHEN n.near_match IS NOT NULL THEN 'near_dup'
             ELSE 'keep' END AS verdict,
-       coalesce(e.exact_match, n.near_match) AS match_id
+       -- sentinel -1 for 'keep' rows: a nullable BIGINT column gets
+       -- float-promoted by pandas-based canonicalizers (NaN), breaking
+       -- the int-vs-float type-family check against Spark's bigint
+       coalesce(e.exact_match, n.near_match, -1) AS match_id
 FROM documents d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
@@ -386,4 +389,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.expr(_BATCH_PRED))
     history = docs.where(~F.expr(_BATCH_PRED))
-    return incremental_dedup(history, batch, n=3, threshold=0.3)
+    out = incremental_dedup(history, batch, n=3, threshold=0.3)
+    # sentinel -1 (query surface only — the operator keeps NULL semantics
+    # for the streaming path): see the oracle comment on match_id
+    return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))

@@ -216,8 +216,11 @@ WITH toks AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(({h32_sql('tok')} % {_FP_TOKEN_MOD}) * ((p % 64) + 1))
-         % {_FP_PRIME} AS fingerprint
+       -- DuckDB sum(BIGINT) yields HUGEINT, which pandas-based
+       -- canonicalizers float-promote; the mod-P result fits in 64 bits,
+       -- so pin it back to BIGINT to match Spark's bigint
+       CAST(sum(({h32_sql('tok')} % {_FP_TOKEN_MOD}) * ((p % 64) + 1))
+         % {_FP_PRIME} AS BIGINT) AS fingerprint
 FROM pos
 GROUP BY doc_id
 ORDER BY doc_id

@@ -3,11 +3,12 @@
 Scale posture: every loader returns a plain parquet-backed DataFrame so
 Catalyst keeps predicate pushdown / column pruning / partition pruning;
 nothing is cached or collected here.  The only data-dependent quirk is the
-driver-generated ``events.parquet``, whose ``ts`` column is parquet
-TIMESTAMP(NANOS) — unreadable by Spark without
-``spark.sql.legacy.parquet.nanosAsLong``; :func:`load_table` sets that conf
-at runtime (it is a dynamic SQLConf) and converts nanos → TIMESTAMP_NTZ
-micros to exactly match what DuckDB reads natively.
+driver-generated ``events.parquet``: earlier testdata generations wrote its
+``ts`` column as parquet TIMESTAMP(NANOS) (which Spark reads as BIGINT
+under ``spark.sql.legacy.parquet.nanosAsLong``); current generations write
+TIMESTAMP(MICROS).  :func:`load_table` branches on the actual read dtype so
+both generations normalize to the same TIMESTAMP_NTZ micros that DuckDB
+reads natively.
 """
 
 from __future__ import annotations
@@ -103,11 +104,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer `div` — a double division would lose precision on ~1.7e18
-        # nanosecond values (53-bit mantissa)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # nanosAsLong path (old testdata): integer `div` — a double
+            # division would lose precision on ~1.7e18 nanosecond values
+            # (53-bit mantissa)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
