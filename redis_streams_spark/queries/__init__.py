@@ -86,6 +86,10 @@ _DRIVER_PRIORITY = [
     "q_interval_join",
     # failed r03 on the ts-type change; re-verify the fix
     "q_scd2_events",
+    # new in round 4 — first driver exposure
+    "text_chunks",
+    "mix_temperature",
+    "dedup_apply_report",
     # stale: last verified round 1/2
     "q_percentiles",
     "q_stats_agg",
@@ -96,9 +100,6 @@ _DRIVER_PRIORITY = [
     "q_exists_subquery",
     "q04_order_priority",
     "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
 ]
 
 

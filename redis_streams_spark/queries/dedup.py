@@ -17,6 +17,7 @@ from redis_streams_spark.functions.hashing import (
     ROWS_PER_BAND,
     h32_sql,
 )
+from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
 from redis_streams_spark.operators.dedup import (
     NORM_RE,
@@ -393,3 +394,56 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel -1 (query surface only — the operator keeps NULL semantics
     # for the streaming path): see the oracle comment on match_id
     return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))
+
+
+@register(
+    "dedup_apply_report",
+    tags=("dedup", "llm-pipeline"),
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, source, n_chars, md5({_NORM_SQL}) AS content_hash
+  FROM documents
+), keepers AS (
+  SELECT content_hash, min(doc_id) AS keeper FROM ch GROUP BY content_hash
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN doc_id = keeper THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN doc_id = keeper THEN n_chars ELSE 0 END)::BIGINT AS chars_kept,
+       round(5e-10 + sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) * 100.0
+             / count(*), 4) AS keep_pct
+FROM ch JOIN keepers USING (content_hash)
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact dedup corpus-wide (keeper = min doc_id per normalized
+    content hash, exactly :func:`exact_dedup`'s canonical rule) and report
+    the per-source retention — the accounting step after pair/cluster
+    detection, answering "what did dedup actually remove from each
+    domain".
+
+    Scale shape: one hash-groupBy keyed on the 32-byte digest to find
+    keepers (shuffles digests, never documents), one digest-keyed
+    equi-join back (AQE-broadcastable when the corpus is mostly unique),
+    then a domain-cardinality aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = exact_dedup(docs).select("doc_id", "content_hash").join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    keepers = ch.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    kept = F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0)
+    return (
+        ch.join(keepers, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_dropped"),
+            F.sum(kept * F.col("n_chars")).cast("long").alias("chars_kept"),
+            rnd(F.sum(kept) * 100.0 / F.count(F.lit(1)), 4).alias("keep_pct"),
+        )
+        .orderBy("source")
+    )

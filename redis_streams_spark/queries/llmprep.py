@@ -266,3 +266,89 @@ GROUP BY custkey
 ORDER BY custkey
 """
     )
+
+
+_CHUNK_TOKENS = 64  # tokens per retrieval/training chunk
+_CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
+
+
+@register(
+    "text_chunks",
+    tags=("tokens", "chunking", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, greatest(len(w), 1) AS n FROM toks
+), counted AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE} END AS n_chunks
+  FROM sized
+), chunks AS (
+  SELECT doc_id, w, n,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM counted
+)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {_CHUNK_STRIDE})::BIGINT AS start_tok,
+       least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)::BIGINT AS end_tok,
+       (least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)
+         - chunk_idx * {_CHUNK_STRIDE})::BIGINT AS chunk_tokens,
+       array_to_string(
+         list_slice(w, chunk_idx * {_CHUNK_STRIDE} + 1,
+                    least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)),
+         ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context prep
+    step): each document becomes ceil-strided windows of
+    {64}-token chunks advancing {48} tokens, so consecutive chunks share a
+    16-token overlap and the final window is allowed to run short.
+
+    Scale shape: tokenization, the chunk-count arithmetic, and the
+    sequence-explode all run inside the scan stage projection — no
+    shuffle at all (the orderBy is presentation-only), no Python, and
+    the explode fan-out is bounded by n_tokens/stride per doc.  The
+    chunk text is re-joined from an array slice, which keeps the output
+    row size bounded by the chunk length rather than the document
+    length."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", words("text").alias("w")
+    ).withColumn("n", F.greatest(F.size("w"), F.lit(1)))
+    counted = sized.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}"
+            )
+        ),
+    )
+    chunks = counted.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    end = F.least(start + _CHUNK_TOKENS, F.col("n"))
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            end.cast("long").alias("end_tok"),
+            (end - start).cast("long").alias("chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("w"), start + 1, end - start), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -118,3 +118,56 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_tokens"), "source")
     )
+
+
+@register(
+    "mix_temperature",
+    tags=("mixing", "llm-pipeline"),
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({words_sql('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       {rnd_sql('n_tokens * 1.0 / sum(n_tokens) OVER ()', 6)} AS raw_share,
+       {rnd_sql('sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ()', 6)} AS temp_share,
+       {rnd_sql(
+           '(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ()) / '
+           '(n_tokens * 1.0 / sum(n_tokens) OVER ())', 6)} AS boost
+FROM per_source
+ORDER BY source
+""",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2, i.e. p ∝ mass^(1/2)): the
+    standard multilingual/multi-domain rebalance that upweights small
+    sources without flattening the mixture entirely.  ``boost`` is the
+    up/down-sampling factor each source needs to realize the tempered
+    mixture (``temp_share / raw_share``).
+
+    ``sqrt`` rather than ``pow(x, 0.5)`` on both engines: sqrt is
+    IEEE-754 correctly-rounded, so the shares hash-match exactly.  The
+    aggregate is one partial-combined groupBy to domain cardinality; the
+    windowed normalization runs over that tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text"))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_tokens").over(w_all)
+    temp_total = F.sum(F.sqrt("n_tokens")).over(w_all)
+    raw_share = F.col("n_tokens") * 1.0 / total
+    temp_share = F.sqrt("n_tokens") / temp_total
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rnd(raw_share, 6).alias("raw_share"),
+            rnd(temp_share, 6).alias("temp_share"),
+            rnd(temp_share / raw_share, 6).alias("boost"),
+        )
+        .orderBy("source")
+    )
