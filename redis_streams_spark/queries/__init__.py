@@ -90,6 +90,8 @@ _DRIVER_PRIORITY = [
     "text_chunks",
     "mix_temperature",
     "dedup_apply_report",
+    "q_lateral_topn",
+    "q_shard_manifest",
     # stale: last verified round 1/2
     "q_percentiles",
     "q_stats_agg",
@@ -98,8 +100,6 @@ _DRIVER_PRIORITY = [
     "q_pivot_status",
     "q_full_outer_balance",
     "q_exists_subquery",
-    "q04_order_priority",
-    "q12_shipmode_priority",
 ]
 
 

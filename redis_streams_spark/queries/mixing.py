@@ -171,3 +171,64 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_manifest",
+    tags=("sharding", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {h32_sql('doc_id::VARCHAR')} % {_N_SHARDS} AS shard,
+         len({words_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT shard::BIGINT AS shard,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       {rnd_sql(f'count(*) * {_N_SHARDS} * 1.0 / sum(count(*)) OVER ()', 6)}
+         AS balance_ratio
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + manifest (the write-side step that
+    turns a cleaned corpus into N training shards): every doc hashes to
+    ``h32(doc_id) mod N``, and the manifest reports each shard's doc and
+    token mass plus a balance ratio (1.0 = perfectly even; hash
+    assignment keeps it near 1 regardless of doc_id clustering).
+
+    Scale shape: this IS `df.repartition(N, hash_col).write` — the
+    manifest aggregate shuffles one row per (shard) after partial
+    aggregation, and shard assignment itself never shuffles (it rides
+    the write's own exchange).  Replay-stable: re-running the pipeline
+    reproduces byte-identical shard membership, which training-data
+    lineage audits require."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        (h32(F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        assigned.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumn(
+            "balance_ratio",
+            rnd(F.col("n_docs") * _N_SHARDS * 1.0 / F.sum("n_docs").over(w_all), 6),
+        )
+        .orderBy("shard")
+    )

@@ -502,3 +502,41 @@ def q_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_lateral_topn",
+    tags=("join", "lateral", "topn"),
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+""",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL:1999 lateral derived table,
+    Spark 3.2+ `LATERAL`): per-nation top-2 customers by balance.
+    Exercises the lateral-join planner surface directly; Catalyst
+    decorrelates this into the same window-rank-filter plan the
+    DataFrame `row_number() <= k` idiom produces, so the per-driving-row
+    re-execution a naive reading implies never happens — the plan
+    survives any nation/customer cardinality."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation_lv n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer_lv c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+    )

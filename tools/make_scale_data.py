@@ -5,9 +5,10 @@ Each replica i gets consistent key offsets (foreign keys stay joinable:
 orders.o_custkey moves with customer.c_custkey, lineitem's three keys move
 with their dimensions).  Document text gets a per-replica suffix token so
 replicas are NEAR-duplicates (Jaccard ≈ 0.95+), not byte-identical — the
-realistic stress shape for the near-dup family.  Events keep their
-TIMESTAMP(NANOS) physical type (pyarrow preserves timestamp[ns]), so
-``session.load_table``'s nanosAsLong path is exercised unchanged.
+realistic stress shape for the near-dup family.  Events keep whatever
+physical timestamp type the source testdata has (pyarrow preserves it:
+timestamp[ns] in round-1..3 generations, timestamp[us] since round 4), so
+``session.load_table``'s dtype-branching path is exercised unchanged.
 
 Usage:
     python tools/make_scale_data.py [K] [src_dir] [out_dir]
