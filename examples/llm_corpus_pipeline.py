@@ -88,6 +88,21 @@ def main() -> None:
     )
     n_chunks = packing.distinct().count()
 
+    # 7. shard the packed corpus for the training job: deterministic
+    # doc_id-hash assignment (replay-stable membership), manifest row per
+    # shard — this is the write-side `repartition(N, hash).write` step
+    from redis_streams_spark.functions.hashing import h32
+
+    n_shards = 16
+    manifest = (
+        mixed.select(
+            "doc_id", (h32(F.col("doc_id").cast("string")) % n_shards).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_shards_used = manifest.count()
+
     print(f"documents           : {n0}")
     print(f"after quality filter: {n1}")
     print(f"after exact dedup   : {n2}")
@@ -95,6 +110,7 @@ def main() -> None:
     print(f"after decontam      : {n4}")
     print(f"after mixing sample : {n5}")
     print(f"packed chunks       : {n_chunks}")
+    print(f"output shards       : {n_shards_used}")
     spark.stop()
 
 
