@@ -259,9 +259,14 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     exact_median = F.expr("percentile(l_extendedprice, 0.5)")
     agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        # rsd 0.02 / accuracy 1000 (not 0.01/10000): the tighter sketches
+        # cost 14 s vs 2.7 s at sf0.01 — the count_distinct Expand doubles
+        # the rows every sketch ingests — and the 5% bound below has ample
+        # margin at either setting (sketches are deterministic per input,
+        # verified green at sf0.001/0.01/0.1)
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         rnd(exact_median, 2).alias("exact_median"),
         F.count(F.lit(1)).alias("n"),
     )
