@@ -69,72 +69,50 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side built-ins (no Python UDF): higher-order array functions over
     the token array — embarrassingly parallel per row at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    # materialize tokens once: column references inside the filter/
-    # aggregate lambdas below are cheap, a full split expression is not
+    # Two-stage shape: one projection computes each expensive expression
+    # EXACTLY ONCE as an integer count (the interpreted stopword-filter
+    # HOF and the punct regex each fed two output columns before —
+    # Catalyst does not CSE interpreted lambdas), then the ratio/score
+    # arithmetic runs over plain ints inside whole-stage codegen.  The
+    # word-char sum is length(array_join(w)) — a codegen built-in with
+    # the same value as the aggregate() fold it replaces.
     base = docs.select("doc_id", "text", words("text").alias("w"))
-    w = F.col("w")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_words = F.size(w)
-    stop_ratio = F.when(
-        n_words > 0,
-        rnd(
-            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))) * 1.0 / n_words, 6
-        ),
-    ).otherwise(0.0)
-    punct_ratio = rnd(
-        F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
-        * 1.0
-        / F.greatest(F.length("text"), F.lit(1)),
-        6,
+    counts = base.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("w").alias("n_words_i"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_RE)).cast("long").alias("n_tokens_bpe"),
+        F.length(F.array_join("w", "")).alias("word_chars"),
+        F.size(
+            F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+        F.regexp_count(F.col("text"), F.lit(PUNCT_RE)).alias("n_punct"),
     )
+    n_words = F.col("n_words_i")
+    raw_stop = F.when(n_words > 0, F.col("n_stop") * 1.0 / n_words).otherwise(0.0)
+    raw_punct = F.col("n_punct") * 1.0 / F.greatest(F.col("n_chars"), F.lit(1))
     quality = rnd(
         1.0
         / (
             1.0
-            + F.exp(
-                -(
-                    0.2 * F.log(1 + n_words)
-                    + 2.0
-                    * F.when(
-                        n_words > 0,
-                        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-                        * 1.0
-                        / n_words,
-                    ).otherwise(0.0)
-                    - 5.0
-                    * (
-                        F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
-                        * 1.0
-                        / F.greatest(F.length("text"), F.lit(1))
-                    )
-                )
-            )
+            + F.exp(-(0.2 * F.log(1 + n_words) + 2.0 * raw_stop - 5.0 * raw_punct))
         ),
         6,
     )
     return (
-        base.select(
+        counts.select(
             "doc_id",
-            F.length("text").cast("long").alias("n_chars"),
+            "n_chars",
             n_words.cast("long").alias("n_words"),
-            F.regexp_count(F.lower("text"), F.lit(BPE_RE)).cast("long").alias("n_tokens_bpe"),
-            F.when(
-                n_words > 0,
-                rnd(
-                    F.aggregate(
-                        F.transform(w, lambda x: F.length(x)),
-                        F.lit(0),
-                        lambda acc, x: acc + x,
-                    )
-                    * 1.0
-                    / n_words,
-                    4,
-                ),
-            )
+            "n_tokens_bpe",
+            F.when(n_words > 0, rnd(F.col("word_chars") * 1.0 / n_words, 4))
             .otherwise(0.0)
             .alias("avg_word_len"),
-            punct_ratio.alias("punct_ratio"),
-            stop_ratio.alias("stopword_ratio"),
+            rnd(raw_punct, 6).alias("punct_ratio"),
+            F.when(n_words > 0, rnd(F.col("n_stop") * 1.0 / n_words, 6))
+            .otherwise(0.0)
+            .alias("stopword_ratio"),
             quality.alias("quality_score"),
         )
         .orderBy("doc_id")
