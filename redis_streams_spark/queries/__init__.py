@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "dedup_apply_report",
     "q_lateral_topn",
     "q_shard_manifest",
+    "q_orc_roundtrip",
     # stale: last verified round 1/2
     "q_percentiles",
     "q_stats_agg",
@@ -99,7 +100,6 @@ _DRIVER_PRIORITY = [
     "q_string_agg",
     "q_pivot_status",
     "q_full_outer_balance",
-    "q_exists_subquery",
 ]
 
 

@@ -1,7 +1,7 @@
-"""File-format source/sink coverage: CSV and JSON round trips.
+"""File-format source/sink coverage: CSV, JSON, and ORC round trips.
 
 SURVEY §2.2 row 1 lists parquet/json/csv among the scan carriers; every
-other query reads parquet, so these two exercise the text formats — each
+other query reads parquet, so these exercise the other formats — each
 query WRITES a filtered slice through the format under test, reads it
 back with an explicit schema (never inference — schema drift is the
 classic silent corruption at scale), aggregates, and hash-matches the
@@ -63,6 +63,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         writer.option("header", True).csv(path)
         back = spark.read.option("header", True).schema(_SCHEMA).csv(path)
+    elif fmt == "orc":
+        writer.orc(path)
+        back = spark.read.schema(_SCHEMA).orc(path)
     else:
         writer.json(path)
         back = spark.read.schema(_SCHEMA).json(path)
@@ -94,3 +97,12 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source round trip with explicit read schema —
     same invariant as the CSV trip for the schemaless format."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register("q_orc_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the second columnar format Spark
+    ships natively.  Binary columnar encoding, so doubles are bit-exact
+    by construction; the trip proves the writer/reader pair and the
+    explicit-schema projection work, same invariant as the text trips."""
+    return _roundtrip(spark, sf_dir, "orc")
