@@ -93,13 +93,13 @@ _DRIVER_PRIORITY = [
     "q_lateral_topn",
     "q_shard_manifest",
     "q_orc_roundtrip",
+    "q_heavy_hitters",
     # stale: last verified round 1/2
     "q_percentiles",
     "q_stats_agg",
     "q_distinct_agg",
     "q_string_agg",
     "q_pivot_status",
-    "q_full_outer_balance",
 ]
 
 

@@ -4,7 +4,7 @@ results."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd
@@ -91,4 +91,52 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("l_extendedprice"), 2).alias("total"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    tags=("scale", "skew", "diagnostics"),
+    oracle="""
+WITH per_key AS (
+  SELECT l_suppkey AS key, count(*) AS n
+  FROM lineitem GROUP BY l_suppkey
+), stats AS (
+  SELECT key, n,
+         sum(n) OVER () AS total,
+         avg(n) OVER () AS mean_n
+  FROM per_key
+)
+SELECT key, n,
+       round(5e-10 + n * 1.0 / total, 6) AS share,
+       round(5e-10 + n / mean_n, 4) AS skew_factor
+FROM stats
+ORDER BY n DESC, key
+LIMIT 20
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit for a prospective join/agg key: top-20 keys by
+    row count with corpus share and skew factor (count / mean count) —
+    the diagnostic that decides WHICH keys need the salting treatment
+    (`q_salted_agg`/`q_salted_join`) before a 100 TB shuffle.
+
+    Scale shape: one partial-aggregated groupBy to key cardinality, then
+    windows + top-k over the (small) per-key aggregate.  At extreme key
+    cardinality the exact count can be swapped for a count-min sketch;
+    the exact form is the auditable baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_key.select(
+            "key",
+            "n",
+            rnd(F.col("n") * 1.0 / F.sum("n").over(w_all), 6).alias("share"),
+            rnd(F.col("n") / F.avg("n").over(w_all), 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(20)
     )

@@ -63,6 +63,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_skip = 0
+    wall: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,6 +99,7 @@ def main() -> int:
             continue
         t_duck = time.time() - t1
 
+        wall[name] = t_spark + t_duck
         problems = compare(scols, srows, dcols, drows)
         if problems:
             print(f"FAIL {name} (spark={t_spark:.1f}s duck={t_duck:.1f}s)")
@@ -111,6 +113,13 @@ def main() -> int:
             )
             n_pass += 1
 
+    if len(wall) > 5:
+        slow = sorted(wall.items(), key=lambda kv: -kv[1])[:5]
+        print(
+            "\nslowest (spark+duck): "
+            + ", ".join(f"{n}={s:.1f}s" for n, s in slow)
+            + f"  |  total={sum(wall.values()):.0f}s"
+        )
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     spark.stop()
     return 1 if n_fail else 0
