@@ -317,7 +317,11 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode fan-out is bounded by n_tokens/stride per doc.  The
     chunk text is re-joined from an array slice, which keeps the output
     row size bounded by the chunk length rather than the document
-    length."""
+    length.  Deliberately NOT wrapped in the dedup family's ``fanout``
+    rebalance: chunking is one cheap split + slice per row (unlike
+    shingle+md5 work), and the full-text repartition costs more than the
+    extra cores return (A/B at sf0.1: 0.9 s scan-parallel vs 1.4 s
+    repartitioned)."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", words("text").alias("w")

@@ -199,3 +199,47 @@ def test_all_query_plans_clean(spark, sf_dir):
         if py_marks and name not in _PYTHON_OK:
             problems.append(f"{name}: unexpected Python path {py_marks}")
     assert not problems, "\n".join(problems)
+
+
+def test_text_chunks_single_generate_no_exchange_before_sort(spark, sf_dir):
+    """Chunking must run in the scan-stage projection: exactly one
+    Generate (the sequence explode), no Python, and the only Exchange is
+    the presentation orderBy's range partitioning."""
+    import re
+
+    df = _df(spark, sf_dir, "text_chunks")
+    plan = plan_str(df)
+    # formatted plans list each node once in the tree and once in the
+    # detail section — count node headers, not substrings
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "Python" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" in plan
+
+
+def test_shard_manifest_single_agg_shuffle(spark, sf_dir):
+    """Shard assignment itself must not shuffle; the manifest is one
+    hash-agg exchange (plus the window over shard cardinality and the
+    presentation sort)."""
+    df = _df(spark, sf_dir, "q_shard_manifest")
+    plan = plan_str(df)
+    assert "Python" not in plan
+    assert plan.count("hashpartitioning") <= 2  # agg + window, never more
+
+
+def test_kmeans_no_sort_shuffle_argmax(spark, sf_dir):
+    """The Lloyd argmax must be the max_by partial aggregation — a
+    row_number window would add a per-round sort shuffle of every
+    (vector, centroid) pair."""
+    df = _df(spark, sf_dir, "sim_kmeans_clusters")
+    plan = plan_str(df)
+    assert "row_number" not in plan
+    assert "max_by" in plan or "maxBy" in plan.lower()
+
+
+def test_heavy_hitters_partial_agg(spark, sf_dir):
+    """Key counting must partial-aggregate map-side before the exchange."""
+    df = _df(spark, sf_dir, "q_heavy_hitters")
+    plan = plan_str(df)
+    assert "partial_count" in plan or "partial" in plan
+    assert "Python" not in plan
