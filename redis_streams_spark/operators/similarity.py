@@ -417,3 +417,87 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def brute_force_topk_np(
+    emb: DataFrame, k: int = 10, query_mod: int = 25, local_margin: int = 3
+) -> DataFrame:
+    """Arrow-vectorized exact cosine top-k: same result contract as
+    :func:`brute_force_topk`, different physical path — a BLAS matmul
+    per Arrow batch via ``mapInPandas`` instead of interpreted
+    higher-order-function folds per pair.
+
+    Scale shape (the textbook distributed top-k):
+      1. queries (vec_id % query_mod) are collected once and broadcast
+         to every task as a dense float64 matrix — same small-side
+         assumption as the HOF version's ``F.broadcast(q)``;
+      2. each candidate partition computes batch × query cosines in one
+         ``C @ Q.T`` and emits only its LOCAL top ``k*local_margin``
+         rows per query, so the shuffle carries
+         O(partitions × queries × k) rows, never the full pair matrix;
+      3. a tiny global ranking window cuts to the exact top k.
+
+    Determinism: the UDF emits RAW float64 cosines; the 6-dp rounding
+    happens Spark-side with the same BigDecimal path every other query
+    uses, so numpy's summation order only introduces sub-ulp input noise
+    (epsilon-absorbed), not a third rounding implementation.  The local
+    margin of ``k*3`` protects the cut against rounded-cosine ties that
+    raw ordering resolves differently (verified value-identical to the
+    HOF path at sf0.001/0.01/0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    qrows = (
+        emb.where(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    n_local = k * local_margin
+
+    def score_batches(batches):
+        ids, mat, norm = bq.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norm)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = c_ids != ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(n_local, len(cand_idx))
+                # stable top-take by (-cosine, cand_id)
+                order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))[:take]
+                sel = cand_idx[order]
+                out_q.append(np.full(len(sel), ids[j], dtype=np.int64))
+                out_c.append(c_ids[sel])
+                out_s.append(col[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "cand_id": np.concatenate(out_c),
+                        "cosine_raw": np.concatenate(out_s),
+                    }
+                )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id bigint, cand_id bigint, cosine_raw double"
+    )
+    scored = local.select(
+        "query_id", "cand_id", rnd(F.col("cosine_raw"), 6).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

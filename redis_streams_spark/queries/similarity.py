@@ -372,3 +372,29 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("lsh_hits") * 1.0 / F.col("n_bf"), 4).alias("lsh_recall_at_10"),
         "n_queries",
     )
+
+
+def _bruteforce_oracle() -> str:
+    from redis_streams_spark.queries.base import REGISTRY
+
+    return REGISTRY["sim_bruteforce_topk"].oracle
+
+
+@register(
+    "sim_bruteforce_np",
+    tags=("similarity", "ann", "vectorized"),
+    oracle=_bruteforce_oracle(),
+)
+def sim_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized exact brute-force top-10 — the SAME oracle and
+    result contract as ``sim_bruteforce_topk``, computed as a BLAS
+    matmul per Arrow batch (mapInPandas) with partition-local top-k
+    pruning before the global ranking window.  Demonstrates the
+    vectorized-Python scale path next to the engine-pure HOF baseline:
+    identical values, O(partitions x queries x k) shuffle."""
+    from redis_streams_spark.operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_np(emb, k=10, query_mod=25).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
