@@ -165,6 +165,7 @@ _PYTHON_OK = {
     "q_udtf_bigrams",
     "q_cogroup_reconcile",
     "mm_decode_features",
+    "sim_bruteforce_np",  # declared vectorized path: BLAS matmul in mapInPandas
 }
 
 
