@@ -319,3 +319,68 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LM_VOCAB_K = 500  # in-vocabulary = the top-K corpus unigrams
+
+
+@register(
+    "text_unigram_lm",
+    tags=("text", "quality", "lm", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), scored_vocab AS (
+  SELECT tok, n,
+         sum(n) OVER () AS total,
+         row_number() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM freq
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       {rnd_sql('avg(ln(v.n * 1.0 / v.total))', 6)} AS avg_logprob,
+       {rnd_sql('avg(CASE WHEN v.rnk <= {k} THEN 0.0 ELSE 1.0 END)', 6)} AS oov_rate
+FROM toks t JOIN scored_vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""".replace("{k}", str(_LM_VOCAB_K)),
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signals: per-document average token log-prob
+    under the corpus unigram distribution (the perplexity-filter proxy)
+    and out-of-vocabulary rate against the top-{500} unigram vocabulary.
+    Low avg_logprob / high oov_rate = unusual token mix, the standard
+    drop/downweight signal in training-data pipelines.
+
+    Scale shape: one token-count aggregation (shuffle keyed on token),
+    a window over the vocabulary-cardinality aggregate, one equi-join of
+    token postings to frequencies (at 100 TB: the frequency table is
+    vocabulary-sized — broadcastable for real vocabularies — while
+    postings never leave their partitions), one per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w_all = W.partitionBy()
+    w_rank = W.partitionBy().orderBy(F.desc("n"), "tok")
+    vocab = freq.select(
+        "tok",
+        "n",
+        F.sum("n").over(w_all).alias("total"),
+        F.row_number().over(w_rank).alias("rnk"),
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(F.avg(F.log(F.col("n") * 1.0 / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+            rnd(
+                F.avg(F.when(F.col("rnk") <= _LM_VOCAB_K, 0.0).otherwise(1.0)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
