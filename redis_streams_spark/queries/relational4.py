@@ -116,3 +116,50 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, linestatus
         """
     )
+
+
+_HINT_AGG_SQL = """
+  SELECT '{label}' AS strategy, count(*) AS n,
+         round(5e-10 + sum(o_totalprice), 2) AS total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "q_join_hints",
+    tags=("join", "hints", "optimizer"),
+    oracle="UNION ALL".join(
+        _HINT_AGG_SQL.format(label=s) for s in ("broadcast", "merge", "shuffle_hash")
+    )
+    + "ORDER BY strategy",
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint gallery: the SAME join executed under
+    broadcast / merge (sort-merge) / shuffle_hash hints, each aggregated
+    to (n, total) — three identical result rows proving the physical
+    strategy never changes the answer, while `tests/test_plans.py`
+    asserts each hint actually took effect (BroadcastHashJoin /
+    SortMergeJoin / ShuffledHashJoin nodes).
+
+    Scale relevance: hints are the manual override when AQE's estimates
+    miss — a skewed-but-small build side worth broadcasting, or a
+    shuffle-hash build that avoids a sort of a huge probe side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+
+    def agg(label: str) -> DataFrame:
+        joined = orders.join(cust.hint(label), orders.o_custkey == cust.c_custkey)
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(label).alias("strategy"), "n", "total")
+
+    return (
+        agg("broadcast")
+        .unionAll(agg("merge"))
+        .unionAll(agg("shuffle_hash"))
+        .orderBy("strategy")
+    )

@@ -244,3 +244,11 @@ def test_heavy_hitters_partial_agg(spark, sf_dir):
     plan = plan_str(df)
     assert "partial_count" in plan or "partial" in plan
     assert "Python" not in plan
+
+
+def test_join_hints_take_effect(spark, sf_dir):
+    """Each hinted branch must produce its requested physical join."""
+    df = _df(spark, sf_dir, "q_join_hints")
+    plan = plan_str(df)
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node in plan, f"{node} missing — hint ignored"
