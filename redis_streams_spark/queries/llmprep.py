@@ -356,3 +356,97 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "dedup_chunks",
+    tags=("dedup", "chunking", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, greatest(len(w), 1) AS n FROM toks
+), counted AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE} END AS n_chunks
+  FROM sized
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, w, n
+  FROM counted
+), hashed AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(
+           list_slice(w, chunk_idx * {_CHUNK_STRIDE} + 1,
+                      least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)),
+           ' ')) AS chunk_hash
+  FROM chunks
+), freq AS (
+  SELECT chunk_hash, count(*) AS n_occurrences FROM hashed GROUP BY chunk_hash
+)
+SELECT h.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN f.n_occurrences > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       round(5e-10 + sum(CASE WHEN f.n_occurrences > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_chunk_fraction
+FROM hashed h JOIN freq f USING (chunk_hash)
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+""",
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: hash every token-window chunk
+    (same windows as ``text_chunks``), count cross-corpus occurrences,
+    and report each document's duplicated-chunk fraction — boilerplate
+    shows up as high dup fraction even when whole-document hashes are
+    unique.
+
+    Scale shape: chunk production is scan-stage (one Generate); the only
+    shuffles are keyed on the 32-byte chunk digest (count) and doc_id
+    (report) — chunk text itself never shuffles (hashed in the
+    projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", words("text").alias("w")).withColumn(
+        "n", F.greatest(F.size("w"), F.lit(1))
+    )
+    counted = sized.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}"
+            )
+        ),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    end = F.least(start + _CHUNK_TOKENS, F.col("n"))
+    hashed = counted.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("w"), start + 1, end - start), " ")).alias(
+            "chunk_hash"
+        ),
+    )
+    freq = hashed.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    dup = F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
+    return (
+        hashed.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            rnd(F.sum(dup) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "dup_chunk_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )

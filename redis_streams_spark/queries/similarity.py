@@ -398,3 +398,67 @@ def sim_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_np(emb, k=10, query_mod=25).select(
         "query_id", "cand_id", "cosine", "rank"
     )
+
+
+@register(
+    "embed_norm_audit",
+    tags=("embeddings", "quality", "llm-pipeline"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                          (acc, x) -> acc + x)) AS nrm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       min(dim)::BIGINT AS min_dim,
+       max(dim)::BIGINT AS max_dim,
+       round(5e-10 + min(nrm), 6) AS min_norm,
+       round(5e-10 + max(nrm), 6) AS max_norm,
+       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       sum(CASE WHEN abs(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)::BIGINT
+         AS n_unit
+FROM e
+GROUP BY label
+ORDER BY label
+""",
+)
+def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit: per-label vector counts, dimension
+    bounds, L2-norm range, zero-vector count, and how many are already
+    unit-normalized (|norm-1| <= 0.01) — the pre-flight check that
+    decides whether cosine needs explicit normalization and catches
+    dimension drift / dead vectors before they poison an ANN index.
+
+    Scale shape: norms are per-row left-fold expressions in the scan
+    stage; one partial-aggregated groupBy to label cardinality.  The
+    left-fold order matches the oracle's list_reduce exactly, so min/max
+    norms hash-match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.functions.rounding import rnd
+    from redis_streams_spark.operators.similarity import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double_vec(emb).select(
+        "vec_id", "label", F.col("norm").alias("nrm"), F.size("embedding").alias("dim")
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            rnd(F.min("nrm"), 6).alias("min_norm"),
+            rnd(F.max("nrm"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.sum(F.when(F.abs(F.col("nrm") - 1.0) <= 0.01, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unit"),
+        )
+        .orderBy("label")
+    )
