@@ -232,3 +232,46 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_CLASS_CAP = 20  # max docs kept per (source, lang) class
+
+
+@register(
+    "q_class_cap",
+    tags=("sampling", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY {h32_sql('doc_id::VARCHAR')}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang
+FROM ranked
+WHERE rn <= {_CLASS_CAP}
+ORDER BY doc_id
+""",
+)
+def q_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class cap sampling: keep at most {20} documents per
+    (source, lang) class, selected by hash order — caps dominant classes
+    without touching small ones (the complement of rate-based
+    stratified sampling), deterministic and replay-stable.
+
+    Scale shape: one window per class partition; the hash order means
+    the kept set is stable under corpus growth *within* the cap (a doc
+    only drops out when enough lower-hash docs arrive).  At extreme
+    class sizes the exact window can be pre-filtered by an approximate
+    hash-threshold pass; the exact form is the auditable baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        h32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CLASS_CAP)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
