@@ -412,3 +412,65 @@ def q_eviction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("victim_id")
     )
+
+
+@register(
+    "q_stateful_running",
+    tags=("streaming-sem", "stateful"),
+    oracle="""
+WITH epochs AS (
+  SELECT event_type AS key, event_id // 1000 AS epoch, value
+  FROM events
+), per_batch AS (
+  SELECT key, epoch, count(*) AS batch_rows,
+         sum(value) AS batch_value
+  FROM epochs GROUP BY key, epoch
+)
+SELECT key, epoch::BIGINT AS epoch, batch_rows,
+       sum(batch_rows) OVER w::BIGINT AS total_rows,
+       round(5e-10 + sum(batch_value) OVER w, 4) AS total_value
+FROM per_batch
+WINDOW w AS (PARTITION BY key ORDER BY epoch ROWS UNBOUNDED PRECEDING)
+ORDER BY key, epoch
+""",
+)
+def q_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful operator
+    (``streaming/stateful.running_totals``): events bucketed into
+    micro-batch-sized epochs (event_id div 1000), per (key, epoch) batch
+    deltas plus the running per-key totals the checkpointed state store
+    accumulates across batches.  Gives the applyInPandasWithState
+    semantics a full-value driver-checkable row; the live streaming form
+    is exercised by tests/test_stateful.py.
+
+    Scale shape: one partial-aggregated groupBy to (key, epoch)
+    cardinality, then the running window over that aggregate — the raw
+    events never enter the window."""
+    ev = load_table(spark, sf_dir, "events")
+    per_batch = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            F.expr("event_id div 1000").alias("epoch"),
+            "value",
+        )
+        .groupBy("key", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.sum("value").alias("batch_value"),
+        )
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("epoch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_batch.select(
+            "key",
+            F.col("epoch").cast("long").alias("epoch"),
+            "batch_rows",
+            F.sum("batch_rows").over(w).cast("long").alias("total_rows"),
+            rnd(F.sum("batch_value").over(w), 4).alias("total_value"),
+        )
+        .orderBy("key", "epoch")
+    )
