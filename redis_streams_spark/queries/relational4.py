@@ -163,3 +163,50 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg("shuffle_hash"))
         .orderBy("strategy")
     )
+
+
+@register(
+    "q_regression_agg",
+    tags=("agg", "stats", "regression"),
+    oracle="""
+SELECT l_returnflag,
+       round(5e-10 + regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(5e-10 + regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(5e-10 + regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(5e-10 + corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(5e-10 + covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(5e-10 + median(l_quantity), 2) AS median_qty,
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate-statistics aggregate family: regr_slope / intercept /
+    r2 / count, corr, covar_samp, and exact median per group — the
+    moment-based aggregates both engines compute from co-moment sketches
+    (single-pass, partial-mergeable, so they distribute like any sum).
+
+    Rounding is calibrated to moment noise: unnormalized moments
+    (slope/intercept/covariance) carry summation-order noise up to
+    ~1e-8 absolute at this row count, so they round at 4 dp; normalized
+    ratios (corr, r2) are ulp-stable and round at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            rnd(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+            rnd(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+                "intercept"
+            ),
+            rnd(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+            rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            rnd(F.expr("median(l_quantity)"), 2).alias("median_qty"),
+            F.expr("regr_count(l_extendedprice, l_quantity)")
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
