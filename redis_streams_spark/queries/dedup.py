@@ -447,3 +447,79 @@ def dedup_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    tags=("dedup", "fuzzy", "entity-resolution"),
+    oracle="""
+WITH names AS (
+  SELECT c_custkey, c_name, substr(c_name, length(c_name) - 5, 6) AS suffix
+  FROM customer
+), grams AS (
+  SELECT c_custkey, c_name,
+         unnest(generate_series(1, 4)) AS gpos, suffix
+  FROM names
+), posted AS (
+  SELECT c_custkey, c_name, gpos, substr(suffix, gpos, 3) AS gram FROM grams
+), cands AS (
+  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+         a.c_name AS a_name, b.c_name AS b_name
+  FROM posted a JOIN posted b
+    ON a.gpos = b.gpos AND a.gram = b.gram AND a.c_custkey < b.c_custkey
+)
+SELECT a_key, b_key, levenshtein(a_name, b_name)::BIGINT AS dist
+FROM cands
+WHERE levenshtein(a_name, b_name) <= 1
+ORDER BY a_key, b_key
+""",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution family): customer
+    names within Levenshtein distance 1, found via positional-3-gram
+    blocking over the 6-char name suffix — a single substitution leaves
+    at least one of the 4 positional grams intact (pigeonhole), so the
+    candidate join is an equi-join on (position, gram), never an
+    all-pairs cross.  Exact levenshtein verifies candidates.
+
+    Scale: the blocking index shuffles 3-char postings; candidate volume
+    tracks true near-matches (shared grams), and the verify step runs
+    only on candidates — the standard q-gram prefilter shape for
+    edit-distance joins at corpus scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, length(c_name) - 5, 6)").alias("suffix"),
+    )
+    posted = names.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("gpos"),
+        "suffix",
+    ).select(
+        "c_custkey", "c_name", "gpos", F.expr("substr(suffix, gpos, 3)").alias("gram")
+    )
+    a, b = posted.alias("a"), posted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.gpos") == F.col("b.gpos"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            F.col("a.c_name").alias("a_name"),
+            F.col("b.c_name").alias("b_name"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        cands.withColumn("dist", dist.cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    )
