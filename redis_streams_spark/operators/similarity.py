@@ -211,6 +211,12 @@ def kmeans_assign(
     argmax over the broadcast; the rebuild distributes over (cid, dim) so
     wide vectors parallelize across dims too.  Returns
     (vec_id, cluster_id, cosine) for the final assignment."""
+    # classic reuse-a-stage persist: the vectorized scan is read
+    # ``iters``+1 times (once per assignment round plus the final one), so
+    # cache it once.  Lifecycle: the returned DataFrame's lineage still
+    # reads this cache, so it cannot be unpersisted here; like the persist
+    # sites in dedup.py it lives until session LRU eviction (bounded:
+    # (vec_id, v, norm) projection only, not the source table).
     e = as_double_vec(emb).select("vec_id", "v", "norm").persist()
     spark = emb.sparkSession
     cent = e.where(F.col("vec_id") < k).select(
@@ -441,8 +447,11 @@ def brute_force_topk_np(
     happens Spark-side with the same BigDecimal path every other query
     uses, so numpy's summation order only introduces sub-ulp input noise
     (epsilon-absorbed), not a third rounding implementation.  The local
-    margin of ``k*3`` protects the cut against rounded-cosine ties that
-    raw ordering resolves differently (verified value-identical to the
+    cut is TIE-SAFE: beyond the ``k*local_margin`` head it keeps every
+    row within one 6dp quantum of the boundary raw cosine, so an
+    arbitrarily large rounded-tie cluster at the cut (e.g. a dense
+    near-duplicate cluster) can never evict a low-cand_id row the global
+    rounded ordering would rank first (verified value-identical to the
     HOF path at sf0.001/0.01/0.1)."""
     import numpy as np
     import pandas as pd
@@ -473,9 +482,18 @@ def brute_force_topk_np(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                take = min(n_local, len(cand_idx))
-                # stable top-take by (-cosine, cand_id)
-                order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))[:take]
+                # stable order by (-cosine, cand_id)
+                order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))
+                if len(order) > n_local:
+                    # TIE-SAFE cut: the global rank orders by the
+                    # 6dp-ROUNDED cosine (cand_id tie-break), so any row
+                    # within one 6dp quantum (1e-6) of the n_local-th RAW
+                    # value could round onto the boundary and outrank a
+                    # kept row by cand_id.  Cut by threshold, not fixed
+                    # count — keep every boundary-quantum row; order is
+                    # cosine-descending so the mask is a prefix.
+                    boundary = col[cand_idx[order[n_local - 1]]]
+                    order = order[col[cand_idx[order]] >= boundary - 1e-6]
                 sel = cand_idx[order]
                 out_q.append(np.full(len(sel), ids[j], dtype=np.int64))
                 out_c.append(c_ids[sel])

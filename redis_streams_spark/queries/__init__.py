@@ -58,6 +58,11 @@ _REPO_ROOT = os.path.dirname(
 # (e.g. to force a driver re-check of a risky fix next round).
 _DRIVER_PIN: list[str] = []
 
+# NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are
+# (re)generated while a process is alive, the ordering won't pick them up
+# until the next interpreter start.  That is fine for the driver (fresh
+# process per round) but matters for long-lived REPLs; each round's
+# CORRECTNESS file must be COMMITTED for a fresh clone to order the same.
 _HISTORY_CACHE: dict[str, int] | None = None
 
 

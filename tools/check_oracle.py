@@ -31,7 +31,13 @@ def _to_py(v):
     if isinstance(v, float) and pd.isna(v):
         return None  # pandas NULL-in-float column; Spark .collect() gives None
     if isinstance(v, np.ndarray):
-        return v.tolist()  # tolist() already yields native Python scalars
+        # element-wise: tolist() yields native scalars but leaves float
+        # NaN as NaN, while Spark .collect() gives None for NULL-in-array
+        # — normalize recursively so a NULL-element regression fails HERE,
+        # not only at the driver gate.
+        return [_to_py(x) for x in v.tolist()]
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     return v
@@ -42,9 +48,15 @@ def _spark_to_py(v):
     pandas fetch float-promotes DECIMAL columns, and the real driver gate
     still passes decimal queries (CORRECTNESS_r03 q_decimal_money
     hash_match=true), so convert Spark Decimals symmetrically rather than
-    reporting a false type-family FAIL here."""
+    reporting a false type-family FAIL here.  The float conversion is
+    symmetric (DuckDB's pandas fetch float-promotes DECIMAL too) and the
+    comparison in oracle.canon rounds floats at 9 dp, which acts as the
+    scale-aware epsilon: every DECIMAL column in the registry has scale
+    <= 6, so promotion noise is absorbed while real value drift is not."""
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if isinstance(v, list):
+        return [_spark_to_py(x) for x in v]
     return v
 
 
