@@ -15,6 +15,7 @@ from redis_streams_spark.queries.base import REGISTRY, QuerySpec, register  # no
 def _load_all() -> None:
     # import for side effect: each module populates REGISTRY
     from redis_streams_spark.queries import (  # noqa: F401
+        analytics,
         cdc,
         contamination,
         decimalsem,

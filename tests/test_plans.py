@@ -157,6 +157,8 @@ _BNLJ_OK = {
     "sim_kmeans_clusters",
     "sim_recall_report",  # crossJoin of two 1-row aggregates
     "text_tfidf",  # lazy 1-row corpus-count crossJoin (broadcast scalar)
+    "q_gap_fill",  # day-spine × |types| grid build (both tiny, broadcast)
+    "q_rolling_wau",  # 7-day range join against the broadcast day spine
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
