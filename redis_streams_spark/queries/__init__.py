@@ -27,6 +27,7 @@ def _load_all() -> None:
         nullsem,
         pipelines,
         pyudf,
+        quality,
         relational,
         relational2,
         relational3,
@@ -36,6 +37,7 @@ def _load_all() -> None:
         similarity,
         streamsem,
         text,
+        text2,
         timeseries,
     )
 

@@ -383,6 +383,69 @@ def q_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day_idx")
 
 
+_HOUR_MS = 3600000
+
+
+@register(
+    "q_resample_ffill",
+    tags=("analytics", "resample"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_ms(ts) // {_HOUR_MS} AS hour_idx, event_type,
+         round(5e-10 + avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM hourly
+), grid AS (
+  SELECT gs.hour_idx, et.event_type
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hour_idx FROM b) gs
+  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) et
+)
+SELECT g.hour_idx, g.event_type,
+       h.v AS avg_value,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+       (h.v IS NULL) AS filled
+FROM grid g LEFT JOIN hourly h USING (hour_idx, event_type)
+ORDER BY g.event_type, g.hour_idx
+""",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill: a dense hour grid per
+    event_type, empty hours carrying the last observed hourly average
+    forward (leading gaps stay NULL) — the standard time-series
+    regularization before feature extraction.
+
+    Scale shape: same broadcast-grid pattern as q_gap_fill (the grid is
+    hours × types, tiny at any horizon); the fill is a per-type
+    `last(ignorenulls)` running window over the AGGREGATED series — the
+    fill never touches raw events, and the rounded hourly average is
+    filled (identical on both engines) rather than re-derived."""
+    ev = _ev_ms(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.col("ms") / F.lit(_HOUR_MS)).cast("long").alias("hour_idx"),
+        "event_type",
+    ).agg(rnd(F.avg("value"), 4).alias("v"))
+    bounds = hourly.agg(F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1"))
+    hours = bounds.select(F.explode(F.sequence("h0", "h1")).alias("hour_idx"))
+    types = hourly.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    joined = F.broadcast(grid).join(hourly, ["hour_idx", "event_type"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "hour_idx",
+        "event_type",
+        F.col("v").alias("avg_value"),
+        F.last("v", ignorenulls=True).over(w).alias("ffill_value"),
+        F.col("v").isNull().alias("filled"),
+    ).orderBy("event_type", "hour_idx")
+
+
 @register(
     "q_zscore_anomaly",
     tags=("analytics", "anomaly"),

@@ -159,6 +159,7 @@ _BNLJ_OK = {
     "text_tfidf",  # lazy 1-row corpus-count crossJoin (broadcast scalar)
     "q_gap_fill",  # day-spine × |types| grid build (both tiny, broadcast)
     "q_rolling_wau",  # 7-day range join against the broadcast day spine
+    "q_resample_ffill",  # hour-spine × |types| grid build (both tiny)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
