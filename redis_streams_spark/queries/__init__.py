@@ -21,6 +21,7 @@ def _load_all() -> None:
         decimalsem,
         dedup,
         formats,
+        graph,
         llmprep,
         mixing,
         multimodal,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.hashing import h32, h32_sql
@@ -168,4 +169,48 @@ def q_hash_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             rnd(F.sum("l_extendedprice"), 2).alias("line_value"),
         )
+    )
+
+
+@register(
+    "q_reservoir_group_sample",
+    tags=("sampling",),
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY {h32_sql("o_orderkey::VARCHAR")}, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_orderstatus, rk AS sample_rank, o_orderkey, o_totalprice
+FROM ranked WHERE rk <= 5 ORDER BY o_orderstatus, rk
+""",
+)
+def q_reservoir_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size-per-group sample (the distributed,
+    replayable equivalent of per-group reservoir sampling): rank rows
+    inside each group by the key hash — a uniform-but-stable order — and
+    keep the first k.  Unlike rand()-based reservoirs the sample is
+    identical across runs, engines, and repartitioning, so downstream
+    fixtures and debug slices never churn.
+
+    Scale shape: one hash-partitioned window per group; with heavy
+    groups the rank window's sort is the cost — at 100 TB switch the
+    inner ordering to a two-phase top-k (per-partition min-k heap via
+    the same hash order, then merge), which `orderBy(...).limit` shapes
+    give for the global case."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        h32(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .where(F.col("sample_rank") <= 5)
+        .orderBy("o_orderstatus", "sample_rank")
     )

@@ -72,3 +72,21 @@ def test_user_journey_covers_all_users(spark, sf_dir):
     for r in rows:
         assert r["converted"] == (r["n_purchases"] > 0)
         assert r["n_purchases"] <= r["n_events"]
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_pagerank")
+    total = sum(r["pr_permille"] for r in rows) / 1000.0
+    assert abs(total - 1.0) < 1e-3  # rank mass conserved (no dangling)
+    assert all(r["pr_permille"] > 0 for r in rows)
+    assert {r["node_type"] for r in rows} == {"customer", "supplier"}
+
+
+def test_reservoir_sample_fixed_size(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_reservoir_group_sample")
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["o_orderstatus"], []).append(r["sample_rank"])
+    for status, ranks in per_group.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
