@@ -426,7 +426,11 @@ def ivf_topk_indexed(
 
 
 def brute_force_topk_np(
-    emb: DataFrame, k: int = 10, query_mod: int = 25, local_margin: int = 3
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 25,
+    local_margin: int = 3,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Arrow-vectorized exact cosine top-k: same result contract as
     :func:`brute_force_topk`, different physical path — a BLAS matmul
@@ -457,11 +461,25 @@ def brute_force_topk_np(
     import pandas as pd
 
     spark = emb.sparkSession
+    # ENFORCED broadcast-queries assumption: the probe set is collected to
+    # the driver to build the dense query matrix, and it grows with the
+    # corpus (~N/query_mod).  The LIMIT bounds driver memory to
+    # max_queries+1 rows no matter the corpus size; exceeding it raises
+    # loudly instead of OOMing a 100 TB driver.  Raise ``max_queries`` (or
+    # sample the probes) only if the driver is actually sized for it.
     qrows = (
         emb.where(F.col("vec_id") % query_mod == 0)
         .select("vec_id", "embedding")
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_np: probe set exceeds max_queries="
+            f"{max_queries}; the query matrix is driver-collected and "
+            f"broadcast — raise max_queries only if the driver has memory "
+            f"for it, or increase query_mod / pre-sample the probe set."
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))

@@ -117,6 +117,49 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_indexed_oracle() -> str:
+    """The persisted index is a physical layout, not a semantic change:
+    the indexed path must return exactly what in-memory ivf_topk returns,
+    so the oracle IS the ivf oracle — any divergence introduced by the
+    write/read/partition-prune trip hash-mismatches here."""
+    from redis_streams_spark.queries.base import REGISTRY
+
+    return REGISTRY["sim_ivf_topk"].oracle
+
+
+@register(
+    "sim_ivf_indexed",
+    tags=("similarity", "ann", "index"),
+    oracle=_ivf_indexed_oracle(),
+)
+def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 against a PERSISTED IVF index: centroids + label-
+    partitioned cell store written once, then queried with a broadcast
+    equi-join on the partition column so dynamic partition pruning skips
+    every unprobed cell's files.  The build-once/query-many layout that
+    makes IVF pay off at 100 TB — scan cost follows the probe list, not
+    the corpus.  Same scoring arithmetic (and oracle) as ``sim_ivf_topk``;
+    the driver hash check proves the persisted layout is value-identical
+    to the in-memory path."""
+    import hashlib
+    import os
+
+    from redis_streams_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # unique per (process, sf_dir) like the format round trips: concurrent
+    # driver-gate + local-check sessions must not clobber each other
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp/spark-graft-ivf", f"{tag}-{os.getpid()}")
+    build_ivf_index(emb, path)
+    return ivf_topk_indexed(spark, path, k=10, query_mod=25, n_probe=2).select(
+        "query_id", "cand_id", "probed_label", "cosine", "rank"
+    )
+
+
 def _sig_expr() -> str:
     """16-bit sign-LSH signature as a DuckDB expression over column ``v``
     (identical md5-derived hyperplanes to operators.similarity)."""
@@ -294,7 +337,14 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_oracle() -> str:
     """Compose the already-registered brute-force / IVF / LSH oracles as
     CTEs and measure top-10 overlap — recall@10 of each ANN path against
-    the exact baseline, computed identically on both engines."""
+    the exact baseline, computed identically on both engines.
+
+    The two paths with no distinct SQL semantics are pinned by identity
+    claims: the persisted-IVF path must equal the in-memory IVF result
+    (same ivf CTE), and the Arrow-vectorized exact path must have recall
+    exactly 1.0 against the HOF baseline — Spark computes both recalls
+    from the REAL physical paths (index build + read, mapInPandas
+    matmul), so any physical-layer divergence hash-mismatches here."""
     from redis_streams_spark.queries.base import REGISTRY
 
     bf = REGISTRY["sim_bruteforce_topk"].oracle
@@ -306,9 +356,12 @@ ivf AS ({ivf}),
 lsh AS ({lsh})
 SELECT round(5e-10 + count(DISTINCT (i.query_id, i.cand_id)) * 1.0
              / (SELECT count(*) FROM bf), 4) AS ivf_recall_at_10,
+       round(5e-10 + count(DISTINCT (i.query_id, i.cand_id)) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS ivf_indexed_recall_at_10,
        round(5e-10 + (SELECT count(*) FROM bf b JOIN lsh l
                       ON b.query_id = l.query_id AND b.cand_id = l.cand_id) * 1.0
              / (SELECT count(*) FROM bf), 4) AS lsh_recall_at_10,
+       round(5e-10 + 1.0, 4) AS np_recall_at_10,
        (SELECT count(DISTINCT query_id) FROM bf) AS n_queries
 FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
 """
@@ -316,15 +369,21 @@ FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
 
 @register("sim_recall_report", tags=("similarity", "ann", "quality"), oracle=_recall_oracle())
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of both ANN scale paths (IVF 2-probe, sign-LSH) against
-    the exact brute-force baseline — the accuracy/cost dial made
-    measurable and hash-verified (deterministic tie-breaks make the top-k
-    sets identical on both engines).  At scale this is the query you run
-    on a sample to tune n_probe / bands before committing to a sweep."""
+    """Recall@10 of EVERY ANN scale path against the exact brute-force
+    baseline: IVF 2-probe, persisted-index IVF (real index build + pruned
+    read), sign-LSH, and the Arrow-vectorized exact path — the
+    accuracy/cost dial made measurable and hash-verified (deterministic
+    tie-breaks make the top-k sets identical on both engines).  The two
+    physically-different-but-semantically-identical paths (indexed IVF,
+    vectorized brute force) are held to identity: indexed recall must
+    equal in-memory IVF recall, np recall must be exactly 1.0.  At scale
+    this is the query you run on a sample to tune n_probe / bands before
+    committing to a sweep."""
     from pyspark.sql import functions as F
 
     from redis_streams_spark.operators.similarity import (
         brute_force_topk,
+        brute_force_topk_np,
         ivf_topk,
         lsh_topk,
     )
@@ -333,10 +392,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # fully LAZY (like every other registered query — callers may build
-    # the plan without executing it): the baseline feeds three branches,
-    # so it is persisted (materialized on first action, reused by the
-    # rest); both per-path hit counts fuse into one labeled-union
-    # aggregate, and the final row is a crossJoin of two 1-row aggregates
+    # the plan without executing it): the baseline feeds every branch, so
+    # it is persisted (materialized on first action, reused by the rest);
+    # all per-path hit counts fuse into one labeled-union aggregate, and
+    # the final row is a crossJoin of two 1-row aggregates
     bf = (
         brute_force_topk(emb, k=10, query_mod=25)
         .select("query_id", "cand_id")
@@ -347,29 +406,46 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
         .withColumn("path", F.lit("ivf"))
         .unionByName(
+            sim_ivf_indexed(spark, sf_dir)
+            .select("query_id", "cand_id")
+            .withColumn("path", F.lit("ivf_indexed"))
+        )
+        .unionByName(
             lsh_topk(emb, k=10, query_mod=25)
             .select("query_id", "cand_id")
             .withColumn("path", F.lit("lsh"))
         )
-    )
-    hits = (
-        bf.join(labeled, ["query_id", "cand_id"])
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("path") == "ivf", 1)), F.lit(0)
-            ).alias("ivf_hits"),
-            F.coalesce(
-                F.sum(F.when(F.col("path") == "lsh", 1)), F.lit(0)
-            ).alias("lsh_hits"),
+        .unionByName(
+            brute_force_topk_np(emb, k=10, query_mod=25)
+            .select("query_id", "cand_id")
+            .withColumn("path", F.lit("np"))
         )
+    )
+
+    def _hits(path: str, alias: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("path") == path, 1)), F.lit(0)
+        ).alias(alias)
+
+    hits = bf.join(labeled, ["query_id", "cand_id"]).agg(
+        _hits("ivf", "ivf_hits"),
+        _hits("ivf_indexed", "ivf_indexed_hits"),
+        _hits("lsh", "lsh_hits"),
+        _hits("np", "np_hits"),
     )
     totals = bf.agg(
         F.count(F.lit(1)).alias("n_bf"),
         F.count_distinct("query_id").alias("n_queries"),
     )
+
+    def _recall(hits_col: str, alias: str):
+        return rnd(F.col(hits_col) * 1.0 / F.col("n_bf"), 4).alias(alias)
+
     return totals.crossJoin(hits).select(
-        rnd(F.col("ivf_hits") * 1.0 / F.col("n_bf"), 4).alias("ivf_recall_at_10"),
-        rnd(F.col("lsh_hits") * 1.0 / F.col("n_bf"), 4).alias("lsh_recall_at_10"),
+        _recall("ivf_hits", "ivf_recall_at_10"),
+        _recall("ivf_indexed_hits", "ivf_indexed_recall_at_10"),
+        _recall("lsh_hits", "lsh_recall_at_10"),
+        _recall("np_hits", "np_recall_at_10"),
         "n_queries",
     )
 

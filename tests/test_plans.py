@@ -154,6 +154,7 @@ _BNLJ_OK = {
     "q_scaler_decision",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_ivf_indexed",  # same broadcast centroid crossJoin as sim_ivf_topk
     "sim_kmeans_clusters",
     "sim_recall_report",  # crossJoin of two 1-row aggregates
     "text_tfidf",  # lazy 1-row corpus-count crossJoin (broadcast scalar)
@@ -169,6 +170,7 @@ _PYTHON_OK = {
     "q_cogroup_reconcile",
     "mm_decode_features",
     "sim_bruteforce_np",  # declared vectorized path: BLAS matmul in mapInPandas
+    "sim_recall_report",  # audits the np path, so its plan contains MapInPandas
 }
 
 

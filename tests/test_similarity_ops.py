@@ -1,0 +1,57 @@
+"""Guards for the vectorized brute-force path: the enforced broadcast-
+queries bound and the tie-safe local cut (a dense rounded-tie cluster at
+the pruning boundary must never evict a row the global rounded ordering
+ranks first)."""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_streams_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_np,
+)
+from redis_streams_spark.session import load_table
+
+
+def test_np_probe_collect_is_capped(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        # every row is a probe; cap far below the row count
+        brute_force_topk_np(emb, k=2, query_mod=1, max_queries=10).collect()
+
+
+def test_np_matches_hof_under_dense_rounded_ties(spark):
+    """Adversarial tie load for the local cut: a 40-member cluster whose
+    raw cosines differ by ~1e-7 (survives float32, vanishes under the 6dp
+    rounding) with HIGHER cand_id getting the HIGHER raw cosine — a
+    fixed-count cut ordered by raw cosine would keep the high-cand_id
+    rows and evict the low-cand_id rows the global (rounded cosine,
+    cand_id) ordering ranks first.  One partition so the whole cluster
+    lands in a single Arrow batch, local_margin=1 so the cut is as tight
+    as possible: only the threshold (keep-every-boundary-quantum-row) cut
+    reproduces the exact HOF baseline."""
+    rows = []
+    for vid in range(50):
+        if vid % 10 == 0:
+            vec = [1.0, float(vid % 3), 0.5]  # distinct-ish (queries too)
+        else:
+            # perturbation ~2e-7 per id: representable in float32 near
+            # 0.8 (spacing ~6e-8), collapsed by round(·, 6)
+            vec = [0.6, 0.8 + vid * 2e-7, 0.0]
+        rows.append((vid, [float(x) for x in vec]))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).repartition(1)
+    hof = [
+        (r.query_id, r.rank, r.cand_id, r.cosine)
+        for r in brute_force_topk(emb, k=4, query_mod=10).collect()
+    ]
+    np_ = [
+        (r.query_id, r.rank, r.cand_id, r.cosine)
+        for r in brute_force_topk_np(
+            emb, k=4, query_mod=10, local_margin=1
+        ).collect()
+    ]
+    assert np_ == hof
+    assert hof  # non-trivial
