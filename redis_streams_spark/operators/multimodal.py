@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio/video codecs are not present in this container, so the
-decode step is STUBBED: ``decode_features(..., use_real_codecs=True)``
-raises NotImplementedError, while the default deterministic fake derives
-"decoded" features from the payload's md5 — which makes the whole
-mapInPandas pipeline (schema, Arrow batching, partition parallelism)
-real and testable, and even SQL-oracle-verifiable.
+Compressed media codecs (JPEG/PNG/MP4 — PIL/ffmpeg) are not present in
+this container, so those branches of ``decode_features(...,
+use_real_codecs=True)`` raise NotImplementedError.  The real-codec branch
+IS exercised end-to-end, though: pure-Python parsers for the two
+dependency-free raster formats (BMP 24-bit uncompressed, PPM ``P6``)
+decode actual header + pixel bytes inside the mapInPandas batch, and
+``make_bmp`` / ``make_ppm`` synthesize valid payloads for tests.  The
+default deterministic fake derives "decoded" features from the payload's
+md5 — which makes the whole mapInPandas pipeline (schema, Arrow batching,
+partition parallelism) real and testable, and even SQL-oracle-verifiable.
 
 Schema/shape design for 100 TB:
 - payload is a single ``binary`` column (parquet keeps it out of row-group
@@ -91,21 +95,142 @@ def _fake_decode_row(text: str) -> tuple[int, int, int, float]:
     return width, height, n_frames, mean_byte
 
 
+def make_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a valid 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up, rows padded to 4 bytes).  ``pixels`` is width*height*3
+    BGR bytes, row 0 first (stored bottom-up per the format)."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b"".join(
+        pixels[r * row_bytes : (r + 1) * row_bytes] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    )
+    image_size = (row_bytes + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def parse_bmp(b: bytes) -> tuple[int, int, float]:
+    """Parse a 24-bit uncompressed BMP: (width, height, mean pixel byte).
+    Handles bottom-up and top-down (negative height) rows; rejects other
+    bit depths / compressions loudly."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    height = abs(height_raw)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    total = 0
+    for r in range(height):
+        row = b[offset + r * stride : offset + r * stride + row_bytes]
+        if len(row) != row_bytes:
+            raise ValueError("truncated BMP pixel data")
+        total += sum(row)
+    return width, height, round(total / (width * height * 3), 4)
+
+
+def make_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a binary PPM (``P6``, maxval 255): header + raw RGB."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def parse_ppm(b: bytes) -> tuple[int, int, float]:
+    """Parse a binary PPM ``P6``: (width, height, mean pixel byte)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    body = b[i : i + width * height * 3]
+    if len(body) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, round(sum(body) / len(body), 4)
+
+
+def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
+    """Dependency-free real decode: BMP / PPM header+pixel parse (single
+    frame).  Compressed formats need PIL/ffmpeg — absent here, so they
+    raise a clearly-marked NotImplementedError instead of fake numbers."""
+    if payload[:2] == b"BM":
+        w, h, mean = parse_bmp(payload)
+    elif payload[:2] == b"P6":
+        w, h, mean = parse_ppm(payload)
+    else:
+        raise NotImplementedError(
+            "compressed media codecs (JPEG/PNG/MP4 via PIL/ffmpeg) are not "
+            "available in this environment; supported real formats here "
+            "are BMP (24-bit uncompressed) and PPM P6"
+        )
+    return w, h, 1, mean
+
+
 def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Decode / feature-extract over Arrow batches via mapInPandas.
 
-    With ``use_real_codecs=True`` this is where PIL/ffmpeg/soundfile would
-    decode ``payload`` — unavailable in this environment, so it raises
-    (clearly-marked stub).  The default fake is deterministic md5
-    arithmetic, so downstream operators and the SQL oracle can verify the
+    With ``use_real_codecs=True`` the ``payload`` binary column is decoded
+    by REAL pure-Python raster parsers (BMP 24-bit, PPM P6 — header +
+    pixel bytes, see :func:`parse_bmp` / :func:`parse_ppm`); compressed
+    formats raise NotImplementedError (PIL/ffmpeg absent here — swap
+    :func:`_real_decode_payload`'s fallback for a codec call in
+    production).  The default fake is deterministic md5 arithmetic over
+    ``text``, so downstream operators and the SQL oracle can verify the
     full pipeline shape.
     """
     if use_real_codecs:
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg) are not available in this "
-            "environment; the Spark-side plumbing below is the real "
-            "production shape — swap _fake_decode_row for a codec call"
-        )
+        src = docs.select("doc_id", "payload")
+
+        def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = [bytes(p) for p in pdf["payload"]]
+                feats = [_real_decode_payload(p) for p in payloads]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": [
+                            MODALITIES[i % 3] for i in pdf["doc_id"].astype(int)
+                        ],
+                        "byte_len": [len(p) for p in payloads],
+                        "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                        "width": [f[0] for f in feats],
+                        "height": [f[1] for f in feats],
+                        "n_frames": [f[2] for f in feats],
+                        "mean_byte": [f[3] for f in feats],
+                    }
+                )
+
+        return src.mapInPandas(_decode_real, schema=DECODED_SCHEMA)
 
     src = docs.select("doc_id", "text")
 
