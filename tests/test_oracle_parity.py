@@ -46,3 +46,23 @@ def test_registry_consistency():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert qs, "registry must not be empty"
+
+
+def test_documented_counts_match_registry():
+    """README.md / COVERAGE.md query counts must track the registry —
+    the r04 verdict asked for the doc counts to be CI-enforced."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = len(all_queries())
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        m = re.search(r"registry holds (\d+) queries", f.read())
+    assert m and int(m.group(1)) == n, (
+        f"COVERAGE.md says {m and m.group(1)}, registry has {n}"
+    )
+    with open(os.path.join(root, "README.md")) as f:
+        m = re.search(r"(\d+) registered operators", f.read())
+    assert m and int(m.group(1)) == n, (
+        f"README.md says {m and m.group(1)}, registry has {n}"
+    )
