@@ -36,9 +36,11 @@ def _load_all() -> None:
         relational5,
         scale,
         similarity,
+        sketch,
         streamsem,
         text,
         text2,
+        text3,
         timeseries,
     )
 
