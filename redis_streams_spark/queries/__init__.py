@@ -62,7 +62,10 @@ _REPO_ROOT = os.path.dirname(
 
 # Manual escape hatch: names listed here sort before everything else
 # (e.g. to force a driver re-check of a risky fix next round).
-_DRIVER_PIN: list[str] = []
+# r05: sim_recall_report's schema grew (indexed-IVF + np recall columns)
+# after its r04 green row — pin it so the driver re-verifies the new
+# shape this round instead of two rounds from now.
+_DRIVER_PIN: list[str] = ["sim_recall_report"]
 
 # NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are
 # (re)generated while a process is alive, the ordering won't pick them up
