@@ -140,3 +140,76 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(20)
     )
+
+
+@register(
+    "q_zorder_scan",
+    tags=("scale", "layout", "data-skipping"),
+    oracle="""
+WITH b AS (
+  -- // = floor division (CAST would round half-even, diverging from
+  -- Spark's truncating cast on *.6 boundaries)
+  SELECT (max(user_id) * 3) // 10 AS ulo,
+         (max(user_id) * 4) // 10 AS uhi,
+         (max(event_id) * 1) // 10 AS elo,
+         (max(event_id) * 3) // 10 AS ehi
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       round(5e-10 + sum(value), 2) AS total_value,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM events, b
+WHERE user_id BETWEEN b.ulo AND b.uhi AND event_id BETWEEN b.elo AND b.ehi
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout round trip: events are laid out as
+    range-partitioned files ordered by the interleaved bits of
+    (user_id, event_id), then a 2-D box predicate (data-relative: the
+    30-40% user slice x the 10-30% event slice, so the box is non-empty
+    at every SF) is answered from the z-ordered copy — value-identical
+    to querying the source (the oracle reads the original table).  The
+    LAYOUT is the point: every file gets a tight min/max range on BOTH
+    columns, so parquet stats prune box predicates a single-column sort
+    cannot skip on (`tests/test_zorder.py` measures candidate files for
+    per-dimension boxes against a user_id-sorted baseline; at 100 TB
+    this is the OPTIMIZE ZORDER BY technique, built from
+    repartitionByRange + an arithmetic Morton expression).  Write-once
+    cost: one range shuffle, the same class as any global sort."""
+    import hashlib
+    import os
+
+    from redis_streams_spark.operators.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp/spark-graft-zorder", f"{tag}-{os.getpid()}")
+    write_zordered(ev, path, "user_id", "event_id", n_files=16)
+    back = spark.read.parquet(path)
+    bounds = ev.agg(
+        (F.max("user_id") * 3 / 10).cast("long").alias("ulo"),
+        (F.max("user_id") * 4 / 10).cast("long").alias("uhi"),
+        (F.max("event_id") * 1 / 10).cast("long").alias("elo"),
+        (F.max("event_id") * 3 / 10).cast("long").alias("ehi"),
+    )
+    return (
+        back.crossJoin(F.broadcast(bounds))
+        .where(
+            F.col("user_id").between(F.col("ulo"), F.col("uhi"))
+            & F.col("event_id").between(F.col("elo"), F.col("ehi"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )

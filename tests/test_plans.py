@@ -159,6 +159,7 @@ _BNLJ_OK = {
     "sim_recall_report",  # crossJoin of two 1-row aggregates
     "text_tfidf",  # lazy 1-row corpus-count crossJoin (broadcast scalar)
     "q_gap_fill",  # day-spine × |types| grid build (both tiny, broadcast)
+    "q_zorder_scan",  # 1-row bounds crossJoin (broadcast scalar box)
     "q_rolling_wau",  # 7-day range join against the broadcast day spine
     "q_resample_ffill",  # hour-spine × |types| grid build (both tiny)
 }
