@@ -1,0 +1,149 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-lite).
+
+Complements the probabilistic LSH family in operators/dedup.py: LSH
+banding trades recall for speed (false negatives possible below the
+S-curve), while prefix filtering is EXACT — every pair with Jaccard ≥ t
+is guaranteed to surface — at the cost of candidate sets that grow with
+token-frequency skew.  Published basis: SSJoin/AllPairs/PPJoin
+(Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+Scale design (100 TB posture):
+- The global token order that prefix filtering requires is the pair
+  (document-frequency, token) itself — NOT a dense global rank.  That
+  removes the classic scalability trap (an unpartitioned window / zip
+  to assign rank numbers): each document sorts its OWN tokens by the
+  (df, token) key, which is a total order shared by all documents.
+- Stages are: one shuffle on token (df count + df join), one re-agg by
+  doc_id (signature rebuild), one equi-join on prefix token, one verify
+  join on doc_id.  No global sort, no driver materialization.
+- The length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before
+  dedup; the exact Jaccard verify keeps only true pairs, so skewed
+  common tokens cost shuffle volume, never correctness.
+
+Reference basis: none — the reference (redis-streams) has no similarity
+surface; cited papers are the public algorithmic source.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.operators.dedup import shingle_sets
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with word-``n``-shingle Jaccard ≥ ``threshold``
+    — EXACT (no false negatives), via prefix filtering.
+
+    Prefix principle: order every document's token set by ascending
+    document frequency (rare first; ties broken by token text).  If
+    J(A, B) ≥ t then A and B must share at least one token among each
+    one's first ``|x| − ⌈t·|x|⌉ + 1`` tokens — so the candidate join
+    only needs the prefixes, and the rare-first order keeps prefix
+    postings short.
+
+    Returns (a_id, b_id, n_common, jaccard) for verified pairs.
+    """
+    sets_ = (
+        shingle_sets(docs, n).where(F.size("shingles") > 0).persist()
+    )  # reuse-a-stage persist: feeds df-count, prefix build, and both
+    # verify sides; session-LRU bounded, consumed within this query.
+    tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    ptok = (
+        ranked.select(
+            "doc_id", "sz", F.explode(F.slice("ordered", 1, prefix_len)).alias("p")
+        )
+        .select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    )
+    a = ptok.select(
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = ptok.select(
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"), "tok"
+    )
+    t = float(threshold)
+    cands = (
+        a.join(b, "tok")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            # length filter: J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.col("sz_b") >= F.col("sz_a") * t)
+            & (F.col("sz_a") >= F.col("sz_b") * t)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    joined = cands.join(sa, "a_id").join(sb, "b_id")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter * 1.0 / F.greatest(union, F.lit(1))
+    return (
+        joined.select(
+            "a_id",
+            "b_id",
+            inter.cast("long").alias("n_common"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= math.floor(t * 1e6) / 1e6)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    bucket_col: str = "source",
+) -> DataFrame:
+    """Ordered pairs (a, b) where containment |A∩B| / |A| ≥ ``threshold``
+    — catches SUBSET duplication (a doc whose shingles are mostly inside
+    another's), which symmetric Jaccard misses when sizes differ.
+
+    Candidate generation is bounded by a provenance bucket equi-join
+    (quadratic only within a bucket — the same declared bound as
+    dedup_ngram_jaccard); emits both directions since containment is
+    asymmetric.
+    """
+    sets_ = shingle_sets(docs, n).where(F.size("shingles") > 0)
+    withb = docs.select("doc_id", F.col(bucket_col).alias("bucket")).join(
+        sets_, "doc_id"
+    )
+    a = withb.select(
+        "bucket", F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")
+    )
+    b = withb.select(
+        "bucket", F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")
+    )
+    pairs = a.join(b, "bucket").where(F.col("a_id") != F.col("b_id"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    cont = inter * 1.0 / F.greatest(F.size("sa"), F.lit(1))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            inter.cast("long").alias("n_common"),
+            rnd(cont, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

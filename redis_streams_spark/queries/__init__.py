@@ -16,10 +16,12 @@ def _load_all() -> None:
     # import for side effect: each module populates REGISTRY
     from redis_streams_spark.queries import (  # noqa: F401
         analytics,
+        assoc,
         cdc,
         contamination,
         decimalsem,
         dedup,
+        dedup2,
         formats,
         graph,
         llmprep,
@@ -42,6 +44,7 @@ def _load_all() -> None:
         text2,
         text3,
         timeseries,
+        timeseries2,
     )
 
 

@@ -115,3 +115,163 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         rnd(F.col("pr") * 1000, 6).alias("pr_permille"),
     ).orderBy("node_id")
+
+
+_TRI_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u AS x, count(*)::BIGINT AS d FROM und GROUP BY u
+), ori AS (
+  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS lo,
+         CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS hi
+  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v
+), tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM ori e1
+  JOIN ori e2 ON e2.lo = e1.hi
+  JOIN ori e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+) t
+GROUP BY node
+ORDER BY node
+"""
+
+
+@register("q_triangles", tags=("graph", "triangles"), oracle=_TRI_ORACLE)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    appearing in the same order are linked) — the clustering-coefficient
+    numerator and a standard cohesion feature.
+
+    Scale shape — degree-ordered edge orientation: each undirected edge
+    is directed from its lower-(degree, id) endpoint to the higher one,
+    which bounds every node's out-degree by O(sqrt(|E|)), so the wedge
+    join (e1.hi = e2.lo) enumerates each triangle exactly once and the
+    candidate set stays near-linear even with power-law hubs — THE
+    published MapReduce triangle-counting shape (Suri & Vassilvitskii,
+    WWW'11).  All three joins are equi-joins on node keys; the final
+    membership probe is a semi-join-shaped equi-join on (lo, hi).
+
+    Reference basis: none (no graph ops in redis-streams)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, ["ok"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "x")
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ed = e0.join(du, "u").join(dv, "v")
+    u_first = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    # classic reuse-a-stage persist: ori feeds the wedge join twice and
+    # the membership probe once; lifecycle: session-LRU bounded (2 ints
+    # per edge), consumed within this query's job.
+    ori = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).persist()
+    e1 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = ori.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(
+        ori,
+        (wedges.x == ori.lo) & (wedges.z == ori.hi),
+    ).select("x", "y", "z")
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+_LINKPRED_ORACLE = """
+WITH sc AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT s, count(*)::DOUBLE AS d FROM sc GROUP BY s
+), pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b, count(*)::DOUBLE AS common
+  FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s_a, s_b, common::BIGINT AS n_common,
+       round(5e-10 + common / (da.d + db.d - common), 6) AS jaccard
+FROM pairs
+JOIN deg da ON da.s = pairs.s_a
+JOIN deg db ON db.s = pairs.s_b
+WHERE common >= 10
+ORDER BY s_a, s_b
+"""
+
+
+@register("q_link_prediction", tags=("graph", "similarity"), oracle=_LINKPRED_ORACLE)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction between suppliers: two
+    suppliers are similar when their customer sets overlap (common
+    neighbors ≥ 10), scored |A∩B| / |A∪B| — the common-neighbors family
+    of link predictors over a bipartite interaction graph.
+
+    Scale shape: pair generation joins the bipartite edge list to itself
+    on the CUSTOMER key, so cost is Σ_c C(deg(c), 2) — bounded by the
+    per-customer fan-out, not |suppliers|².  This is the right plan when
+    one side's neighborhoods are bounded (a customer buys from a bounded
+    set of suppliers); for unbounded-degree corpora switch to the LSH
+    family in operators/similarity.py.  Degree lookups broadcast (one
+    row per supplier).
+
+    Reference basis: none."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = sc.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    a = sc.select(F.col("s").alias("s_a"), "c")
+    b = sc.select(F.col("s").alias("s_b"), "c")
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+        .where(F.col("common") >= 10)
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.col("common").cast("long").alias("n_common"),
+            rnd(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("s_a", "s_b")
+    )

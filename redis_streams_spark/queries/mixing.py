@@ -275,3 +275,69 @@ def q_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+_SYS_K = 20
+
+
+@register(
+    "q_systematic_sample",
+    tags=("sampling", "prefix-sum"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hk FROM documents
+), r AS (
+  SELECT doc_id, hk,
+         row_number() OVER (ORDER BY hk, doc_id) - 1 AS idx
+  FROM h
+)
+SELECT doc_id, idx AS sample_idx FROM r
+WHERE idx % {_SYS_K} = 0
+ORDER BY doc_id
+""",
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample over the md5-content order: rank every
+    document in a global pseudorandom (hash) order and keep each 20th —
+    evenly spaced coverage that rate-based Bernoulli sampling doesn't
+    guarantee, deterministic and replay-stable.
+
+    Scale shape — distributed global ranking WITHOUT a global sort: the
+    hash keyspace is bucketed by its first byte; phase 1 ranks within
+    each bucket (parallel windows), phase 2 turns per-bucket counts into
+    exclusive-prefix offsets (an unpartitioned window over ≤256
+    AGGREGATE rows), and global_idx = offset + local_rank.  Because the
+    bucket is a PREFIX of the hash order key, bucket-major order equals
+    the global (hk, doc_id) order — the same two-phase prefix-sum shape
+    as q_concurrency_curve, here computing the DataFrame equivalent of
+    zipWithIndex.
+
+    Reference basis: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("hk")).withColumn(
+        "bucket", F.substring("hk", 1, 2)
+    )
+    local = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("hk", "doc_id")
+        ),
+    )
+    bcnt = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    offsets = bcnt.select(
+        "bucket",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", (F.col("off") + F.col("rn") - 1).alias("sample_idx")
+        )
+        .where(F.col("sample_idx") % _SYS_K == 0)
+        .orderBy("doc_id")
+    )

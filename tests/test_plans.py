@@ -162,6 +162,8 @@ _BNLJ_OK = {
     "q_zorder_scan",  # 1-row bounds crossJoin (broadcast scalar box)
     "q_rolling_wau",  # 7-day range join against the broadcast day spine
     "q_resample_ffill",  # hour-spine × |types| grid build (both tiny)
+    "q_decay_score",  # 1-row max-timestamp anchor crossJoin (broadcast scalar)
+    "q_basket_rules",  # 1-row corpus-total crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
