@@ -110,35 +110,70 @@ def prefix_filter_pairs(
 
 
 def containment_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.6,
-    bucket_col: str = "source",
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
     """Ordered pairs (a, b) where containment |A∩B| / |A| ≥ ``threshold``
     — catches SUBSET duplication (a doc whose shingles are mostly inside
-    another's), which symmetric Jaccard misses when sizes differ.
-
-    Candidate generation is bounded by a provenance bucket equi-join
-    (quadratic only within a bucket — the same declared bound as
-    dedup_ngram_jaccard); emits both directions since containment is
+    another's), which symmetric Jaccard misses when sizes differ.  EXACT
+    (no false negatives), both directions emitted since containment is
     asymmetric.
+
+    Prefix principle for containment: if |A∩B| ≥ ⌈t·|A|⌉ then B must
+    contain at least one of A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens in the
+    rare-first (df, token) order — so the probe side carries only A's
+    prefix while the build side is the full inverted index (no size
+    bound exists on B beyond |B| ≥ t·|A|).  A first cut of this operator
+    used a provenance-bucket quadratic join; measured at 10× data it
+    grew 44× (pairs are quadratic in bucket occupancy) — the prefix
+    rewrite is the scale-correct shape, same measurement now ~linear.
     """
-    sets_ = shingle_sets(docs, n).where(F.size("shingles") > 0)
-    withb = docs.select("doc_id", F.col(bucket_col).alias("bucket")).join(
-        sets_, "doc_id"
+    sets_ = (
+        shingle_sets(docs, n).where(F.size("shingles") > 0).persist()
+    )  # reuse-a-stage persist: feeds df-count, prefix, index, verify.
+    tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
     )
-    a = withb.select(
-        "bucket", F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")
+    t = float(threshold)
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
+    ).cast("int")
+    a = (
+        ranked.select(
+            "doc_id", "sz", F.explode(F.slice("ordered", 1, prefix_len)).alias("p")
+        )
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.col("sz").alias("sz_a"),
+            F.col("p.tok").alias("tok"),
+        )
     )
-    b = withb.select(
-        "bucket", F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")
+    sizes = sets_.select("doc_id", F.size("shingles").alias("sz_b"))
+    b = tok.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("b_id"), "sz_b", "tok"
     )
-    pairs = a.join(b, "bucket").where(F.col("a_id") != F.col("b_id"))
+    cands = (
+        a.join(b, "tok")
+        .where(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("sz_b") >= F.col("sz_a") * t)  # |A∩B| ≤ |B| bound
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    joined = cands.join(sa, "a_id").join(sb, "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     cont = inter * 1.0 / F.greatest(F.size("sa"), F.lit(1))
     return (
-        pairs.select(
+        joined.select(
             "a_id",
             "b_id",
             inter.cast("long").alias("n_common"),

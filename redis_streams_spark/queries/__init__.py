@@ -16,12 +16,14 @@ def _load_all() -> None:
     # import for side effect: each module populates REGISTRY
     from redis_streams_spark.queries import (  # noqa: F401
         analytics,
+        analytics2,
         assoc,
         cdc,
         contamination,
         decimalsem,
         dedup,
         dedup2,
+        embedmath,
         formats,
         graph,
         llmprep,

@@ -51,15 +51,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_ORACLE = f"""
-WITH {_SETS_SQL}, wb AS (
-  SELECT s2.doc_id, d.source AS bucket, s2.g, s2.sz
-  FROM s2 JOIN documents d ON d.doc_id = s2.doc_id
-)
+WITH {_SETS_SQL}
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        len(list_intersect(a.g, b.g))::BIGINT AS n_common,
        round(5e-10 + len(list_intersect(a.g, b.g)) * 1.0 /
              greatest(a.sz, 1), 6) AS containment
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+FROM s2 a JOIN s2 b
+  ON a.doc_id <> b.doc_id AND b.sz >= a.sz * 0.6
 WHERE round(5e-10 + len(list_intersect(a.g, b.g)) * 1.0 /
             greatest(a.sz, 1), 6) >= 0.6
 ORDER BY a_id, b_id
@@ -69,7 +67,8 @@ ORDER BY a_id, b_id
 @register("text_containment", tags=("dedup", "containment"), oracle=_CONTAIN_ORACLE)
 def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (|A∩B|/|A| ≥ 0.6, both directions)
-    within provenance buckets — catches subset documents symmetric
-    Jaccard misses."""
+    over the whole corpus via containment-prefix filtering — catches
+    subset documents symmetric Jaccard misses.  Oracle is the unpruned
+    all-pairs join: any lost true pair fails."""
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs, n=3, threshold=0.6, bucket_col="source")
+    return containment_pairs(docs, n=3, threshold=0.6)

@@ -286,3 +286,80 @@ def text_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"v_{_RULE_NAMES[c]}")
         )
     return sig.agg(*aggs)
+
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(w[1:len(w) - 1]) AS w1,
+         unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2
+), cnt AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+), uni AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w2)::DOUBLE AS v FROM big
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(5e-10 + avg(ln((c.c12 + 1.0) / (u.c1 + v.v))), 6) AS avg_logprob
+FROM big b
+JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+JOIN uni u ON u.w1 = b.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "text_bigram_lm",
+    tags=("text", "quality", "lm", "llm-pipeline"),
+    oracle=_BIGRAM_ORACLE,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal: per-document average log P(w₂|w₁) under
+    the corpus bigram model with add-one smoothing — the next step up
+    from text_unigram_lm's context-free score; documents whose word
+    ORDER is unusual (shuffled/generated text) score low here even when
+    their unigram mix is normal.
+
+    Scale shape: bigram postings explode in the scan stage; counts are
+    two keyed aggregations (bigram key, unigram key); scoring re-joins
+    postings to the count tables on their natural keys (at 100 TB the
+    count tables are vocabulary²-bounded and heavily skew-cut by the
+    Zipf head — the join keys are the distribution keys); the smoothing
+    vocabulary V is a 1-row broadcast scalar.
+
+    Reference basis: none."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("w"))
+    big = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.agg(F.countDistinct("w2").cast("double").alias("v"))
+    return (
+        big.join(cnt, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(
+                F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

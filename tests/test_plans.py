@@ -164,6 +164,8 @@ _BNLJ_OK = {
     "q_resample_ffill",  # hour-spine × |types| grid build (both tiny)
     "q_decay_score",  # 1-row max-timestamp anchor crossJoin (broadcast scalar)
     "q_basket_rules",  # 1-row corpus-total crossJoin (broadcast scalar)
+    "text_bigram_lm",  # 1-row smoothing-vocabulary crossJoin (broadcast scalar)
+    "q_embed_pca_power",  # 1-row norm/sign/count crossJoins (broadcast scalars)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

@@ -159,3 +159,74 @@ def test_ohlc_open_close_ordering(spark, sf_dir):
         assert r.low <= r.close <= r.high
     n = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_ticks for r in out) == n
+
+
+def test_containment_prefix_matches_bruteforce(spark):
+    """Exactness of the containment-prefix rewrite: must equal the
+    unpruned quadratic join (ordered pairs, containment >= t)."""
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta theta flux",
+            " ".join(f"w{i}" for i in range(30)),
+            " ".join(f"w{i}" for i in range(6)),   # subset of the above
+            "unrelated words entirely different content here now"]
+    docs = _docs(spark, base)
+    got = {
+        (r.a_id, r.b_id)
+        for r in containment_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    from redis_streams_spark.operators.dedup import shingle_sets
+
+    sets_ = shingle_sets(docs, 3).where(F.size("shingles") > 0)
+    a = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") != F.col("b_id"))
+        .where(inter * 1.0 / F.greatest(F.size("sa"), F.lit(1)) >= 0.6)
+        .collect()
+    }
+    assert got == brute
+    assert (3, 2) in got  # the subset doc is contained in its superset
+
+
+def test_pca_power_unit_norm_and_sign(spark, sf_dir):
+    """Loadings are unit-norm and the largest-|loading| dim is
+    positive (the sign convention)."""
+    from redis_streams_spark.queries.embedmath import q_embed_pca_power
+
+    rows = q_embed_pca_power(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm = sum(r.loading ** 2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-4
+    top = max(rows, key=lambda r: (abs(r.loading), -r.dim_idx))
+    assert top.loading > 0
+
+
+def test_winsorize_clip_reduces_spread(spark, sf_dir):
+    """Winsorized mean sits within the raw value range and clipped
+    counts are ~2% of n (1% each tail) per type."""
+    from redis_streams_spark.queries.analytics2 import q_winsorize
+
+    for r in q_winsorize(spark, sf_dir).collect():
+        assert r.p01 <= r.p99
+        assert r.n_clipped_lo + r.n_clipped_hi <= max(0.04 * r.n, 4)
+        assert r.n_clipped_lo >= 0 and r.n_clipped_hi >= 0
+
+
+def test_feature_binning_equidepth(spark, sf_dir):
+    """Bins are contiguous, ordered, and sized within 1 of n/10."""
+    from collections import defaultdict
+
+    from redis_streams_spark.queries.analytics2 import q_feature_binning
+
+    by_type = defaultdict(list)
+    for r in q_feature_binning(spark, sf_dir).collect():
+        by_type[r.event_type].append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.bin)
+        n_total = sum(r.n for r in rows)
+        for r in rows:
+            assert abs(r.n - n_total / 10) <= 1
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.hi <= cur.lo  # contiguous, non-overlapping
