@@ -17,6 +17,7 @@ def _load_all() -> None:
     from redis_streams_spark.queries import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         assoc,
         cdc,
         contamination,

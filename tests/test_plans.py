@@ -166,6 +166,8 @@ _BNLJ_OK = {
     "q_basket_rules",  # 1-row corpus-total crossJoin (broadcast scalar)
     "text_bigram_lm",  # 1-row smoothing-vocabulary crossJoin (broadcast scalar)
     "q_embed_pca_power",  # 1-row norm/sign/count crossJoins (broadcast scalars)
+    "q_ab_test",  # |types|² inequality join over the 5-row moment aggregate
+    "q_pareto_gini",  # 1-row total-revenue crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

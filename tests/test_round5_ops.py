@@ -230,3 +230,69 @@ def test_feature_binning_equidepth(spark, sf_dir):
             assert abs(r.n - n_total / 10) <= 1
         for prev, cur in zip(rows, rows[1:]):
             assert prev.hi <= cur.lo  # contiguous, non-overlapping
+
+
+def test_pareto_gini_two_phase_matches_global(spark, sf_dir):
+    """The bucketed two-phase ranking must equal a plain global-window
+    computation of the same statistics."""
+    from redis_streams_spark.queries.analytics3 import q_pareto_gini
+    from redis_streams_spark.session import load_table
+
+    row = q_pareto_gini(spark, sf_dir).collect()[0]
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+        .collect()
+    )
+    import math
+
+    rs = sorted(((r.r, r.o_custkey) for r in rev), key=lambda t: (-t[0], t[1]))
+    n = len(rs)
+    tot = sum(r for r, _ in rs)
+    cum = 0.0
+    k80 = None
+    gsum = 0.0
+    for rk, (r, _) in enumerate(rs, start=1):
+        cum += r
+        if k80 is None and round(5e-10 + cum / tot, 6) >= 0.8:
+            k80 = rk
+        gsum += r * (n - rk + 1)
+    gini = 1.0 + 1.0 / n - 2.0 * gsum / (n * tot)
+    assert row.n_customers == n
+    assert math.isclose(row.pareto_frac_80, round(5e-10 + k80 / n, 6), abs_tol=1e-9)
+    assert math.isclose(row.gini, round(5e-10 + gini, 6), abs_tol=1e-6)
+
+
+def test_funnel_windowed_monotone(spark, sf_dir):
+    """Stage populations never grow down the funnel and conversions are
+    in (0, 1]."""
+    from redis_streams_spark.queries.analytics3 import q_funnel_windowed
+
+    rows = sorted(q_funnel_windowed(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.step for r in rows] == ["view", "click_24h", "purchase_24h"]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    for r in rows[1:]:
+        assert 0.0 <= r.conversion_from_prev <= 1.0
+
+
+def test_mad_robust_to_outliers(spark):
+    """Injected extreme outliers move the mean but not the MAD gate:
+    exactly the injected points are flagged."""
+    from redis_streams_spark.queries.analytics3 import q_mad_anomaly
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(event_id=i, ts=t0, user_id=1, event_type="x",
+                value=10.0 + (i % 7) * 0.5, props="") for i in range(100)]
+    rows += [Row(event_id=1000 + i, ts=t0, user_id=1, event_type="x",
+                 value=1e6, props="") for i in range(3)]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = q_mad_anomaly(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_outliers == 3
