@@ -70,8 +70,18 @@ _REPO_ROOT = os.path.dirname(
 # (e.g. to force a driver re-check of a risky fix next round).
 # r05: sim_recall_report's schema grew (indexed-IVF + np recall columns)
 # after its r04 green row — pin it so the driver re-verifies the new
-# shape this round instead of two rounds from now.
-_DRIVER_PIN: list[str] = ["sim_recall_report"]
+# shape this round instead of two rounds from now.  The five timeseries
+# joins are the r04 verdict's top ask (the only queries with no driver
+# row ever); pinned so round-5 operator growth cannot push them past the
+# driver's front-50 window.
+_DRIVER_PIN: list[str] = [
+    "sim_recall_report",
+    "q_sliding_windows",
+    "q_sessionize",
+    "q_asof_join",
+    "q_range_join_bucketed",
+    "q_interval_join",
+]
 
 # NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are
 # (re)generated while a process is alive, the ordering won't pick them up
