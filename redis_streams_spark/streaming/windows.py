@@ -105,3 +105,50 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bar_size: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    order_col: str = "msgid",
+) -> DataFrame:
+    """Watermarked streaming OHLC bars: open/high/low/close of
+    ``value_col`` per event-time bar — the batch q_ohlc_bars semantics
+    carried into Structured Streaming.
+
+    open/close resolve with ``min_by``/``max_by`` over the composite
+    (event time, ``order_col``) key, so ties at identical timestamps are
+    deterministic — the same contract the batch form pins with
+    row_number.  State per group is O(1) (four scalars + the sort keys),
+    bounded overall by the watermark horizon × group cardinality.
+    """
+    okey = F.struct(F.col(ts_col), F.col(order_col))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bar_size), *keys)
+        .agg(
+            F.expr(f"min_by({value_col}, struct({ts_col}, {order_col}))").alias(
+                "open"
+            ),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.expr(f"max_by({value_col}, struct({ts_col}, {order_col}))").alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("window.start").alias("bar_start"),
+            F.col("window.end").alias("bar_end"),
+            *keys,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
