@@ -341,3 +341,87 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_idx") % _SYS_K == 0)
         .orderBy("doc_id")
     )
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({words_sql('text')}) AS tok FROM documents
+), cfreq AS (
+  SELECT tok, count(*) AS cc FROM toks GROUP BY tok
+), tfreq AS (
+  SELECT tok, count(*) AS tc FROM toks WHERE lang = 'en' GROUP BY tok
+), freq AS (
+  SELECT c.tok, c.cc, coalesce(t.tc, 0) AS tc
+  FROM cfreq c LEFT JOIN tfreq t ON t.tok = c.tok
+), scal AS (
+  SELECT sum(cc)::DOUBLE AS nc, sum(tc)::DOUBLE AS nt,
+         count(*)::DOUBLE AS v
+  FROM freq
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(5e-10 + avg(ln(((f.tc + 1.0) / (scal.nt + scal.v)) /
+                            ((f.cc + 1.0) / (scal.nc + scal.v)))), 6)
+         AS avg_logratio,
+       avg(ln(((f.tc + 1.0) / (scal.nt + scal.v)) /
+              ((f.cc + 1.0) / (scal.nc + scal.v)))) >= 0 AS keep
+FROM toks t
+JOIN freq f ON f.tok = t.tok
+CROSS JOIN scal
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "mix_importance_resample",
+    tags=("mixing", "dsir", "llm-pipeline"),
+    oracle=_DSIR_ORACLE,
+)
+def mix_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", simplified to
+    unigram features): every document gets the average token
+    log-likelihood RATIO between a target domain LM (here: the corpus's
+    'en' slice) and the raw-corpus LM, add-one smoothed over the shared
+    vocabulary; ``keep`` selects documents that look more target-like
+    than corpus-average.  The deterministic threshold stands in for the
+    paper's Gumbel resampling so the oracle is value-exact.
+
+    Scale shape: two token-count aggregations sharing one shuffle key
+    (token), a left join of the count tables (vocabulary-sized), one
+    postings→frequency equi-join, scalars broadcast; one per-doc agg.
+
+    Reference basis: none (published method; no counterpart in
+    redis-streams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(words("text")).alias("tok"))
+    cfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    tfreq = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    freq = cfreq.join(tfreq, "tok", "left").select(
+        "tok", "cc", F.coalesce(F.col("tc"), F.lit(0)).alias("tc")
+    )
+    scal = freq.agg(
+        F.sum("cc").cast("double").alias("nc"),
+        F.sum("tc").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr = F.log(
+        ((F.col("tc") + 1.0) / (F.col("nt") + F.col("v")))
+        / ((F.col("cc") + 1.0) / (F.col("nc") + F.col("v")))
+    )
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(F.avg(lr), 6).alias("avg_logratio"),
+            (F.avg(lr) >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

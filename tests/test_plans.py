@@ -167,6 +167,7 @@ _BNLJ_OK = {
     "text_bigram_lm",  # 1-row smoothing-vocabulary crossJoin (broadcast scalar)
     "q_embed_pca_power",  # 1-row norm/sign/count crossJoins (broadcast scalars)
     "q_ab_test",  # |types|² inequality join over the 5-row moment aggregate
+    "mix_importance_resample",  # 1-row LM-normalizer crossJoin (broadcast scalars)
     "q_pareto_gini",  # 1-row total-revenue crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
