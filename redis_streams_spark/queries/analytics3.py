@@ -287,7 +287,8 @@ WITH v AS (
 )
 SELECT stage, step, n_users,
        round(5e-10 + n_users * 1.0 /
-             greatest(lag(n_users) OVER (ORDER BY stage), 1), 6)
+             greatest(coalesce(lag(n_users) OVER (ORDER BY stage), n_users),
+                      1), 6)
          AS conversion_from_prev
 FROM stages
 ORDER BY stage
@@ -344,7 +345,11 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users")
             * 1.0
             / F.greatest(
-                F.lag("n_users").over(W.orderBy("stage")), F.lit(1)
+                F.coalesce(
+                    F.lag("n_users").over(W.orderBy("stage")),
+                    F.col("n_users"),
+                ),
+                F.lit(1),
             ),
             6,
         ).alias("conversion_from_prev"),
