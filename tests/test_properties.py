@@ -165,3 +165,98 @@ def test_text_primitives_cross_engine(spark, texts):
         ).fetchall()
     }
     assert srows == drows
+
+
+# ---- exactness of the prefix-filter set-similarity joins -------------
+# One Spark round-trip per example is too slow for hypothesis, so the
+# property runs pure-Python over the SAME prefix/length-filter logic the
+# operator encodes, and a single Spark example cross-checks the wiring
+# (tests/test_round5_ops.py holds the Spark-side equality tests).
+
+
+def _prefix_survivors(sets_, t):
+    """Reference implementation of candidate generation: rare-first
+    (df, token) order, prefix length |x| - ceil(t|x|) + 1, length filter
+    both directions."""
+    import math
+    from collections import Counter
+
+    df = Counter()
+    for s in sets_.values():
+        for tok in s:
+            df[tok] += 1
+    prefixes = {}
+    for d, s in sets_.items():
+        ordered = sorted(s, key=lambda tok: (df[tok], tok))
+        k = len(s) - math.ceil(t * len(s)) + 1
+        prefixes[d] = set(ordered[:k])
+    cands = set()
+    docs = sorted(sets_)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            la, lb = len(sets_[a]), len(sets_[b])
+            if lb < t * la or la < t * lb:
+                continue
+            if prefixes[a] & prefixes[b]:
+                cands.add((a, b))
+    return cands
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    tq=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_filter_never_loses_a_true_pair(docs, tq):
+    """For EVERY pair with Jaccard >= t, the prefix+length filter must
+    keep it as a candidate — the no-false-negative theorem the Spark
+    operator relies on, swept over random set families."""
+    cands = _prefix_survivors(docs, tq)
+    names = sorted(docs)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if union and inter / union >= tq:
+                assert (a, b) in cands, (a, b, docs[a], docs[b], tq)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    tq=st.sampled_from([0.4, 0.6, 0.8]),
+)
+def test_containment_prefix_never_loses_a_true_pair(docs, tq):
+    """Containment variant: A-prefix × full-B-index candidates must keep
+    every ordered pair with |A∩B|/|A| >= t."""
+    import math
+    from collections import Counter
+
+    df = Counter()
+    for s in docs.values():
+        for tok in s:
+            df[tok] += 1
+    cands = set()
+    for a, sa in docs.items():
+        ordered = sorted(sa, key=lambda tok: (df[tok], tok))
+        k = len(sa) - math.ceil(tq * len(sa)) + 1
+        pref = set(ordered[:k])
+        for b, sb in docs.items():
+            if a == b or len(sb) < tq * len(sa):
+                continue
+            if pref & sb:
+                cands.add((a, b))
+    for a, sa in docs.items():
+        for b, sb in docs.items():
+            if a != b and len(sa & sb) / len(sa) >= tq:
+                assert (a, b) in cands, (a, b, sa, sb, tq)
