@@ -536,3 +536,138 @@ def q_pareto_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pareto_frac_80",
         "gini",
     )
+
+
+_PATH_STEPS = 8
+_TOP_PATHS = 20
+
+
+@register(
+    "q_top_paths",
+    tags=("analytics", "paths"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_ms(ts) // {_DAY_MS} AS day,
+         event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // {_DAY_MS}
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM seq WHERE rn <= {_PATH_STEPS}
+  GROUP BY user_id, day
+), counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+), ranked AS (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+  FROM counted
+)
+SELECT rk, path, n_sessions FROM ranked
+WHERE rk <= {_TOP_PATHS}
+ORDER BY rk
+""",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each (user, day) session becomes its ordered
+    event-type path (first 8 steps), ranked by frequency — the path-
+    analysis primitive behind "how do users actually reach purchase?".
+
+    Scale shape: one (user, day)-partitioned window + one path
+    aggregation; the final ranking window runs over the DISTINCT-path
+    aggregate (bounded by |types|^steps in theory, tiny in practice —
+    at genuinely huge path cardinality the rank would move to a top-k
+    per partition pre-filter like operators/skew.py's two-phase top-k).
+
+    Reference basis: none."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.expr(_MS) / _DAY_MS).cast("long")
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", day.alias("day"), "event_type", "ts", "event_id"
+    ).withColumn("rn", F.row_number().over(w))
+    paths = (
+        seq.where(F.col("rn") <= _PATH_STEPS)
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.expr(_MS).alias("ms"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x.t,
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    ranked = counted.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("n_sessions"), "path")),
+    )
+    return (
+        ranked.where(F.col("rk") <= _TOP_PATHS)
+        .select("rk", "path", "n_sessions")
+        .orderBy("rk")
+    )
+
+
+@register(
+    "q_dwell_time",
+    tags=("analytics", "transitions"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n,
+       round(5e-10 + avg(gap_ms), 1) AS avg_gap_ms,
+       round(5e-10 + quantile_cont(gap_ms, 0.5), 1) AS median_gap_ms,
+       max(gap_ms) AS max_gap_ms
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time matrix: for every event-type transition, the count and
+    gap statistics (mean / median / max ms between the two events per
+    user) — where q_event_transitions gives WHERE users go, this gives
+    HOW LONG they linger on the way.
+
+    Scale shape: one user-partitioned lag() window, one
+    |types|²-key aggregation.
+
+    Reference basis: none."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr(_MS)
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg("gap_ms"), 1).alias("avg_gap_ms"),
+            rnd(F.expr("percentile(gap_ms, 0.5)"), 1).alias("median_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
