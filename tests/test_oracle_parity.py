@@ -66,3 +66,19 @@ def test_documented_counts_match_registry():
     assert m and int(m.group(1)) == n, (
         f"README.md says {m and m.group(1)}, registry has {n}"
     )
+
+
+def test_catalog_tracks_registry():
+    """CATALOG.md is generated (tools/gen_catalog.py); its row count and
+    header count must match the registry so it can't silently go stale."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CATALOG.md")) as f:
+        text = f.read()
+    n = len(all_queries())
+    m = re.search(r"^(\d+) operators;", text.splitlines()[2])
+    assert m and int(m.group(1)) == n, "run tools/gen_catalog.py"
+    rows = [ln for ln in text.splitlines() if ln.startswith("| `")]
+    assert len(rows) == n, "run tools/gen_catalog.py"
