@@ -179,5 +179,11 @@ class Monitor(BaseStreamClass):
         return "\n".join(lines)
 
     def print_monitoring_data(self, output_stream=sys.stdout) -> None:
-        """Tabulated report to any .write-able (monitor.py:195-209)."""
-        output_stream.write(self._generate_table() + "\n")
+        """Tabulated report to any .write-able; a non-writeable argument
+        falls back to print() — the reference's exact guard
+        (monitor.py:205-209, asserted by its test_monitor_long_idle which
+        passes a plain string)."""
+        if hasattr(output_stream, "write"):
+            output_stream.write(self._generate_table() + "\n")
+        else:
+            print(self._generate_table())

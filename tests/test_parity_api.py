@@ -277,3 +277,41 @@ def test_scaler_rate_clamped(log):
     rate, suggestion = sca.get_scale_decision()
     assert rate == 100
     assert suggestion == Scale.OUT.value
+
+
+def test_scaler_multiple_consumer_groups_isolated(log):
+    """Two groups on one stream: each group's scaler sees its OWN
+    pending/backlog, not the other's (reference:
+    redis_streams_test/test_scaler.py:101 test_scaler_multiple_consumer_groups —
+    collect_metrics scoped to the scaler's consumer_group)."""
+    seed(log, 4)
+    Consumer(log, "teststream", "grp", batch_size=2, max_wait_time_ms=100,
+             consumer_id="c-a").get_items()
+    Consumer(log, "teststream", "_grp", batch_size=3, max_wait_time_ms=100,
+             consumer_id="c-b").get_items()
+    backlog_a, pending_a = Scaler(log, "teststream", "grp").collect_metrics()
+    backlog_b, pending_b = Scaler(log, "teststream", "_grp").collect_metrics()
+    assert pending_a == 2   # only grp's two claimed-unacked items
+    assert pending_b == 3   # only _grp's three
+    # backlog (undelivered from the group's own cursor) is per-group too:
+    # grp consumed 2 of 4, _grp consumed 3 of 4
+    assert (backlog_a, backlog_b) == (2, 1)
+
+
+def test_monitor_long_idle_consumer_surfaces(log):
+    """A consumer idle past a tiny warning threshold still appears in the
+    collected monitoring data and the report prints (reference:
+    redis_streams_test/test_monitor.py:69 test_monitor_long_idle)."""
+    import time as _time
+
+    seed(log, 2)
+    Consumer(log, "teststream", "grp", batch_size=2, max_wait_time_ms=100,
+             consumer_id="idler").get_items()
+    _time.sleep(0.05)
+    mon = Monitor(log, "teststream", "grp", batch_size=2,
+                  idle_time_ms_warning_threshold=10, min_wait_time_ms=1)
+    mon.collect_monitoring_data(auto_cleanup=False)
+    assert mon.collected_consumers_data
+    names = [c.consumer_id for c in mon.collected_consumers_data]
+    assert "idler" in names
+    mon.print_monitoring_data("NonStream")
