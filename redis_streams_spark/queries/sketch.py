@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.hashing import h32, h32_sql
+from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
@@ -132,4 +133,108 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
         )
         .orderBy("rank")
+    )
+
+
+_HLL_M = 256  # registers (2^8); bucket = top 8 hash bits' complement split
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # alpha_m for m = 256
+_HLL_AMM = _HLL_ALPHA * _HLL_M * _HLL_M  # embedded as one double literal
+
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {h32_sql("user_id::VARCHAR")} AS hv FROM events
+), parts AS (
+  SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+), rho AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN 25
+              ELSE 25 - (floor(log2(w))::BIGINT + 1) END AS r
+  FROM parts
+), regs AS (
+  SELECT bucket, max(r) AS m FROM rho GROUP BY bucket
+), s AS (
+  SELECT sum(pow(2.0, -m)) AS sp, count(*) AS npresent FROM regs
+), ex AS (
+  SELECT count(DISTINCT user_id) AS n_exact FROM events
+), est AS (
+  SELECT ex.n_exact,
+         ({_HLL_M} - s.npresent)::BIGINT AS n_zero_registers,
+         {_HLL_AMM!r}::DOUBLE
+           / (s.sp + ({_HLL_M} - s.npresent)) AS e_raw
+  FROM s CROSS JOIN ex
+)
+SELECT n_exact, n_zero_registers,
+       round(5e-10 + CASE WHEN e_raw <= 2.5 * {_HLL_M} AND n_zero_registers > 0
+             THEN {_HLL_M} * ln({_HLL_M} * 1.0 / n_zero_registers)
+             ELSE e_raw END, 4) AS hll_estimate,
+       round(5e-10 + abs(CASE WHEN e_raw <= 2.5 * {_HLL_M} AND n_zero_registers > 0
+             THEN {_HLL_M} * ln({_HLL_M} * 1.0 / n_zero_registers)
+             ELSE e_raw END - n_exact) / n_exact, 6) AS rel_error,
+       abs(CASE WHEN e_raw <= 2.5 * {_HLL_M} AND n_zero_registers > 0
+             THEN {_HLL_M} * ln({_HLL_M} * 1.0 / n_zero_registers)
+             ELSE e_raw END - n_exact) / n_exact < 0.10 AS within_10pct
+FROM est
+"""
+
+
+@register("q_hll_distinct", tags=("sketch", "hll"), oracle=_HLL_ORACLE)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of users, built as a DataFrame
+    computation from the repo's md5-derived h32 (Flajolet et al. 2007,
+    with the standard small-range linear-counting correction) — both
+    engines construct IDENTICAL register tables, so unlike
+    q_approx_aggs' engine-opaque HLL sketch this one hash-compares the
+    actual estimate.  Completes the mergeable-sketch family: CMS
+    (frequency), bloom (membership, tools/bloom_filter_demo.py), HLL
+    (distinct) — all built from sums/maxima, so they merge across
+    partitions, executors, and days by construction.
+
+    Scale shape: one distinct-hash aggregation (the only data-sized
+    shuffle, keyed on the hash), then register maxima onto ≤256 cells
+    with map-side combine — the exchange carries O(registers), not
+    O(keys).
+
+    Reference basis: none (published algorithm)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(h32(F.col("user_id").cast("string")).alias("hv")).distinct()
+    parts = h.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.floor(F.col("hv") / _HLL_M).cast("long").alias("w"),
+    )
+    rho = parts.select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(25))
+        .otherwise(25 - (F.floor(F.log2("w")).cast("long") + 1))
+        .alias("r"),
+    )
+    regs = rho.groupBy("bucket").agg(F.max("r").alias("m"))
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sp"),
+        F.count(F.lit(1)).alias("npresent"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = s.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        (F.lit(_HLL_M) - F.col("npresent")).cast("long").alias("n_zero_registers"),
+        (
+            F.lit(_HLL_AMM)
+            / (F.col("sp") + (F.lit(_HLL_M) - F.col("npresent")))
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_zero_registers") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_registers")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "n_exact",
+        "n_zero_registers",
+        rnd(corrected, 4).alias("hll_estimate"),
+        rnd(F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+        (
+            F.abs(corrected - F.col("n_exact")) / F.col("n_exact") < 0.10
+        ).alias("within_10pct"),
     )

@@ -169,6 +169,7 @@ _BNLJ_OK = {
     "q_ab_test",  # |types|² inequality join over the 5-row moment aggregate
     "mix_importance_resample",  # 1-row LM-normalizer crossJoin (broadcast scalars)
     "q_pareto_gini",  # 1-row total-revenue crossJoin (broadcast scalar)
+    "q_hll_distinct",  # 1-row exact-count crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

@@ -296,3 +296,15 @@ def test_mad_robust_to_outliers(spark):
         out = q_mad_anomaly(spark, d).collect()
     assert len(out) == 1
     assert out[0].n_outliers == 3
+
+
+def test_hll_accuracy_and_determinism(spark, sf_dir):
+    """HLL estimate is within 10% of exact and repeat runs are
+    bit-identical (registers are maxima — fully deterministic)."""
+    from redis_streams_spark.queries.sketch import q_hll_distinct
+
+    a = q_hll_distinct(spark, sf_dir).collect()[0]
+    b = q_hll_distinct(spark, sf_dir).collect()[0]
+    assert a == b
+    assert a.within_10pct
+    assert a.rel_error < 0.10
