@@ -132,6 +132,8 @@ def parse_bmp(b: bytes) -> tuple[int, int, float]:
     if bpp != 24 or compression != 0 or planes != 1:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
     height = abs(height_raw)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
     total = 0
@@ -173,6 +175,8 @@ def parse_ppm(b: bytes) -> tuple[int, int, float]:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     body = b[i : i + width * height * 3]
     if len(body) != width * height * 3:
         raise ValueError("truncated PPM pixel data")

@@ -130,6 +130,7 @@ def containment_pairs(
     sets_ = (
         shingle_sets(docs, n).where(F.size("shingles") > 0).persist()
     )  # reuse-a-stage persist: feeds df-count, prefix, index, verify.
+    t = float(threshold)
     tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -140,7 +141,6 @@ def containment_pairs(
             F.count(F.lit(1)).alias("sz"),
         )
     )
-    t = float(threshold)
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
     ).cast("int")
@@ -179,6 +179,10 @@ def containment_pairs(
             inter.cast("long").alias("n_common"),
             rnd(cont, 6).alias("containment"),
         )
-        .where(F.col("containment") >= threshold)
+        # compare against the 6dp-floor of t: `containment` is rounded at
+        # 6 dp, so a raw-threshold compare would drop true pairs whenever
+        # t itself isn't 6dp-representable (e.g. 1/3) — same guard as
+        # prefix_filter_pairs
+        .where(F.col("containment") >= math.floor(t * 1e6) / 1e6)
         .orderBy("a_id", "b_id")
     )

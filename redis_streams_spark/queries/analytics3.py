@@ -595,11 +595,15 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 ">",
                 F.transform(
+                    # sort by the rn already ranked over (ts, event_id) —
+                    # the FULL-microsecond order the oracle's string_agg
+                    # uses; sorting by unix_millis here would diverge on
+                    # same-millisecond events (caught in review by a
+                    # cross-engine repro)
                     F.array_sort(
                         F.collect_list(
                             F.struct(
-                                F.expr(_MS).alias("ms"),
-                                F.col("event_id").alias("eid"),
+                                F.col("rn").alias("rn"),
                                 F.col("event_type").alias("t"),
                             )
                         )

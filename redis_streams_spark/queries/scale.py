@@ -190,6 +190,11 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join("/tmp/spark-graft-zorder", f"{tag}-{os.getpid()}")
+    # removed at interpreter exit so repeated processes don't leak /tmp
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_zordered(ev, path, "user_id", "event_id", n_files=16)
     back = spark.read.parquet(path)
     bounds = ev.agg(

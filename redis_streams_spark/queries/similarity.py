@@ -154,6 +154,12 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-gate + local-check sessions must not clobber each other
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join("/tmp/spark-graft-ivf", f"{tag}-{os.getpid()}")
+    # this process's artifacts are removed at interpreter exit — repeated
+    # test/audit/driver processes must not accumulate /tmp trees
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     build_ivf_index(emb, path)
     return ivf_topk_indexed(spark, path, k=10, query_mod=25, n_probe=2).select(
         "query_id", "cand_id", "probed_label", "cosine", "rank"
@@ -391,11 +397,15 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redis_streams_spark.functions.rounding import rnd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # fully LAZY (like every other registered query — callers may build
-    # the plan without executing it): the baseline feeds every branch, so
-    # it is persisted (materialized on first action, reused by the rest);
-    # all per-path hit counts fuse into one labeled-union aggregate, and
-    # the final row is a crossJoin of two 1-row aggregates
+    # MOSTLY lazy, with two declared exceptions at plan-construction
+    # time: the vectorized np path collects the (capped) probe set to
+    # build its broadcast matrix, and the indexed-IVF path materializes
+    # its index files — both are the audited operators' own documented
+    # behavior, so building this report's plan does bounded eager work.
+    # The baseline feeds every branch and is persisted (materialized on
+    # first action, reused by the rest); all per-path hit counts fuse
+    # into one labeled-union aggregate, and the final row is a crossJoin
+    # of two 1-row aggregates
     bf = (
         brute_force_topk(emb, k=10, query_mod=25)
         .select("query_id", "cand_id")

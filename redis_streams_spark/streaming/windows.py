@@ -131,14 +131,10 @@ def ohlc_bars(
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, bar_size), *keys)
         .agg(
-            F.expr(f"min_by({value_col}, struct({ts_col}, {order_col}))").alias(
-                "open"
-            ),
+            F.min_by(F.col(value_col), okey).alias("open"),
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
-            F.expr(f"max_by({value_col}, struct({ts_col}, {order_col}))").alias(
-                "close"
-            ),
+            F.max_by(F.col(value_col), okey).alias("close"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
         .select(

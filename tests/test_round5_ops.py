@@ -308,3 +308,25 @@ def test_hll_accuracy_and_determinism(spark, sf_dir):
     assert a == b
     assert a.within_10pct
     assert a.rel_error < 0.10
+
+
+def test_top_paths_same_millisecond_ordering(spark, tmp_path):
+    """Regression (review repro): two events in the SAME millisecond
+    whose microsecond order disagrees with event_id order — the path
+    must follow full-microsecond (ts, event_id) order, matching the
+    oracle's string_agg ordering."""
+    import datetime as dt
+
+    from redis_streams_spark.queries.analytics3 import q_top_paths
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 123001)  # .123001 — earlier us
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)  # .123456 — later us
+    rows = [
+        Row(event_id=2, ts=t0, user_id=1, event_type="view", value=1.0, props=""),
+        Row(event_id=1, ts=t1, user_id=1, event_type="purchase", value=1.0, props=""),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = q_top_paths(spark, str(tmp_path)).collect()
+    assert out[0].path == "view>purchase"  # microsecond order, not event_id
