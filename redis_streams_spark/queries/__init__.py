@@ -18,6 +18,7 @@ def _load_all() -> None:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         assoc,
         cdc,
         contamination,
