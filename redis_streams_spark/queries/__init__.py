@@ -25,6 +25,7 @@ def _load_all() -> None:
         decimalsem,
         dedup,
         dedup2,
+        dedup3,
         embedmath,
         formats,
         graph,
