@@ -330,3 +330,28 @@ def test_top_paths_same_millisecond_ordering(spark, tmp_path):
     )
     out = q_top_paths(spark, str(tmp_path)).collect()
     assert out[0].path == "view>purchase"  # microsecond order, not event_id
+
+
+def test_dup_spans_island_merge(spark):
+    """Hand-checkable island merge: two docs share a 10-token run and a
+    separate 8-token run — spans must merge per run, not per window."""
+    from redis_streams_spark.queries.dedup3 import text_dup_spans
+    import os
+    import tempfile
+
+    shared_a = " ".join(f"a{i}" for i in range(10))   # 10-token shared run
+    shared_b = " ".join(f"b{i}" for i in range(8))    # exactly one window
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    d0 = f"{shared_a} {uniq('x', 6)} {shared_b}"
+    d1 = f"{uniq('y', 5)} {shared_a} {uniq('z', 7)} {shared_b}"
+    docs = _docs(spark, [d0, d1])
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in text_dup_spans(spark, tmp).collect()}
+    # doc 0: spans [1..10] (10 tokens) and [17..24] (8 tokens)
+    assert out[0].n_dup_spans == 2
+    assert out[0].longest_span_tokens == 10
+    assert abs(out[0].dup_token_fraction - 18 / 24) < 1e-6
+    # doc 1: same two runs at shifted offsets
+    assert out[1].n_dup_spans == 2
+    assert out[1].longest_span_tokens == 10
