@@ -28,6 +28,7 @@ def _load_all() -> None:
         dedup3,
         embedmath,
         formats,
+        frontier,
         graph,
         llmprep,
         mixing,

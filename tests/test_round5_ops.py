@@ -355,3 +355,52 @@ def test_dup_spans_island_merge(spark):
     # doc 1: same two runs at shifted offsets
     assert out[1].n_dup_spans == 2
     assert out[1].longest_span_tokens == 10
+
+
+def test_skyline_dominance_invariant(spark, sf_dir):
+    """No frontier point is dominated; every non-frontier point is
+    dominated by some frontier point."""
+    from redis_streams_spark.queries.frontier import q_skyline_2d
+    from redis_streams_spark.session import load_table
+
+    sky = [(r.price, r.size) for r in q_skyline_2d(spark, sf_dir).collect()]
+    allp = [
+        (round(r.p_retailprice + 5e-10, 2), r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p, q):  # q dominates p
+        return (
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+        )
+
+    for s in sky:
+        assert not any(dominated(s, q) for q in allp), s
+    skyset = set(sky)
+    for p in allp:
+        if p not in skyset:
+            assert any(dominated(p, s) for s in sky), p
+
+
+def test_nearest_event_beats_backward_only(spark, sf_dir):
+    """Nearest matching finds at least as many matches as the
+    backward-only tolerance as-of, and each delta is within bound."""
+    from redis_streams_spark.queries.frontier import _NEAR_TOL_MS, q_nearest_event
+    from redis_streams_spark.queries.timeseries2 import q_asof_tolerance
+
+    near = {r.event_id: r for r in q_nearest_event(spark, sf_dir).collect()}
+    back = {r.event_id: r for r in q_asof_tolerance(spark, sf_dir).collect()}
+    n_near = sum(1 for r in near.values() if r.nearest_click_id != -1)
+    # different tolerances (1h vs 30min) but nearest includes the forward
+    # direction — at matching tolerance it must dominate; sanity: deltas
+    for r in near.values():
+        if r.abs_delta_ms != -1:
+            assert 0 <= r.abs_delta_ms <= _NEAR_TOL_MS
+    # backward match within 30min implies nearest match exists (1h, both dirs)
+    for eid, b in back.items():
+        if b.matched_click_id != -1:
+            assert near[eid].nearest_click_id != -1
+            assert near[eid].abs_delta_ms <= b.staleness_ms
+    assert n_near >= sum(1 for b in back.values() if b.matched_click_id != -1)
