@@ -384,3 +384,68 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LANGID_PRED_SQL = f"""
+  SELECT doc_id, lang AS labeled_lang,
+         CASE WHEN greatest(
+                {_lang_score_sql(words_sql('text'), 'de')},
+                {_lang_score_sql(words_sql('text'), 'en')},
+                {_lang_score_sql(words_sql('text'), 'es')},
+                {_lang_score_sql(words_sql('text'), 'fr')}) = 0 THEN 'unknown'
+              WHEN {_lang_score_sql(words_sql('text'), 'de')} >= greatest(
+                {_lang_score_sql(words_sql('text'), 'en')},
+                {_lang_score_sql(words_sql('text'), 'es')},
+                {_lang_score_sql(words_sql('text'), 'fr')}) THEN 'de'
+              WHEN {_lang_score_sql(words_sql('text'), 'en')} >= greatest(
+                {_lang_score_sql(words_sql('text'), 'es')},
+                {_lang_score_sql(words_sql('text'), 'fr')}) THEN 'en'
+              WHEN {_lang_score_sql(words_sql('text'), 'es')} >=
+                {_lang_score_sql(words_sql('text'), 'fr')} THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM documents
+"""
+
+
+@register(
+    "text_langid_eval",
+    tags=("text", "langid", "evaluation"),
+    oracle=f"""
+WITH pred AS ({_LANGID_PRED_SQL}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n,
+       round(5e-10 + n * 1.0 / sum(n) OVER (PARTITION BY labeled_lang), 6)
+         AS row_frac,
+       labeled_lang = predicted_lang AS is_correct
+FROM cells
+ORDER BY labeled_lang, predicted_lang
+""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the lexicon classifier's
+    predictions crossed with the labeled ``lang`` column — per-cell
+    count, per-label row fraction (recall on the diagonal), and the
+    correctness flag.  The eval-harness pattern: a model-quality audit
+    as a first-class query over the same engine.
+
+    Scale shape: classification is scan-stage expressions (zero
+    shuffle); the matrix is one (label × prediction)-keyed aggregation;
+    the row fraction windows over the ≤ |langs|² aggregate.
+
+    Reference basis: none."""
+    pred = text_langid(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        rnd(
+            F.col("n") * 1.0 / F.sum("n").over(W.partitionBy("labeled_lang")), 6
+        ).alias("row_frac"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
+    ).orderBy("labeled_lang", "predicted_lang")
