@@ -112,7 +112,7 @@ SELECT event_type, day * {_DAY_MS} AS day_start_ms,
        round(5e-10 + ma7, 4) AS ma7,
        round(5e-10 + coalesce(sd7, 0.0), 4) AS sd7,
        n_win,
-       n_win >= 2 AND abs(x - ma7) > 2 * sd7 AS breakout
+       n_win >= 2 AND round(5e-10 + abs(x - ma7) - 2 * sd7, 4) > 0 AS breakout
 FROM b
 ORDER BY event_type, day_start_ms
 """,
@@ -152,9 +152,12 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("ma7", 4).alias("ma7"),
         rnd(F.coalesce(F.col("sd7"), F.lit(0.0)), 4).alias("sd7"),
         "n_win",
+        # round-before-threshold (repo convention, rounding.py): the
+        # window mean/stddev differ by an ulp across engines, so the
+        # breakout decision compares the 4dp-stabilized margin
         (
             (F.col("n_win") >= 2)
-            & (F.abs(F.col("x") - F.col("ma7")) > 2 * F.col("sd7"))
+            & (rnd(F.abs(F.col("x") - F.col("ma7")) - 2 * F.col("sd7"), 4) > 0)
         ).alias("breakout"),
     ).orderBy("event_type", "day_start_ms")
 

@@ -21,13 +21,12 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.functions.textfns import word_shingles_sql, words, words_sql
-from redis_streams_spark.operators.dedup import NORM_RE, normalized_text
+from redis_streams_spark.operators.dedup import exact_dedup, fanout  # noqa: F401
+from redis_streams_spark.queries.dedup import _NORM_SQL
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 _WIN = 8  # tokens per duplication window
-
-_NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
 
 _SPANS_ORACLE = f"""
 WITH toks AS (
@@ -45,10 +44,16 @@ WITH toks AS (
   SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 ), duppos AS (
   SELECT w.doc_id, w.pos FROM wins w JOIN dupgram d ON d.gram = w.gram
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_WIN} THEN 0 ELSE 1 END AS is_break
+  FROM duppos
 ), islands AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM duppos
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
 ), spans AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {_WIN - 1} AS e
   FROM islands GROUP BY doc_id, grp
@@ -70,8 +75,10 @@ ORDER BY s.doc_id
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated SPANS: every 8-token window appearing in
     ≥ 2 documents marks its positions; overlapping/adjacent positions
-    merge into maximal spans (gaps-and-islands: pos − row_number groups
-    consecutive runs), reported per doc as span count, longest span, and
+    merge into maximal spans (gaps-and-islands with a gap-aware break:
+    consecutive dup windows join one span whenever their positions are
+    within WIN of each other, so overlapping coverage never double-counts),
+    reported per doc as span count, longest span, and
     the fraction of tokens covered — the cut-list for span-level dedup.
 
     Cross-engine note: windows join on the literal gram STRING so both
@@ -84,8 +91,10 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands via a doc-partitioned window.
 
     Reference basis: none (published method)."""
+    from redis_streams_spark.operators.dedup import fanout
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", words("text").alias("w"))
+    toks = fanout(docs).select("doc_id", words("text").alias("w"))
     wins = (
         toks.where(F.size("w") >= _WIN)
         .select(
@@ -112,10 +121,24 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     duppos = wins.join(dupgram, "gram").select("doc_id", "n_tokens", "pos")
-    grp = F.col("pos") - F.row_number().over(
-        W.partitionBy("doc_id").orderBy("pos")
+    # island break when the gap to the previous dup window exceeds WIN:
+    # windows at positions p1 < p2 cover overlapping-or-adjoining token
+    # intervals iff p2 - p1 <= WIN, so only larger gaps start a new span.
+    # (A first cut used pos - row_number consecutive-run grouping, which
+    # splits overlapping windows at gaps 2..WIN-1 into overlapping
+    # "spans" and double-counts their tokens — caught in review; the
+    # oracle shared the flaw, so only a semantic test could see it.)
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    marked = duppos.withColumn(
+        "is_break",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wdoc) <= _WIN, F.lit(0)
+        ).otherwise(F.lit(1)),
     )
-    islands = duppos.withColumn("grp", grp)
+    islands = marked.withColumn(
+        "grp",
+        F.sum("is_break").over(wdoc.rowsBetween(W.unboundedPreceding, 0)),
+    )
     spans = islands.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("s"),
         (F.max("pos") + (_WIN - 1)).alias("e"),
@@ -166,10 +189,10 @@ def mix_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: none."""
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
-    g = h.groupBy("content_hash").agg(F.count(F.lit(1)).alias("group_size"))
+    # reuse the exact-dedup operator — one digest shuffle, same
+    # normalization/hash as dedup_exact by construction
     return (
-        h.join(g, "content_hash")
+        exact_dedup(docs)
         .select(
             "doc_id",
             "group_size",

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.queries.base import register
+from redis_streams_spark.queries.timeseries2 import (
+    CLICK_PURCHASE_SQL,
+    click_purchase_sides,
+)
 from redis_streams_spark.session import load_table
 
 _MS = "unix_millis(cast(ts as timestamp))"
@@ -77,7 +82,7 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "p_partkey",
-            F.round(F.col("price") + F.lit(5e-10), 2).alias("price"),
+            rnd("price", 2).alias("price"),
             "size",
         )
         .orderBy("price", "p_partkey")
@@ -85,14 +90,7 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAREST_ORACLE = f"""
-WITH c AS (
-  SELECT user_id AS k, epoch_ms(ts) AS cms, max(event_id) AS click_id
-  FROM events WHERE event_type = 'click'
-  GROUP BY 1, 2
-), p AS (
-  SELECT event_id, user_id AS k, epoch_ms(ts) AS pms
-  FROM events WHERE event_type = 'purchase'
-)
+WITH {CLICK_PURCHASE_SQL}
 SELECT p.event_id,
        coalesce((
          SELECT c.click_id FROM c
@@ -128,20 +126,7 @@ def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: none."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy(F.col("user_id").alias("k"), F.expr(_MS).alias("t"))
-        .agg(F.max("event_id").alias("click_id"))
-        .select("k", "t", F.lit(1).alias("is_ref"), "click_id",
-                F.lit(None).cast("long").alias("event_id"))
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"),
-        F.expr(_MS).alias("t"),
-        F.lit(0).alias("is_ref"),
-        F.lit(None).cast("long").alias("click_id"),
-        "event_id",
-    )
+    clicks, purchases = click_purchase_sides(ev)
     merged = clicks.unionByName(purchases)
     wb = (
         W.partitionBy("k")

@@ -124,6 +124,18 @@ def _lang_score_sql(toks: str, lang: str) -> str:
     return f"len(list_filter({toks}, x -> list_contains({lex}, x)))::BIGINT"
 
 
+def _langid_case_sql(de: str, en: str, es: str, fr: str) -> str:
+    """The classifier's argmax CASE (de>en>es>fr tie order, 'unknown' on
+    zero hits) over four score expressions — ONE source of truth shared
+    by the text_langid oracle and the text_langid_eval oracle so the
+    eval can never diverge from the classifier it audits."""
+    return f"""CASE WHEN greatest({de}, {en}, {es}, {fr}) = 0 THEN 'unknown'
+            WHEN {de} >= greatest({en}, {es}, {fr}) THEN 'de'
+            WHEN {en} >= greatest({es}, {fr}) THEN 'en'
+            WHEN {es} >= {fr} THEN 'es'
+            ELSE 'fr' END"""
+
+
 @register(
     "text_langid",
     tags=("text", "langid"),
@@ -137,11 +149,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
-       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
-            WHEN score_de >= greatest(score_en, score_es, score_fr) THEN 'de'
-            WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
-            WHEN score_es >= score_fr THEN 'es'
-            ELSE 'fr' END AS predicted_lang
+       {_langid_case_sql('score_de', 'score_en', 'score_es', 'score_fr')} AS predicted_lang
 FROM scored
 ORDER BY doc_id
 """,
@@ -387,25 +395,19 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LANGID_PRED_SQL = f"""
-  SELECT doc_id, lang AS labeled_lang,
-         CASE WHEN greatest(
-                {_lang_score_sql(words_sql('text'), 'de')},
-                {_lang_score_sql(words_sql('text'), 'en')},
-                {_lang_score_sql(words_sql('text'), 'es')},
-                {_lang_score_sql(words_sql('text'), 'fr')}) = 0 THEN 'unknown'
-              WHEN {_lang_score_sql(words_sql('text'), 'de')} >= greatest(
-                {_lang_score_sql(words_sql('text'), 'en')},
-                {_lang_score_sql(words_sql('text'), 'es')},
-                {_lang_score_sql(words_sql('text'), 'fr')}) THEN 'de'
-              WHEN {_lang_score_sql(words_sql('text'), 'en')} >= greatest(
-                {_lang_score_sql(words_sql('text'), 'es')},
-                {_lang_score_sql(words_sql('text'), 'fr')}) THEN 'en'
-              WHEN {_lang_score_sql(words_sql('text'), 'es')} >=
-                {_lang_score_sql(words_sql('text'), 'fr')} THEN 'es'
-              ELSE 'fr' END AS predicted_lang
-  FROM documents
+  WITH scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_score_sql(words_sql('text'), 'de')} AS score_de,
+           {_lang_score_sql(words_sql('text'), 'en')} AS score_en,
+           {_lang_score_sql(words_sql('text'), 'es')} AS score_es,
+           {_lang_score_sql(words_sql('text'), 'fr')} AS score_fr
+    FROM documents
+  )
+  SELECT doc_id, labeled_lang,
+         {_langid_case_sql('score_de', 'score_en', 'score_es', 'score_fr')}
+           AS predicted_lang
+  FROM scored
 """
-
 
 @register(
     "text_langid_eval",

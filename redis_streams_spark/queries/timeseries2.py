@@ -290,18 +290,45 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_asof_tolerance",
-    tags=("join", "asof"),
-    oracle=f"""
-WITH c AS (
+
+
+# Shared by q_asof_tolerance and queries/frontier.py::q_nearest_event:
+# the click reference side (same-timestamp ties pre-collapsed to max
+# event_id) and the purchase probe side, shaped for the union+window
+# as-of pattern.  SQL twin below mirrors it for both oracles.
+CLICK_PURCHASE_SQL = """c AS (
   SELECT user_id AS k, epoch_ms(ts) AS cms, max(event_id) AS click_id
   FROM events WHERE event_type = 'click'
   GROUP BY 1, 2
 ), p AS (
   SELECT event_id, user_id AS k, epoch_ms(ts) AS pms
   FROM events WHERE event_type = 'purchase'
-)
+)"""
+
+
+def click_purchase_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("k"), F.expr(_MS).alias("t"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select("k", "t", F.lit(1).alias("is_ref"), "click_id",
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.expr(_MS).alias("t"),
+        F.lit(0).alias("is_ref"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    return clicks, purchases
+
+
+@register(
+    "q_asof_tolerance",
+    tags=("join", "asof"),
+    oracle=f"""
+WITH {CLICK_PURCHASE_SQL}
 SELECT p.event_id,
        coalesce(CASE WHEN p.pms - c.cms <= {_ASOF_TOL_MS} THEN c.click_id END,
                 -1) AS matched_click_id,
@@ -328,23 +355,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: none."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy(
-            F.col("user_id").alias("k"),
-            F.expr(_MS).alias("t"),
-        )
-        .agg(F.max("event_id").alias("click_id"))
-        .select("k", "t", F.lit(1).alias("is_ref"), "click_id",
-                F.lit(None).cast("long").alias("event_id"))
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"),
-        F.expr(_MS).alias("t"),
-        F.lit(0).alias("is_ref"),
-        F.lit(None).cast("long").alias("click_id"),
-        "event_id",
-    )
+    clicks, purchases = click_purchase_sides(ev)
     w = (
         W.partitionBy("k")
         .orderBy("t", F.desc("is_ref"))

@@ -404,3 +404,28 @@ def test_nearest_event_beats_backward_only(spark, sf_dir):
             assert near[eid].nearest_click_id != -1
             assert near[eid].abs_delta_ms <= b.staleness_ms
     assert n_near >= sum(1 for b in back.values() if b.matched_click_id != -1)
+
+
+def test_dup_spans_overlapping_windows_merge(spark):
+    """Regression (review): dup windows at position gaps 2..WIN-1 cover
+    OVERLAPPING token ranges and must merge into ONE span — fraction can
+    never exceed 1.0."""
+    from redis_streams_spark.queries.dedup3 import text_dup_spans
+    import os
+    import tempfile
+
+    # doc0: w1..w10; doc B shares w1..w8 (window pos 1), doc C shares
+    # w3..w10 (window pos 3); pos 2's window matches nothing.
+    w = [f"w{i}" for i in range(1, 11)]
+    d0 = " ".join(w)
+    dB = " ".join(w[0:8]) + " " + " ".join(f"b{i}" for i in range(4))
+    dC = " ".join(f"c{i}" for i in range(4)) + " " + " ".join(w[2:10])
+    docs = _docs(spark, [d0, dB, dC])
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in text_dup_spans(spark, tmp).collect()}
+    assert out[0].n_dup_spans == 1          # one merged span, not two
+    assert out[0].longest_span_tokens == 10  # w1..w10 fully covered
+    assert out[0].dup_token_fraction == 1.0  # never > 1
+    for r in out.values():
+        assert r.dup_token_fraction <= 1.0
