@@ -222,8 +222,14 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
+                        # modality from the PAYLOAD MAGIC, not the fake
+                        # path's doc_id%3 convention — a real BMP/PPM is
+                        # an image regardless of its id (review finding)
                         "modality": [
-                            MODALITIES[i % 3] for i in pdf["doc_id"].astype(int)
+                            "image"
+                            if p[:2] in (b"BM", b"P6")
+                            else "unknown"
+                            for p in payloads
                         ],
                         "byte_len": [len(p) for p in payloads],
                         "checksum": [hashlib.md5(p).hexdigest() for p in payloads],

@@ -35,6 +35,40 @@ from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.operators.dedup import shingle_sets
 
 
+def _prefix_tokens(sets_: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, sz, tok) prefix rows shared by both join variants: count
+    token document-frequency, rebuild each doc's rare-first (df, token)
+    signature, and keep the first ``|x| − ⌈t·|x|⌉ + 1`` tokens."""
+    t = float(threshold)
+    tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
+    ).cast("int")
+    return (
+        ranked.select(
+            "doc_id", "sz", F.explode(F.slice("ordered", 1, prefix_len)).alias("p")
+        )
+        .select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    )
+
+
+def _verify_sides(sets_: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The exact-verify join sides over the persisted shingle sets."""
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    return sa, sb
+
+
+
 def prefix_filter_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -54,25 +88,7 @@ def prefix_filter_pairs(
         shingle_sets(docs, n).where(F.size("shingles") > 0).persist()
     )  # reuse-a-stage persist: feeds df-count, prefix build, and both
     # verify sides; session-LRU bounded, consumed within this query.
-    tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
-    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(df_, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-    )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.col("sz") * F.lit(float(threshold))) + 1
-    ).cast("int")
-    ptok = (
-        ranked.select(
-            "doc_id", "sz", F.explode(F.slice("ordered", 1, prefix_len)).alias("p")
-        )
-        .select("doc_id", "sz", F.col("p.tok").alias("tok"))
-    )
+    ptok = _prefix_tokens(sets_, threshold)
     a = ptok.select(
         F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"), "tok"
     )
@@ -91,8 +107,7 @@ def prefix_filter_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
-    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    sa, sb = _verify_sides(sets_)
     joined = cands.join(sa, "a_id").join(sb, "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
@@ -132,27 +147,10 @@ def containment_pairs(
     )  # reuse-a-stage persist: feeds df-count, prefix, index, verify.
     t = float(threshold)
     tok = sets_.select("doc_id", F.explode("shingles").alias("tok"))
-    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(df_, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-    )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
-    ).cast("int")
-    a = (
-        ranked.select(
-            "doc_id", "sz", F.explode(F.slice("ordered", 1, prefix_len)).alias("p")
-        )
-        .select(
-            F.col("doc_id").alias("a_id"),
-            F.col("sz").alias("sz_a"),
-            F.col("p.tok").alias("tok"),
-        )
+    a = _prefix_tokens(sets_, t).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sz").alias("sz_a"),
+        "tok",
     )
     sizes = sets_.select("doc_id", F.size("shingles").alias("sz_b"))
     b = tok.join(sizes, "doc_id").select(
@@ -167,8 +165,7 @@ def containment_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
-    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    sa, sb = _verify_sides(sets_)
     joined = cands.join(sa, "a_id").join(sb, "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     cont = inter * 1.0 / F.greatest(F.size("sa"), F.lit(1))

@@ -119,7 +119,11 @@ def candidate_files(
             for ci in range(row.num_columns):
                 col = row.column(ci)
                 name = col.path_in_schema
-                if col.statistics is not None:
+                # has_min_max guard: a statistics object with absent
+                # min/max (all-NULL chunk, stats-suppressed writer) must
+                # fall through to the conservative no-stats branch, not
+                # TypeError in the overlap compare (review finding)
+                if col.statistics is not None and col.statistics.has_min_max:
                     stats[name] = (col.statistics.min, col.statistics.max)
             sx, sy = stats.get(x_col), stats.get(y_col)
             if sx is None or sy is None:

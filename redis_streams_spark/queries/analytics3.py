@@ -371,7 +371,8 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
        a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
        round(5e-10 + a.m - b.m, 4) AS mean_diff,
        round(5e-10 + (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
-       abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant
+       abs(round(5e-10 + (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4)) > 1.96
+         AS significant
 FROM s a JOIN s b ON a.event_type < b.event_type
 ORDER BY type_a, type_b
 """,
@@ -419,7 +420,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").cast("long").alias("n_b"),
             rnd(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
             rnd(t, 4).alias("t_stat"),
-            (F.abs(t) > 1.96).alias("significant"),
+            # round-before-threshold: compare the 4dp-stabilized t
+            (F.abs(rnd(t, 4)) > 1.96).alias("significant"),
         )
         .orderBy("type_a", "type_b")
     )

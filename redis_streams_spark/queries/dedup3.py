@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.functions.textfns import word_shingles_sql, words, words_sql
-from redis_streams_spark.operators.dedup import exact_dedup, fanout  # noqa: F401
+from redis_streams_spark.operators.dedup import exact_dedup, fanout
 from redis_streams_spark.queries.dedup import _NORM_SQL
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
@@ -91,8 +91,6 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands via a doc-partitioned window.
 
     Reference basis: none (published method)."""
-    from redis_streams_spark.operators.dedup import fanout
-
     docs = load_table(spark, sf_dir, "documents")
     toks = fanout(docs).select("doc_id", words("text").alias("w"))
     wins = (

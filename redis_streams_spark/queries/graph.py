@@ -99,14 +99,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded (ints + one double per edge).
     e = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    n = float(nodes.count())
-    pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    # node count as a 1-row BROADCAST SCALAR (q_decay_score pattern), not
+    # an eager .count(): building this query's plan must stay lazy —
+    # plan-audit/driver tooling calls every registered fn without
+    # executing it (review finding; same IEEE divisions either way).
+    ndf = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(ndf)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
     for _ in range(_ITERS):
         pr = (
             e.join(pr, e.src == pr.id)
             .groupBy("dst")
-            .agg((F.lit(0.15 / n) + _DAMP * F.sum(F.col("pr") / F.col("d"))).alias("pr"))
-            .withColumnRenamed("dst", "id")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("contrib"))
+            .crossJoin(F.broadcast(ndf))
+            .select(
+                F.col("dst").alias("id"),
+                (F.lit(0.15) / F.col("n") + _DAMP * F.col("contrib")).alias("pr"),
+            )
         )
     return pr.select(
         F.col("id").alias("node_id"),

@@ -363,8 +363,9 @@ SELECT t.doc_id,
        round(5e-10 + avg(ln(((f.tc + 1.0) / (scal.nt + scal.v)) /
                             ((f.cc + 1.0) / (scal.nc + scal.v)))), 6)
          AS avg_logratio,
-       avg(ln(((f.tc + 1.0) / (scal.nt + scal.v)) /
-              ((f.cc + 1.0) / (scal.nc + scal.v)))) >= 0 AS keep
+       round(5e-10 + avg(ln(((f.tc + 1.0) / (scal.nt + scal.v)) /
+                            ((f.cc + 1.0) / (scal.nc + scal.v)))), 6) >= 0
+         AS keep
 FROM toks t
 JOIN freq f ON f.tok = t.tok
 CROSS JOIN scal
@@ -421,7 +422,9 @@ def mix_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             rnd(F.avg(lr), 6).alias("avg_logratio"),
-            (F.avg(lr) >= 0).alias("keep"),
+            # round-before-threshold (rounding.py convention): raw
+            # distributed averages differ by an ulp across engines
+            (rnd(F.avg(lr), 6) >= 0).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -149,7 +149,7 @@ WITH h AS (
 ), rho AS (
   SELECT bucket,
          CASE WHEN w = 0 THEN 25
-              ELSE 25 - (floor(log2(w))::BIGINT + 1) END AS r
+              ELSE 25 - length(bin(w)) END AS r
   FROM parts
 ), regs AS (
   SELECT bucket, max(r) AS m FROM rho GROUP BY bucket
@@ -202,10 +202,13 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % _HLL_M).alias("bucket"),
         F.floor(F.col("hv") / _HLL_M).cast("long").alias("w"),
     )
+    # bit length via bin() string length — PURE INTEGER extraction on
+    # both engines; floor(log2(w)) was 1-ulp-hazardous at exact powers
+    # of two (Spark computes log2 as log(x)/log(2)) — review finding
     rho = parts.select(
         "bucket",
         F.when(F.col("w") == 0, F.lit(25))
-        .otherwise(25 - (F.floor(F.log2("w")).cast("long") + 1))
+        .otherwise(F.lit(25) - F.length(F.bin("w")).cast("long"))
         .alias("r"),
     )
     regs = rho.groupBy("bucket").agg(F.max("r").alias("m"))

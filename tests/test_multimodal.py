@@ -48,11 +48,15 @@ def test_real_codec_decode_over_spark(spark):
         rows.append((doc_id, bytearray(payload)))
         expected[doc_id] = (w, h, 1, round(sum(px) / len(px), 4))
     docs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    decoded = decode_features(docs, use_real_codecs=True).collect()
     got = {
-        r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte)
-        for r in decode_features(docs, use_real_codecs=True).collect()
+        r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in decoded
     }
     assert got == expected
+    # modality must come from the PAYLOAD MAGIC: every row here is a
+    # real raster image, whatever its doc_id (regression: the first cut
+    # labeled by doc_id % 3, calling decoded BMPs "audio")
+    assert all(r.modality == "image" for r in decoded)
 
 
 def test_real_codecs_compressed_formats_raise(spark):

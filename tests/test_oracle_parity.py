@@ -82,3 +82,19 @@ def test_catalog_tracks_registry():
     assert m and int(m.group(1)) == n, "run tools/gen_catalog.py"
     rows = [ln for ln in text.splitlines() if ln.startswith("| `")]
     assert len(rows) == n, "run tools/gen_catalog.py"
+
+
+def test_plans_report_tracks_registry():
+    """PLANS.md is generated (tools/plan_audit.py); its totals line must
+    match the registry so the audit can't silently go stale (the CATALOG
+    guard's twin — PLANS.md drifted once within round 5)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as f:
+        text = f.read()
+    n = len(all_queries())
+    m = re.search(r"Totals: (\d+) queries, (\d+) cartesian products", text)
+    assert m and int(m.group(1)) == n, "run tools/plan_audit.py"
+    assert int(m.group(2)) == 0

@@ -170,6 +170,7 @@ _BNLJ_OK = {
     "mix_importance_resample",  # 1-row LM-normalizer crossJoin (broadcast scalars)
     "q_pareto_gini",  # 1-row total-revenue crossJoin (broadcast scalar)
     "q_hll_distinct",  # 1-row exact-count crossJoin (broadcast scalar)
+    "q_pagerank",  # 1-row node-count crossJoin (broadcast scalar, keeps plan lazy)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

@@ -72,13 +72,17 @@ def test_zorder_serves_both_dimensions(spark, sf_dir, tmp_path):
     s_x, s_total = candidate_files(spath, **box_x)
     s_y, _ = candidate_files(spath, **box_y)
     # range partitioner may merge sparse key ranges (fewer files than
-    # requested at tiny SF); compare hit FRACTIONS, not raw counts
+    # requested at tiny SF); compare hit FRACTIONS so different file
+    # counts between the two layouts can't fake (or mask) pruning
     assert z_total > 0 and s_total > 0
+    zf_x, zf_y = z_x / z_total, z_y / z_total
+    sf_x, sf_y = s_x / s_total, s_y / s_total
     # the y-selective box defeats the x-sorted layout entirely
-    assert s_y == s_total
-    # z-order prunes on y too, and wins on the two-box total
-    assert z_y < s_y, (z_y, s_y)
-    assert z_x + z_y < s_x + s_y, ((z_x, z_y), (s_x, s_y))
+    assert sf_y == 1.0
+    # z-order prunes on y too (strictly fewer than all files), and wins
+    # on the two-box fractional total
+    assert zf_y < sf_y, (zf_y, sf_y)
+    assert zf_x + zf_y < sf_x + sf_y, ((zf_x, zf_y), (sf_x, sf_y))
 
 
 def test_zordered_rows_are_value_identical(spark, sf_dir, tmp_path):
