@@ -241,3 +241,165 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(corrected - F.col("n_exact")) / F.col("n_exact") < 0.10
         ).alias("within_10pct"),
     )
+
+
+def _hll_regs(ev: DataFrame, etype: str) -> DataFrame:
+    """(bucket, m) register table for the distinct user set of one event
+    type — the mergeable unit: registers from different slices (types,
+    days, executors) combine by elementwise max."""
+    h = (
+        ev.where(F.col("event_type") == etype)
+        .select(h32(F.col("user_id").cast("string")).alias("hv"))
+        .distinct()
+    )
+    parts = h.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.floor(F.col("hv") / _HLL_M).cast("long").alias("w"),
+    )
+    rho = parts.select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin("w")).cast("long"))
+        .alias("r"),
+    )
+    return rho.groupBy("bucket").agg(F.max("r").alias("m"))
+
+
+def _hll_regs_sql(etype: str) -> str:
+    return f"""(
+  SELECT hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN 25
+                  ELSE 25 - length(bin(hv // {_HLL_M})) END) AS m
+  FROM (SELECT DISTINCT {h32_sql("user_id::VARCHAR")} AS hv
+        FROM events WHERE event_type = '{etype}')
+  GROUP BY 1
+)"""
+
+
+def _est_sql(sp: str = "sp", np: str = "np") -> str:
+    """Stabilized HLL estimate (raw + linear-counting correction) over a
+    register-stat row with columns ``sp`` (Σ2^-m) and ``np`` (registers
+    present) — identical literals to the Spark side."""
+    amm, m = repr(_HLL_AMM), _HLL_M
+    return f"""round(5e-10 + CASE
+  WHEN {amm}::DOUBLE / ({sp} + ({m} - {np})) <= 2.5 * {m} AND ({m} - {np}) > 0
+  THEN {m} * ln({m} * 1.0 / ({m} - {np}))
+  ELSE {amm}::DOUBLE / ({sp} + ({m} - {np})) END, 4)"""
+
+
+@register(
+    "q_hll_merge",
+    tags=("sketch", "hll", "merge"),
+    oracle=f"""
+WITH ra AS {_hll_regs_sql("click")},
+rb AS {_hll_regs_sql("purchase")},
+merged AS (
+  SELECT coalesce(ra.bucket, rb.bucket) AS bucket,
+         greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS m
+  FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket
+), stats AS (
+  SELECT 'a' AS s, sum(pow(2.0, -m)) AS sp, count(*) AS np FROM ra
+  UNION ALL
+  SELECT 'b', sum(pow(2.0, -m)), count(*) FROM rb
+  UNION ALL
+  SELECT 'u', sum(pow(2.0, -m)), count(*) FROM merged
+), ests AS (
+  SELECT s, {_est_sql("stats.sp", "stats.np")} AS e
+  FROM stats
+), ex AS (
+  SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+           AS exact_a,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           AS exact_b,
+         count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                             THEN user_id END) AS exact_union
+  FROM events
+)
+SELECT ex.exact_a, ex.exact_b, ex.exact_union,
+       (SELECT e FROM ests WHERE s = 'a') AS est_a,
+       (SELECT e FROM ests WHERE s = 'b') AS est_b,
+       (SELECT e FROM ests WHERE s = 'u') AS est_union,
+       round(5e-10 + (SELECT e FROM ests WHERE s = 'a')
+                   + (SELECT e FROM ests WHERE s = 'b')
+                   - (SELECT e FROM ests WHERE s = 'u'), 4) AS est_intersect,
+       abs((SELECT e FROM ests WHERE s = 'u') - ex.exact_union)
+         / ex.exact_union < 0.10 AS union_within_10pct
+FROM ex
+""",
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY demonstrated end-to-end: build separate register
+    tables for the click-user and purchase-user sets, merge them by
+    elementwise register max — the exact operation that combines
+    per-partition / per-day / per-executor sketches — and estimate
+    |A|, |B|, |A∪B| plus |A∩B| by inclusion–exclusion, against exact
+    counts.  Register merge is a |buckets|-row full-outer join; nothing
+    about the merge touches row-level data.
+
+    Reference basis: none (published algorithm)."""
+    ev = load_table(spark, sf_dir, "events")
+    ra = _hll_regs(ev, "click")
+    rb = _hll_regs(ev, "purchase")
+    merged = (
+        ra.select(F.col("bucket"), F.col("m").alias("ma"))
+        .join(
+            rb.select(F.col("bucket"), F.col("m").alias("mb")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce(F.col("ma"), F.lit(0)),
+                F.coalesce(F.col("mb"), F.lit(0)),
+            ).alias("m"),
+        )
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        s = regs.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sp"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        e_raw = F.lit(_HLL_AMM) / (F.col("sp") + (F.lit(_HLL_M) - F.col("np")))
+        zeros = F.lit(_HLL_M) - F.col("np")
+        corrected = F.when(
+            (e_raw <= 2.5 * _HLL_M) & (zeros > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+        ).otherwise(e_raw)
+        return s.select(rnd(corrected, 4).alias(name))
+
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    out = (
+        ex.crossJoin(F.broadcast(est(ra, "est_a")))
+        .crossJoin(F.broadcast(est(rb, "est_b")))
+        .crossJoin(F.broadcast(est(merged, "est_union")))
+    )
+    return out.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "est_a",
+        "est_b",
+        "est_union",
+        rnd(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        ).alias("est_intersect"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            / F.col("exact_union")
+            < 0.10
+        ).alias("union_within_10pct"),
+    )

@@ -171,6 +171,7 @@ _BNLJ_OK = {
     "q_pareto_gini",  # 1-row total-revenue crossJoin (broadcast scalar)
     "q_hll_distinct",  # 1-row exact-count crossJoin (broadcast scalar)
     "q_pagerank",  # 1-row node-count crossJoin (broadcast scalar, keeps plan lazy)
+    "q_hll_merge",  # 1-row register-stat crossJoins (broadcast scalars)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
