@@ -45,6 +45,7 @@ def _load_all() -> None:
         scale,
         similarity,
         sketch,
+        splits,
         streamsem,
         text,
         text2,

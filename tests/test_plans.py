@@ -172,6 +172,7 @@ _BNLJ_OK = {
     "q_hll_distinct",  # 1-row exact-count crossJoin (broadcast scalar)
     "q_pagerank",  # 1-row node-count crossJoin (broadcast scalar, keeps plan lazy)
     "q_hll_merge",  # 1-row register-stat crossJoins (broadcast scalars)
+    "dedup_cross_split_leakage",  # 1-row count crossJoins (broadcast scalars)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
