@@ -72,19 +72,34 @@ _REPO_ROOT = os.path.dirname(
 
 # Manual escape hatch: names listed here sort before everything else
 # (e.g. to force a driver re-check of a risky fix next round).
-# r05: sim_recall_report's schema grew (indexed-IVF + np recall columns)
-# after its r04 green row — pin it so the driver re-verifies the new
-# shape this round instead of two rounds from now.  The five timeseries
-# joins are the r04 verdict's top ask (the only queries with no driver
-# row ever); pinned so round-5 operator growth cannot push them past the
-# driver's front-50 window.
+# r06: the six r05 pins all went driver-green (CORRECTNESS_r05.json), so
+# they are dropped.  Pinned now: the 20 round-5 additions that queued
+# behind the r05 front-50 — the only queries with no driver row ever.
+# The rotation's no-green-row-first rule would front them on its own,
+# but any NEW round-6 registration also has no green row and could
+# displace them via the registration-order tie-break; pinning makes the
+# guarantee explicit while leaving 30 front-50 slots for new queries.
 _DRIVER_PIN: list[str] = [
-    "sim_recall_report",
-    "q_sliding_windows",
-    "q_sessionize",
-    "q_asof_join",
-    "q_range_join_bucketed",
-    "q_interval_join",
+    "q_link_prediction",
+    "q_systematic_sample",
+    "mix_importance_resample",
+    "q_dq_constraints",
+    "q_table_diff",
+    "q_histogram",
+    "q_profile_table",
+    "q_zorder_scan",
+    "sim_ivf_indexed",
+    "q_cms_heavy_hitters",
+    "q_hll_distinct",
+    "q_hll_merge",
+    "q_train_val_test",
+    "dedup_cross_split_leakage",
+    "text_langid_eval",
+    "text_entropy",
+    "text_zipf",
+    "text_gopher_rules",
+    "text_gopher_report",
+    "text_bigram_lm",
 ]
 
 # NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are
