@@ -23,6 +23,12 @@ Structured-Streaming mapping of the reference's delivery semantics
 
 Options: path (log root), stream, group (default "spark"),
 batch_size (default 100), maxlen (writer only).
+
+Backend: logs are opened through ``connect_log`` — file-backed
+StreamLog by default, RedisStreamLog when ``RSS_REDIS_URL`` points at a
+real server (see ``redis_log.py``).  The env-var selection matters
+here: readers re-open the log inside executor python workers, where the
+env travels but driver-constructed clients cannot.
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.sources.redis_log import connect_log
 
 SCHEMA = "msgid string, content map<string,string>"
 
@@ -127,18 +133,18 @@ class RedisLogBatchReader(DataSourceReader):
         self.root, self.stream, _, _ = _opts(options)
 
     def partitions(self):
-        log = StreamLog(self.root, self.stream)
+        log = connect_log(self.root, self.stream)
         return [RangePartition(self.root, self.stream, log.first_pos(), log.count())]
 
     def read(self, partition: RangePartition):
-        log = StreamLog(partition.root, partition.stream)
+        log = connect_log(partition.root, partition.stream)
         yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
 
 class RedisLogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root, self.stream, self.group, self.batch_size = _opts(options)
-        self._log = StreamLog(self.root, self.stream)
+        self._log = connect_log(self.root, self.stream)
         self._log.create_group(self.group)
 
     def initialOffset(self) -> dict:
@@ -171,7 +177,7 @@ class RedisLogStreamReader(DataSourceStreamReader):
         return [RangePartition(self.root, self.stream, start["pos"], end["pos"])]
 
     def read(self, partition: RangePartition):
-        log = StreamLog(partition.root, partition.stream)
+        log = connect_log(partition.root, partition.stream)
         yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
     def commit(self, end: dict) -> None:
@@ -227,7 +233,7 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
                 if msg and os.path.exists(msg.staging_path):
                     os.remove(msg.staging_path)
             return
-        log = StreamLog(self.root, self.stream)
+        log = connect_log(self.root, self.stream)
         # one append_many for the whole epoch: a single stream_lock
         # acquire + meta write instead of one per message (the reference
         # pays one XADD round trip per message, producer.py:44-49 — batch
@@ -283,7 +289,7 @@ class RedisLogBatchWriter(DataSourceWriter):
         return StagedCommit(staging_path=path, n_rows=n)
 
     def commit(self, messages) -> None:
-        log = StreamLog(self.root, self.stream)
+        log = connect_log(self.root, self.stream)
         if self.overwrite:
             log.delete()
         rows: list[dict] = []

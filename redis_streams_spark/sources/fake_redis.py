@@ -1,0 +1,229 @@
+"""FakeRedis — an in-process test double for the redis-py command subset
+used by :class:`~redis_streams_spark.sources.redis_log.RedisStreamLog`.
+
+This sandbox ships neither a Redis server nor ``redis-py`` /
+``fakeredis``, yet the Redis backend must be testable (round-6 verdict
+item #2: "parity tests pass against both backends").  This double
+implements exactly the commands RedisStreamLog issues — streams
+(XADD/XRANGE/XLEN/XTRIM), sorted-set position index (ZADD/
+ZRANGEBYSCORE/ZREMRANGEBYSCORE), string blobs with NX/PX lock semantics
+(SET/GET/DELETE), and set registries (SADD/SMEMBERS/SREM) — with
+redis-py call signatures and ``decode_responses=True`` string behavior,
+so swapping in a real ``redis.Redis(decode_responses=True)`` client is
+a pure substitution.
+
+Server state is held in a class-level registry keyed by server name:
+two ``FakeRedis("x")`` instances share one store, mirroring two client
+connections to one server.  All commands take a per-server lock, so the
+single-threaded-server atomicity Redis guarantees per command holds
+here too.  In-process only — a pickled client re-attaches to the same
+named server in THIS interpreter; Spark python workers (separate
+processes) need a real server, which is exactly the documented scope of
+the fake.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+def _parse_id(id_str: str, *, default_seq: int) -> tuple[int, int]:
+    """Redis stream id string → (ms, seq).  Accepts '-'/'+' sentinels via
+    caller; bare '<ms>' means seq=default_seq (XRANGE semantics: 0 for
+    min, max for max)."""
+    if "-" in id_str:
+        ms, seq = id_str.split("-", 1)
+        return int(ms), int(seq)
+    return int(id_str), default_seq
+
+
+class _Server:
+    def __init__(self) -> None:
+        self.lock = threading.RLock()
+        self.strings: dict[str, str] = {}
+        self.expiry: dict[str, float] = {}  # key → unix deadline
+        self.streams: dict[str, list[tuple[tuple[int, int], dict[str, str]]]] = {}
+        self.zsets: dict[str, dict[str, float]] = {}
+        self.sets: dict[str, set[str]] = {}
+
+    def drop_expired(self, key: str) -> None:
+        dl = self.expiry.get(key)
+        if dl is not None and time.time() >= dl:
+            self.strings.pop(key, None)
+            self.expiry.pop(key, None)
+
+
+class FakeRedis:
+    """Minimal redis-py-compatible client over a named in-process server."""
+
+    _SERVERS: dict[str, _Server] = {}
+    _REGISTRY_LOCK = threading.Lock()
+
+    def __init__(self, server_name: str = "default"):
+        self.server_name = server_name
+        with FakeRedis._REGISTRY_LOCK:
+            self._srv = FakeRedis._SERVERS.setdefault(server_name, _Server())
+
+    # a pickled client re-attaches to the same named server (in-process)
+    def __getstate__(self) -> dict:
+        return {"server_name": self.server_name}
+
+    def __setstate__(self, state: dict) -> None:
+        self.__init__(state["server_name"])
+
+    @classmethod
+    def reset_server(cls, server_name: str) -> None:
+        with cls._REGISTRY_LOCK:
+            cls._SERVERS.pop(server_name, None)
+
+    # -- strings / locks -------------------------------------------------
+    def set(self, name: str, value: str, nx: bool = False, px: int | None = None):
+        s = self._srv
+        with s.lock:
+            s.drop_expired(name)
+            if nx and name in s.strings:
+                return None
+            s.strings[name] = str(value)
+            if px is not None:
+                s.expiry[name] = time.time() + px / 1000.0
+            else:
+                s.expiry.pop(name, None)
+            return True
+
+    def get(self, name: str) -> str | None:
+        s = self._srv
+        with s.lock:
+            s.drop_expired(name)
+            return s.strings.get(name)
+
+    def delete(self, *names: str) -> int:
+        s = self._srv
+        n = 0
+        with s.lock:
+            for name in names:
+                hit = (
+                    s.strings.pop(name, None) is not None
+                    or s.streams.pop(name, None) is not None
+                    or s.zsets.pop(name, None) is not None
+                    or s.sets.pop(name, None) is not None
+                )
+                s.expiry.pop(name, None)
+                n += int(hit)
+        return n
+
+    def exists(self, name: str) -> int:
+        s = self._srv
+        with s.lock:
+            s.drop_expired(name)
+            return int(
+                name in s.strings
+                or name in s.streams
+                or name in s.zsets
+                or name in s.sets
+            )
+
+    # -- sets ------------------------------------------------------------
+    def sadd(self, name: str, *values: str) -> int:
+        s = self._srv
+        with s.lock:
+            target = s.sets.setdefault(name, set())
+            before = len(target)
+            target.update(str(v) for v in values)
+            return len(target) - before
+
+    def smembers(self, name: str) -> set[str]:
+        with self._srv.lock:
+            return set(self._srv.sets.get(name, set()))
+
+    def srem(self, name: str, *values: str) -> int:
+        s = self._srv
+        with s.lock:
+            target = s.sets.get(name, set())
+            before = len(target)
+            target.difference_update(str(v) for v in values)
+            return before - len(target)
+
+    # -- streams ---------------------------------------------------------
+    def xadd(
+        self,
+        name: str,
+        fields: dict,
+        id: str = "*",
+        maxlen: int | None = None,
+        approximate: bool = True,
+    ) -> str:
+        s = self._srv
+        with s.lock:
+            entries = s.streams.setdefault(name, [])
+            if id == "*":
+                ms = int(time.time() * 1000)
+                last = entries[-1][0] if entries else (0, -1)
+                new_id = (ms, last[1] + 1) if ms == last[0] else (max(ms, last[0]), 0)
+            else:
+                new_id = _parse_id(str(id), default_seq=0)
+                if entries and new_id <= entries[-1][0]:
+                    raise ValueError(
+                        "XADD: id is equal or smaller than the target stream top item"
+                    )
+            entries.append((new_id, {str(k): str(v) for k, v in fields.items()}))
+            if maxlen is not None and len(entries) > maxlen:
+                del entries[: len(entries) - maxlen]
+            return f"{new_id[0]}-{new_id[1]}"
+
+    def xlen(self, name: str) -> int:
+        with self._srv.lock:
+            return len(self._srv.streams.get(name, []))
+
+    def xrange(
+        self, name: str, min: str = "-", max: str = "+", count: int | None = None
+    ) -> list[tuple[str, dict[str, str]]]:
+        lo = (0, 0) if min == "-" else _parse_id(min, default_seq=0)
+        hi = (
+            (1 << 62, 1 << 62) if max == "+" else _parse_id(max, default_seq=1 << 62)
+        )
+        out: list[tuple[str, dict[str, str]]] = []
+        with self._srv.lock:
+            for eid, fields in self._srv.streams.get(name, []):
+                if eid < lo:
+                    continue
+                if eid > hi:
+                    break
+                out.append((f"{eid[0]}-{eid[1]}", dict(fields)))
+                if count is not None and len(out) >= count:
+                    break
+        return out
+
+    def xtrim(self, name: str, maxlen: int, approximate: bool = False) -> int:
+        s = self._srv
+        with s.lock:
+            entries = s.streams.get(name, [])
+            excess = len(entries) - maxlen
+            if excess <= 0:
+                return 0
+            del entries[:excess]
+            return excess
+
+    # -- sorted sets (position index) ------------------------------------
+    def zadd(self, name: str, mapping: dict[str, float]) -> int:
+        s = self._srv
+        with s.lock:
+            z = s.zsets.setdefault(name, {})
+            added = sum(1 for m in mapping if m not in z)
+            z.update({str(m): float(sc) for m, sc in mapping.items()})
+            return added
+
+    def zrangebyscore(self, name: str, min: float, max: float) -> list[str]:
+        with self._srv.lock:
+            z = self._srv.zsets.get(name, {})
+            hits = [(sc, m) for m, sc in z.items() if min <= sc <= max]
+        return [m for _, m in sorted(hits)]
+
+    def zremrangebyscore(self, name: str, min: float, max: float) -> int:
+        s = self._srv
+        with s.lock:
+            z = s.zsets.get(name, {})
+            doomed = [m for m, sc in z.items() if min <= sc <= max]
+            for m in doomed:
+                del z[m]
+            return len(doomed)

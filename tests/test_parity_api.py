@@ -27,9 +27,20 @@ from redis_streams_spark.streaming import (
 TEST_DATASET = [{"test": "data1"}, {"test": "data2"}]
 
 
-@pytest.fixture()
-def log(tmp_path):
-    return StreamLog(str(tmp_path), "teststream")
+@pytest.fixture(params=["file", "fakeredis"])
+def log(tmp_path, request):
+    """Every parity test runs against BOTH storage backends: the default
+    file-backed StreamLog and RedisStreamLog over the in-process FakeRedis
+    double (no Redis server or redis-py in this sandbox; against a real
+    server pass ``redis.Redis.from_url(url, decode_responses=True)``)."""
+    if request.param == "file":
+        return StreamLog(str(tmp_path), "teststream")
+    from redis_streams_spark.sources.fake_redis import FakeRedis
+    from redis_streams_spark.sources.redis_log import RedisStreamLog
+
+    server = f"parity-{tmp_path.name}"
+    request.addfinalizer(lambda: FakeRedis.reset_server(server))
+    return RedisStreamLog(str(tmp_path), "teststream", client=FakeRedis(server))
 
 
 def seed(log, n=2):
