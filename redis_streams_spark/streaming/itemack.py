@@ -94,8 +94,18 @@ class AckedBatchProcessor:
 
     def __call__(self, batch_df, epoch_id: int) -> None:
         already = self.acklog.acked()
-        rows: Iterable = batch_df.select("msgid", "content").collect()
-        for row in sorted(rows, key=lambda r: r["msgid"]):
+        # toLocalIterator bounds driver memory to ONE partition at a time:
+        # the source's batch_size caps planned epochs, but nothing stops a
+        # caller from routing an uncapped (batch_size=0 / AvailableNow)
+        # stream through here — with collect() that materialized the whole
+        # epoch on the driver.  The per-partition sort keeps the handler's
+        # msgid order deterministic within each partition; cross-partition
+        # order follows partition index, which the single-range source
+        # planner already emits in position order.
+        rows: Iterable = (
+            batch_df.select("msgid", "content").sortWithinPartitions("msgid")
+        ).toLocalIterator()
+        for row in rows:
             if row["msgid"] in already:
                 continue  # acked in a previous (failed) delivery of this epoch
             msg = RedisMsg(msgid=row["msgid"], content=dict(row["content"]))

@@ -61,3 +61,39 @@ def test_itemack_replay_filters_acked(spark, tmp_path):
     finally:
         q2.stop()
     assert processed == ["0", "1", "2", "3", "4", "5"]  # no duplicates
+
+
+def test_itemack_uncapped_batch_streams_through_iterator(spark, tmp_path):
+    """An UNCAPPED epoch (batch_size=0: the whole backlog in one batch)
+    must flow through the processor without materializing on the driver —
+    the processor iterates toLocalIterator partition-by-partition instead
+    of collect()ing.  Every item is handled exactly once, in msgid order."""
+    log = StreamLog(str(tmp_path), "big")
+    prod = Producer(log, "big")
+    n = 500
+    log.append_many([{"i": i} for i in range(n)])
+
+    seen: list[str] = []
+
+    def handler(msg, ack):
+        seen.append(msg.msgid)
+        ack()
+
+    proc = AckedBatchProcessor(log, group="biggrp", handler=handler)
+    q = process_stream(
+        spark,
+        str(tmp_path),
+        "big",
+        proc,
+        group="biggrp",
+        batch_size=0,  # no planning cap: one 500-row epoch
+        checkpoint=str(tmp_path / "ckbig"),
+        trigger_ms=100,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == n
+    assert seen == sorted(seen)
+    assert len(set(seen)) == n
