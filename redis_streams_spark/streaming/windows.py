@@ -125,8 +125,25 @@ def ohlc_bars(
     deterministic — the same contract the batch form pins with
     row_number.  State per group is O(1) (four scalars + the sort keys),
     bounded overall by the watermark horizon × group cardinality.
+
+    Redis-style msgids ('<ms>-<seq>') are ordered NUMERICALLY: the tie
+    key splits the id into (ms, seq) longs, because lexicographic string
+    comparison diverges from stream order across digit-count boundaries
+    ('100-0' < '99-0' as strings).  Any other ``order_col`` (numeric
+    event ids, padded strings) passes through unchanged.
     """
-    okey = F.struct(F.col(ts_col), F.col(order_col))
+    oc = F.col(order_col)
+    looks_like_msgid = oc.rlike(r"^\d+-\d+$")
+    okey = F.struct(
+        F.col(ts_col),
+        F.when(looks_like_msgid, F.split(oc, "-")[0].cast("long")).otherwise(
+            F.lit(0)
+        ),
+        F.when(looks_like_msgid, F.split(oc, "-")[1].cast("long")).otherwise(
+            F.lit(0)
+        ),
+        oc,
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, bar_size), *keys)

@@ -206,3 +206,29 @@ def test_streaming_ohlc_bars(spark, tmp_path):
         assert r.high == max(vals)
         assert r.low == min(vals)
         assert r.n_ticks == len(seq)
+
+
+def test_ohlc_msgid_tie_break_is_numeric(spark):
+    """Ties at identical event time order by NUMERIC (ms, seq) msgid
+    components, not lexicographic strings: '99-...' precedes '100-...'
+    in stream order even though it sorts after it as a string."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from redis_streams_spark.streaming.windows import ohlc_bars
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(ts=ts, event_type="x", value=10.0, msgid="99-000000"),
+        Row(ts=ts, event_type="x", value=20.0, msgid="100-000000"),
+        Row(ts=ts, event_type="x", value=15.0, msgid="100-000001"),
+    ]
+    # ohlc_bars is watermark-annotated but batch-evaluable (withWatermark
+    # is a no-op outside streaming) — exactly what a tie unit test needs
+    out = ohlc_bars(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert bar.open == 10.0  # msgid 99-0 is FIRST in stream order
+    assert bar.close == 15.0  # msgid 100-1 is last
+    assert bar.high == 20.0 and bar.low == 10.0 and bar.n_ticks == 3
