@@ -382,9 +382,11 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions: mean difference, t statistic, and the |t| > 1.96
     call — the experimentation-platform primitive.
 
-    Cross-engine note: the significance boolean compares the RAW t
-    statistic (identical IEEE quotients of identical aggregates); only
-    reported columns are rounded.
+    Cross-engine note: the significance boolean compares the
+    4dp-STABILIZED t (abs(rnd(t, 4)) > 1.96, matching the inline
+    comment and the oracle) — comparing the raw t would let a sub-ulp
+    Spark/DuckDB quotient difference flip the boolean when |t| sits
+    exactly at the threshold.
 
     Scale shape: one moment aggregation (n, mean, variance per type),
     then a |types|² join over that tiny frame.

@@ -72,7 +72,7 @@ def test_containment_catches_subset_doc(spark):
     assert (0, 1) not in rows  # big not inside small
 
 
-def test_concurrency_curve_manual(spark, sf_dir, tmp_path):
+def test_concurrency_curve_manual(spark, tmp_path):
     """Three overlapping intervals in one hour: curve must peak at 3 and
     return to 0, computed through the bucketed two-phase prefix sum."""
     import datetime as dt
@@ -89,7 +89,6 @@ def test_concurrency_curve_manual(spark, sf_dir, tmp_path):
     spark.createDataFrame(rows).write.mode("overwrite").parquet(
         str(tmp_path / "events.parquet")
     )
-    # reuse the other tables from sf_dir by symlinking the needed one only
     out = q_concurrency_curve(spark, str(tmp_path)).collect()
     # all boundaries fall in hours 0 and 1 of 2024-01-01
     by_hour = {r.hour_start_ms: r for r in out}
