@@ -114,18 +114,22 @@ def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
     mins = perms.groupBy("doc_id").agg(
         *[F.min(f"p{j}").alias(f"m{j}") for j in range(len(MINHASH_COEFFS))]
     )
+    # band key: xxhash64 directly over the band's signature longs.  Equal
+    # hash ⇔ equal band signature (mod 64-bit collisions), which is all
+    # the bucket join needs — the hash never appears in query output, so
+    # the DuckDB oracle's md5-over-concat band key yields the SAME pairs.
+    # vs the previous md5(concat_ws(cast...)): no 32 string casts, no 8
+    # concats, and an 8-byte long shuffle key instead of a 32-char string
+    # (the bucket join's exchange carries ~4× less key data).
     bands = mins.select(
         "doc_id",
         F.array(
             *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
+                F.xxhash64(
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ]
                 )
                 for b in range(LSH_BANDS)
             ]
