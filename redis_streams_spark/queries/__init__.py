@@ -19,6 +19,7 @@ def _load_all() -> None:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         assoc,
         cdc,
         contamination,
@@ -50,6 +51,7 @@ def _load_all() -> None:
         text,
         text2,
         text3,
+        text4,
         timeseries,
         timeseries2,
     )
