@@ -40,3 +40,39 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (pre-AQE plan)."""
     return plan_str(df, mode="codegen").count("WholeStageCodegen subtree")
+
+
+def _iter_logical_nodes(jplan):
+    yield jplan
+    children = jplan.children()
+    for i in range(children.size()):
+        yield from _iter_logical_nodes(children.apply(i))
+
+
+def _subtree_has_aggregate(jplan) -> bool:
+    return any(
+        node.getClass().getSimpleName() == "Aggregate"
+        for node in _iter_logical_nodes(jplan)
+    )
+
+
+def unguarded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input is NOT
+    already an aggregate — the shape that serializes all raw rows
+    through one task at 100 TB.
+
+    Unpartitioned windows are legitimate ONLY above a bounded aggregate
+    (hour buckets, k centroids, top-N terms: the documented two-phase
+    prefix-sum pattern, where phase 1 shrank the data to |groups| rows).
+    Walks the OPTIMIZED logical plan: for each ``Window`` with
+    ``partitionSpec().isEmpty()``, requires an ``Aggregate`` somewhere
+    below it.  Returns a description per violation (empty list = clean).
+    """
+    out: list[str] = []
+    root = df._jdf.queryExecution().optimizedPlan()
+    for node in _iter_logical_nodes(root):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if node.partitionSpec().isEmpty() and not _subtree_has_aggregate(node):
+            out.append(node.simpleString(120))
+    return out

