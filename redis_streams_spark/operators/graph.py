@@ -48,13 +48,22 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    ed = e.join(deg, "src").persist()
+    ed = e.join(deg, "src")
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
+    # cache lifecycle is mode-dependent (review finding, round 6): the
+    # tol loop runs an ACTION per round, so persisting ed/nodes pays off
+    # and both can be unpersisted before returning (the final ranks are
+    # persisted AND materialized by the last delta action).  With
+    # tol=None no action runs inside the loop — a persist would never
+    # materialize before an end-of-function unpersist dropped it, so the
+    # duplicated subtrees are left to Spark's exchange reuse instead.
+    if tol is not None:
+        ed = ed.persist()
+        nodes = nodes.persist()
     ndf = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(ndf)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -98,5 +107,7 @@ def pagerank(
                 break
         else:
             pr = new_pr
-    ed.unpersist()
+    if tol is not None:
+        ed.unpersist()
+        nodes.unpersist()
     return pr, iters_run

@@ -49,30 +49,45 @@ def _iter_logical_nodes(jplan):
         yield from _iter_logical_nodes(children.apply(i))
 
 
-def _subtree_has_aggregate(jplan) -> bool:
-    return any(
-        node.getClass().getSimpleName() == "Aggregate"
-        for node in _iter_logical_nodes(jplan)
-    )
+# Nodes that BOUND their output cardinality regardless of input size —
+# everything flowing up from one of these is aggregate/limit-sized, not
+# corpus-sized.
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+
+def _is_bounded(jplan) -> bool:
+    """True when EVERY leaf-to-here path passes through a bounding node:
+    a join/union is bounded only if all of its branches are.  (Checking
+    for 'any Aggregate in the subtree' would wave through the common
+    raw_rows.crossJoin(broadcast(scalar_agg)) shape, whose row count is
+    still the raw side's — review finding, round 6.)"""
+    if jplan.getClass().getSimpleName() in _BOUNDING_NODES:
+        return True
+    children = jplan.children()
+    n = children.size()
+    if n == 0:
+        return False  # a leaf relation: corpus-sized
+    return all(_is_bounded(children.apply(i)) for i in range(n))
 
 
 def unguarded_global_windows(df: DataFrame) -> list[str]:
-    """Window nodes with an EMPTY partition spec whose input is NOT
-    already an aggregate — the shape that serializes all raw rows
+    """Window nodes with an EMPTY partition spec whose input is not
+    cardinality-bounded — the shape that serializes all raw rows
     through one task at 100 TB.
 
-    Unpartitioned windows are legitimate ONLY above a bounded aggregate
+    Unpartitioned windows are legitimate ONLY above a bounded input
     (hour buckets, k centroids, top-N terms: the documented two-phase
     prefix-sum pattern, where phase 1 shrank the data to |groups| rows).
     Walks the OPTIMIZED logical plan: for each ``Window`` with
-    ``partitionSpec().isEmpty()``, requires an ``Aggregate`` somewhere
-    below it.  Returns a description per violation (empty list = clean).
+    ``partitionSpec().isEmpty()``, requires every leaf path below it to
+    cross an Aggregate/Limit/Deduplicate.  Returns a description per
+    violation (empty list = clean).
     """
     out: list[str] = []
     root = df._jdf.queryExecution().optimizedPlan()
     for node in _iter_logical_nodes(root):
         if node.getClass().getSimpleName() != "Window":
             continue
-        if node.partitionSpec().isEmpty() and not _subtree_has_aggregate(node):
+        if node.partitionSpec().isEmpty() and not _is_bounded(node):
             out.append(node.simpleString(120))
     return out

@@ -159,7 +159,9 @@ class FakeRedis:
             if id == "*":
                 ms = int(time.time() * 1000)
                 last = entries[-1][0] if entries else (0, -1)
-                new_id = (ms, last[1] + 1) if ms == last[0] else (max(ms, last[0]), 0)
+                # clock step-back: real Redis mints (top_ms, top_seq + 1),
+                # keeping ids strictly monotonic (review finding, round 6)
+                new_id = (last[0], last[1] + 1) if ms <= last[0] else (ms, 0)
             else:
                 new_id = _parse_id(str(id), default_seq=0)
                 if entries and new_id <= entries[-1][0]:
@@ -213,11 +215,16 @@ class FakeRedis:
             z.update({str(m): float(sc) for m, sc in mapping.items()})
             return added
 
-    def zrangebyscore(self, name: str, min: float, max: float) -> list[str]:
+    def zrangebyscore(
+        self, name: str, min: float, max: float, withscores: bool = False
+    ):
         with self._srv.lock:
             z = self._srv.zsets.get(name, {})
             hits = [(sc, m) for m, sc in z.items() if min <= sc <= max]
-        return [m for _, m in sorted(hits)]
+        hits.sort()
+        if withscores:
+            return [(m, sc) for sc, m in hits]
+        return [m for _, m in hits]
 
     def zremrangebyscore(self, name: str, min: float, max: float) -> int:
         s = self._srv

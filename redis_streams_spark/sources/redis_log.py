@@ -196,19 +196,32 @@ class RedisStreamLog:
 
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
         """Messages with position in [start_pos, end_pos) as
-        (pos, msgid, content) — ZRANGEBYSCORE for the id window, then one
-        XRANGE over it.  Trimmed positions are silently absent, same as
-        XRANGE after XTRIM."""
-        first = self.first_pos()
-        start_pos = max(start_pos, first)
+        (pos, msgid, content) — ZRANGEBYSCORE (with scores) for the id
+        window, then one XRANGE over it.  Trimmed positions are silently
+        absent, same as XRANGE after XTRIM.
+
+        Positions come from the index SCORES, never from enumeration:
+        a concurrent trim between the ZRANGEBYSCORE and the XRANGE can
+        only REMOVE leading entries, and score-keyed attribution keeps
+        every surviving entry on its true position (an enumerated
+        zip(range(...)) here would relabel survivors with the trimmed
+        positions — review finding, round 6)."""
         if start_pos >= end_pos:
             return []
-        members = self.client.zrangebyscore(self._k_idx, start_pos, end_pos - 1)
-        if not members:
+        pairs = self.client.zrangebyscore(
+            self._k_idx, start_pos, end_pos - 1, withscores=True
+        )
+        if not pairs:
             return []
-        entries = self.client.xrange(self._k_log, min=members[0], max=members[-1])
+        pos_by_id = {member: int(score) for member, score in pairs}
+        entries = self.client.xrange(
+            self._k_log, min=pairs[0][0], max=pairs[-1][0]
+        )
         out: list[tuple[int, str, dict]] = []
-        for pos, (_, fields) in zip(range(start_pos, end_pos), entries):
+        for redis_id, fields in entries:
+            pos = pos_by_id.get(redis_id)
+            if pos is None:  # indexed after our zset snapshot — out of range
+                continue
             msgid = fields.pop("_msgid")
             out.append((pos, msgid, fields))
         return out
@@ -277,15 +290,26 @@ class RedisStreamLog:
 
 
 def connect_log(root: str, stream: str):
-    """Backend factory: RedisStreamLog when ``RSS_REDIS_URL`` is set and
-    redis-py is importable, else the default file-backed StreamLog.  The
-    env var (not a constructor arg) is deliberate: the Spark data source
-    re-creates logs inside executor python workers, and the env travels
-    where constructor state cannot."""
+    """Backend factory: RedisStreamLog when ``RSS_REDIS_URL`` is set,
+    else the default file-backed StreamLog.  The env var (not a
+    constructor arg) is deliberate: the Spark data source re-creates
+    logs inside executor python workers, and the env travels where
+    constructor state cannot.
+
+    A set URL with no importable redis-py is a HARD ERROR, never a
+    silent file fallback: the factory runs independently on the driver
+    and in every executor worker, and an env-skewed worker quietly
+    reading an empty file log where the Redis data lives would commit
+    epochs over zero rows — silent data loss (review finding, round 6).
+    """
     url = os.environ.get("RSS_REDIS_URL")
     if url:
         try:
             return RedisStreamLog(root, stream, url=url)
-        except ImportError:
-            pass  # redis-py absent: fall through to the file backend
+        except ImportError as e:
+            raise RuntimeError(
+                "RSS_REDIS_URL is set but redis-py is not importable in "
+                "this python environment (driver AND executor workers "
+                "need it); refusing to fall back to the file backend"
+            ) from e
     return StreamLog(root, stream)

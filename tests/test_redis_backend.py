@@ -126,9 +126,39 @@ def test_connect_log_defaults_to_file_backend(tmp_path, monkeypatch):
     assert isinstance(connect_log(str(tmp_path), "s"), StreamLog)
 
 
-def test_connect_log_falls_back_when_redis_py_absent(tmp_path, monkeypatch):
-    # redis-py is not installed in this sandbox: the factory must fall
-    # back to the file backend rather than crash the data source
+def test_connect_log_hard_errors_when_redis_py_absent(tmp_path, monkeypatch):
+    # a SET url with no redis-py must fail LOUDLY: the factory also runs
+    # inside executor python workers, and a silent file fallback there
+    # would read an empty log and commit epochs over zero rows
     monkeypatch.setenv("RSS_REDIS_URL", "redis://localhost:6379/0")
-    log = connect_log(str(tmp_path), "s")
-    assert isinstance(log, StreamLog)
+    with pytest.raises(RuntimeError, match="redis-py is not importable"):
+        connect_log(str(tmp_path), "s")
+
+
+def test_read_slice_attributes_positions_by_index_score(rlog):
+    """Positions come from zset scores, not enumeration: after a trim,
+    surviving entries keep their TRUE positions even when the caller
+    asks for a window that starts below first_pos."""
+    ids = [rlog.append({"i": i}) for i in range(10)]
+    rlog.trim(4)  # positions 0-5 gone
+    out = rlog.read_slice(0, 10)  # stale window from before the trim
+    assert [(pos, msgid) for pos, msgid, _ in out] == [
+        (6, ids[6]),
+        (7, ids[7]),
+        (8, ids[8]),
+        (9, ids[9]),
+    ]
+
+
+def test_fake_xadd_monotonic_under_clock_stepback(rlog, monkeypatch):
+    """Auto-id minting mirrors Redis on clock step-back: the next id is
+    (top_ms, top_seq + 1), never an out-of-order or duplicate id."""
+    import time as _time
+
+    c = rlog.client
+    c.xadd("s", {"a": "1"}, id="1000-5")
+    monkeypatch.setattr(_time, "time", lambda: 0.999)  # 999 ms < top
+    new_id = c.xadd("s", {"a": "2"})
+    assert new_id == "1000-6"
+    ids = [eid for eid, _ in c.xrange("s")]
+    assert ids == sorted(ids, key=lambda s: tuple(map(int, s.split("-"))))

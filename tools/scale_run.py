@@ -32,19 +32,40 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {missing}")
 
     spark.range(1000).selectExpr("sum(id)").collect()
-    for t in ("lineitem", "documents", "embeddings", "events"):
+    for t in (
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part",
+        "documents",
+        "embeddings",
+        "events",
+    ):
         try:
             load_table(spark, sf_dir, t).limit(10).collect()
-        except Exception:
-            pass
-    warm_dir = "/root/testdata/sf0.001"
+        except Exception as e:
+            print(f"warn: table warm-up {t} failed: {e}", file=sys.stderr)
+    # a silently skipped warm-up would fold cold codegen compile into the
+    # first timed number — the exact artifact this tool exists to exclude
+    # — so failures are LOUD, never swallowed (review finding, round 6)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        raise SystemExit(
+            f"warm dir {warm_dir} missing (set SPARK_GRAFT_WARM_DIR); "
+            "refusing to time cold-codegen runs"
+        )
     for n in names:
         try:
             specs[n].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass
+        except Exception as e:
+            print(
+                f"warn: codegen warm-up for {n} failed ({e}); its timing "
+                "below includes cold compile",
+                file=sys.stderr,
+            )
 
     timings: dict[str, float] = {}
     for n in names:
