@@ -20,6 +20,7 @@ def _load_all() -> None:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         assoc,
         cdc,
         contamination,
@@ -45,6 +46,7 @@ def _load_all() -> None:
         relational5,
         scale,
         similarity,
+        similarity2,
         sketch,
         splits,
         streamsem,
@@ -54,6 +56,7 @@ def _load_all() -> None:
         text4,
         timeseries,
         timeseries2,
+        timeseries3,
     )
 
 

@@ -13,6 +13,7 @@ tokens-per-word tokenizer metric.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
@@ -269,4 +270,162 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
         .orderBy("lang")
+    )
+
+
+_COVERAGE_CUTOFFS = (100, 1000, 10000)
+
+
+@register(
+    "text_vocab_coverage",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({words_sql('text')}) AS term FROM documents
+), vc AS (
+  SELECT term, count(*) AS freq FROM toks GROUP BY term
+), ranked AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM vc
+), tot AS (
+  SELECT sum(freq) * 1.0 AS total, count(*) AS vocab FROM vc
+)
+SELECT c.cutoff,
+       least(c.cutoff, tot.vocab)::BIGINT AS vocab_used,
+       sum(r.freq)::BIGINT AS covered_tokens,
+       {rnd_sql('sum(r.freq) / tot.total * 100.0', 4)} AS coverage_pct
+FROM (VALUES (100), (1000), (10000)) c(cutoff)
+JOIN ranked r ON r.rnk <= c.cutoff
+CROSS JOIN tot
+GROUP BY c.cutoff, tot.vocab, tot.total
+ORDER BY c.cutoff
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-100 / top-1k / top-10k most frequent terms cover — the
+    vocabulary-size budget curve tokenizer design starts from (the
+    cumulative complement of text_zipf's rank-frequency view).
+
+    Scale shape: one vocabulary-sized count aggregate; the ranking
+    window is unpartitioned but runs over that aggregate (vocab grows
+    sub-linearly in corpus size — Heaps' law); the cutoff join fans the
+    ranked vocab against a 3-row literal frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words("text")).alias("term"))
+    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = vc.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "term"))
+    )
+    tot = vc.agg(
+        (F.sum("freq") * 1.0).alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    cuts = docs.sparkSession.createDataFrame(
+        [(c,) for c in _COVERAGE_CUTOFFS], "cutoff INT"
+    )
+    return (
+        ranked.join(F.broadcast(cuts), F.col("rnk") <= F.col("cutoff"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cutoff", "vocab", "total")
+        .agg(F.sum("freq").alias("covered_tokens"))
+        .select(
+            F.col("cutoff").cast("long").alias("cutoff"),
+            F.least(F.col("cutoff").cast("long"), F.col("vocab")).alias(
+                "vocab_used"
+            ),
+            "covered_tokens",
+            rnd(F.col("covered_tokens") / F.col("total") * 100.0, 4).alias(
+                "coverage_pct"
+            ),
+        )
+        .orderBy("cutoff")
+    )
+
+
+_DIVERGENCE_TOPV = 200
+
+
+@register(
+    "text_source_divergence",
+    tags=("text", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({words_sql('text')}) AS term FROM documents
+), corpus AS (
+  SELECT term, count(*) AS cf FROM toks GROUP BY term
+), topv AS (
+  SELECT term, cf FROM (
+    SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term) AS r FROM corpus
+  ) t WHERE r <= {_DIVERGENCE_TOPV}
+), sc AS (
+  SELECT t.source, t.term, count(*) AS sf
+  FROM toks t JOIN topv v ON v.term = t.term
+  GROUP BY t.source, t.term
+), grid AS (
+  SELECT s.source, v.term, v.cf, coalesce(sc.sf, 0) AS sf
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN topv v
+  LEFT JOIN sc ON sc.source = s.source AND sc.term = v.term
+), norm AS (
+  SELECT source, term,
+         (sf + 1.0) / (sum(sf) OVER (PARTITION BY source) + {_DIVERGENCE_TOPV})
+           AS p,
+         (cf + 1.0) / (sum(cf) OVER (PARTITION BY source) + {_DIVERGENCE_TOPV})
+           AS q
+  FROM grid
+)
+SELECT source,
+       {rnd_sql('sum(0.5 * p * ln(2.0 * p / (p + q)) + 0.5 * q * ln(2.0 * q / (p + q)))', 6)}
+         AS js_divergence
+FROM norm GROUP BY source ORDER BY source
+""",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus distribution, over the top-200 corpus terms with
+    add-one smoothing — the drifted-source detector a mixing stage runs
+    before trusting per-source weights.
+
+    Scale shape: token counts aggregate to vocabulary-sized frames; the
+    top-200 vocabulary and the |sources|×200 grid are broadcast-sized;
+    every join is an equi-join on the term or source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(words("text")).alias("term"))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    topv = (
+        corpus.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("cf"), "term"))
+        )
+        .where(F.col("r") <= _DIVERGENCE_TOPV)
+        .select("term", "cf")
+    )
+    sc = (
+        toks.join(F.broadcast(topv.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("sf"))
+    )
+    sources = docs.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(topv))
+        .join(sc, ["source", "term"], "left")
+        .withColumn("sf", F.coalesce("sf", F.lit(0)))
+    )
+    ws = Window.partitionBy("source")
+    norm = grid.select(
+        "source",
+        ((F.col("sf") + 1.0) / (F.sum("sf").over(ws) + _DIVERGENCE_TOPV)).alias(
+            "p"
+        ),
+        ((F.col("cf") + 1.0) / (F.sum("cf").over(ws) + _DIVERGENCE_TOPV)).alias(
+            "q"
+        ),
+    )
+    js_term = 0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))) + (
+        0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    return (
+        norm.groupBy("source")
+        .agg(rnd(F.sum(js_term), 6).alias("js_divergence"))
+        .orderBy("source")
     )

@@ -176,6 +176,11 @@ _BNLJ_OK = {
     "text_pmi_collocations",  # 1-row corpus-totals crossJoin (broadcast scalar)
     "mix_domain_targets",  # 1-row token-total crossJoin (broadcast scalar)
     "sim_dot_topk",  # same broadcast query-set inequality join as sim_bruteforce_topk
+    "sim_knn_classify",  # same broadcast query-set inequality join (via brute_force_topk)
+    "q_join_fanout_audit",  # 1-row total-pairs crossJoin (broadcast scalar)
+    "q_decile_lift",  # 1-row decile-bounds crossJoin (broadcast scalar)
+    "text_vocab_coverage",  # rank<=cutoff inequality join vs broadcast 3-row literal
+    "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
