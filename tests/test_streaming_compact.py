@@ -1,0 +1,75 @@
+"""Streaming CDC compaction: per-key last-writer-wins net state across
+micro-batches, with tombstones and replay-safe monotonic folding."""
+
+from __future__ import annotations
+
+from redis_streams_spark.sources.stream_log import StreamLog
+from redis_streams_spark.streaming import Producer
+from redis_streams_spark.streaming.bridge import open_stream
+from redis_streams_spark.streaming.compact import compact_changes
+from redis_streams_spark.streaming.windows import project
+
+
+def test_compaction_across_batches(spark, tmp_path):
+    log = StreamLog(str(tmp_path), "cdc")
+    prod = Producer(log, "cdc")
+    # three keys, interleaved updates over WAY more rows than one batch:
+    # key u0 updated repeatedly, u1 ends in a delete, u2 single insert
+    seq = 0
+    for i in range(30):
+        prod.add({"user": f"u{i % 2}", "kind": "update", "value": 1.0 + i, "seq": seq})
+        seq += 1
+    prod.add({"user": "u1", "kind": "delete", "value": 0.0, "seq": seq})
+    seq += 1
+    prod.add({"user": "u2", "kind": "insert", "value": 7.5, "seq": seq})
+
+    src = open_stream(spark, str(tmp_path), "cdc", group="cdc", batch_size=10)
+    typed = project(
+        src,
+        {"user": "string", "kind": "string", "value": "double", "seq": "bigint"},
+    )
+    out = compact_changes(
+        typed,
+        key_col="user",
+        type_col="kind",
+        value_col="value",
+        seq_col="seq",
+        tombstone_type="delete",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM cdc_out ORDER BY last_seq"
+        ).collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: the LAST row per key is the net state
+        final[r.key] = r
+    # u0 takes even i = 0..28 (15 events); survivor i=28 → value 29.0
+    assert final["u0"].last_type == "update"
+    assert final["u0"].last_value == 29.0
+    assert final["u0"].n_changes == 15
+    assert not final["u0"].is_tombstone
+    # u1: ends tombstoned by the delete marker
+    assert final["u1"].last_type == "delete"
+    assert final["u1"].is_tombstone
+    assert final["u1"].n_changes == 16
+    # u2: single insert
+    assert final["u2"].last_type == "insert"
+    assert final["u2"].last_value == 7.5
+    assert final["u2"].n_changes == 1
+    # state carried ACROSS batches (batch cap 10 < 32 rows): u0 must have
+    # been emitted in more than one batch with increasing n_changes
+    u0_counts = [r.n_changes for r in rows if r.key == "u0"]
+    assert len(u0_counts) >= 2
+    assert u0_counts == sorted(u0_counts)
