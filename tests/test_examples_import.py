@@ -17,6 +17,7 @@ EXAMPLES = [
     "retrieval_pipeline",
     "streaming_native",
     "event_analytics",
+    "growth_quality_audit",
 ]
 
 
