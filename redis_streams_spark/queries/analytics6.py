@@ -409,7 +409,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_audience_overlap",
     tags=("analytics", "set-overlap"),
-    oracle="""
+    oracle=f"""
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events
 ), sizes AS (
@@ -421,7 +421,7 @@ WITH ut AS (
 )
 SELECT i.type_a, i.type_b, i.n_both,
        (sa.sz + sb.sz - i.n_both)::BIGINT AS n_either,
-       round(5e-10 + i.n_both * 1.0 / (sa.sz + sb.sz - i.n_both), 6) AS jaccard
+       {rnd_sql('i.n_both * 1.0 / (sa.sz + sb.sz - i.n_both)', 6)} AS jaccard
 FROM inter i JOIN sizes sa ON sa.event_type = i.type_a
              JOIN sizes sb ON sb.event_type = i.type_b
 ORDER BY i.type_a, i.type_b

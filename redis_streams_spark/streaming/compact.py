@@ -58,12 +58,23 @@ def compact_changes(
         else:
             last_type, last_value, last_seq, n_changes = None, 0.0, -1, 0
         for pdf in pdfs:
-            n_changes += len(pdf)
-            top = pdf.loc[pdf[seq_col].astype("int64").idxmax()]
-            if int(top[seq_col]) > last_seq:
-                last_seq = int(top[seq_col])
-                last_type = str(top[type_col])
-                last_value = float(top[value_col])
+            # dirty rows (missing/unparseable seq arrive as NaN) are
+            # dropped, not fatal: astype on NaN would poison-pill the
+            # query — every checkpoint retry re-hits the same row
+            # (review finding, round 6)
+            seqs = pd.to_numeric(pdf[seq_col], errors="coerce")
+            fresh = pdf[seqs.notna() & (seqs > last_seq)]
+            if fresh.empty:
+                continue
+            # count only seq > last_seq: cross-batch REDELIVERY of an
+            # epoch must not inflate n_changes, or the 'exactly-once net
+            # state' claim would hold for the survivor tuple only
+            # (review finding, round 6)
+            n_changes += len(fresh)
+            top = fresh.loc[fresh[seq_col].astype("int64").idxmax()]
+            last_seq = int(top[seq_col])
+            last_type = str(top[type_col])
+            last_value = float(top[value_col])
         state.update((last_type, last_value, last_seq, n_changes))
         yield pd.DataFrame(
             {

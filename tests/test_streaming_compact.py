@@ -73,3 +73,67 @@ def test_compaction_across_batches(spark, tmp_path):
     u0_counts = [r.n_changes for r in rows if r.key == "u0"]
     assert len(u0_counts) >= 2
     assert u0_counts == sorted(u0_counts)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _run_fold(state, rows):
+    """Drive the REAL inner update function (grabbed via a stub frame)
+    on an in-memory chunk — no streaming query needed."""
+    from redis_streams_spark.streaming import compact as mod
+    from redis_streams_spark.streaming.compact import compact_changes
+
+    captured = {}
+
+    class _Grab:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    compact_changes(
+        _Grab(),
+        key_col="user",
+        type_col="kind",
+        value_col="value",
+        seq_col="seq",
+        tombstone_type="delete",
+    )
+    pdf = mod.pd.DataFrame(rows)
+    return list(captured["fn"](("u1",), iter([pdf]), state))
+
+
+def test_fold_redelivery_does_not_inflate_n_changes():
+    st = _FakeState()
+    _run_fold(st, [{"kind": "update", "value": 1.0, "seq": 1},
+                   {"kind": "update", "value": 2.0, "seq": 2}])
+    assert st.get == ("update", 2.0, 2, 2)
+    # redelivered epoch (seqs 1-2) plus one genuinely new row
+    _run_fold(st, [{"kind": "update", "value": 1.0, "seq": 1},
+                   {"kind": "update", "value": 2.0, "seq": 2},
+                   {"kind": "update", "value": 3.0, "seq": 3}])
+    assert st.get == ("update", 3.0, 3, 3)  # NOT 5: replays not counted
+
+
+def test_fold_skips_dirty_null_seq_rows():
+    st = _FakeState()
+    out = _run_fold(st, [{"kind": "update", "value": 1.0, "seq": None},
+                         {"kind": "update", "value": 2.0, "seq": 5}])
+    assert st.get == ("update", 2.0, 5, 1)  # null-seq row dropped, no crash
+    assert out[0]["n_changes"].iloc[0] == 1
