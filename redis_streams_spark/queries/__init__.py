@@ -21,6 +21,7 @@ def _load_all() -> None:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         assoc,
         cdc,
         contamination,
@@ -44,6 +45,7 @@ def _load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         scale,
         similarity,
         similarity2,
