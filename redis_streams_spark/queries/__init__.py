@@ -80,13 +80,17 @@ _REPO_ROOT = os.path.dirname(
 # Manual escape hatch: names listed here sort before everything else
 # (e.g. to force a driver re-check of a risky fix next round).
 # r06: the six r05 pins all went driver-green (CORRECTNESS_r05.json), so
-# they are dropped.  Pinned now: the 20 round-5 additions that queued
-# behind the r05 front-50 — the only queries with no driver row ever.
-# The rotation's no-green-row-first rule would front them on its own,
-# but any NEW round-6 registration also has no green row and could
-# displace them via the registration-order tie-break; pinning makes the
-# guarantee explicit while leaving 30 front-50 slots for new queries.
+# they are dropped.  Pinned now, in verification-priority order: the 20
+# round-5 additions that queued behind the r05 front-50 (the only
+# queries with no driver row ever), then the 29 round-6 additions of
+# the first two waves.  The pin is FIFO fairness made explicit: every
+# no-green-row query ties at priority 0, and the registration-order
+# tie-break follows MODULE IMPORT order — review finding r06: the
+# third-wave modules (analytics7/relational6) import before
+# text4/timeseries3 and silently displaced 9 earlier additions.  The
+# 10 third-wave queries take the remaining slot(s) and queue for r07.
 _DRIVER_PIN: list[str] = [
+    # -- round-5 additions awaiting their first driver row --
     "q_link_prediction",
     "q_systematic_sample",
     "mix_importance_resample",
@@ -107,6 +111,37 @@ _DRIVER_PIN: list[str] = [
     "text_gopher_rules",
     "text_gopher_report",
     "text_bigram_lm",
+    # -- round-6 wave 1 (11) --
+    "text_line_dedup",
+    "text_pmi_collocations",
+    "text_charclass_profile",
+    "text_token_fertility",
+    "q_weighted_sample",
+    "q_incremental_rollup",
+    "q_cdc_compact",
+    "q_attribution",
+    "q_degree_distribution",
+    "mix_domain_targets",
+    "sim_dot_topk",
+    # -- round-6 wave 2 (18) --
+    "q_seasonal_residual",
+    "q_interarrival_stats",
+    "q_yoy_growth",
+    "q_rolling_corr",
+    "q_activity_streaks",
+    "q_bitwise_gallery",
+    "q_conditional_agg",
+    "q_try_semantics",
+    "q_ingest_gap_islands",
+    "q_benford",
+    "q_iqr_outliers",
+    "q_join_fanout_audit",
+    "q_decile_lift",
+    "q_audience_overlap",
+    "q_new_vs_returning",
+    "sim_knn_classify",
+    "text_vocab_coverage",
+    "text_source_divergence",
 ]
 
 # NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are

@@ -126,13 +126,15 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms, sum(value) AS v
   FROM events GROUP BY 1
+), r AS (
+  SELECT day_ms, {rnd_sql('v', 2)} AS v FROM d
 ), n AS (
   SELECT day_ms, v,
          lag(v) OVER (ORDER BY day_ms) AS prev,
          lead(v) OVER (ORDER BY day_ms) AS next
-  FROM d
+  FROM r
 )
-SELECT day_ms, {rnd_sql('v', 2)} AS value
+SELECT day_ms, v AS value
 FROM n
 WHERE prev IS NOT NULL AND next IS NOT NULL AND v > prev AND v > next
 ORDER BY day_ms
@@ -147,9 +149,12 @@ def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is unpartitioned but runs over that day-bounded series."""
     ev = load_table(spark, sf_dir, "events")
     ms = F.expr(_MS)
+    # peak membership compares the 2dp-STABILIZED sums: a strict > on
+    # raw double sums could flip on a ~1-ulp cross-engine summation-
+    # order difference when two days are near-tied (review finding r06)
     d = ev.groupBy(
         ((ms / _DAY_MS).cast("long") * _DAY_MS).alias("day_ms")
-    ).agg(F.sum("value").alias("v"))
+    ).agg(rnd(F.sum("value"), 2).alias("v"))
     w = W.orderBy("day_ms")
     n = d.select(
         "day_ms",
@@ -164,7 +169,7 @@ def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("v") > F.col("prev"))
             & (F.col("v") > F.col("next"))
         )
-        .select("day_ms", rnd("v", 2).alias("value"))
+        .select("day_ms", F.col("v").alias("value"))
         .orderBy("day_ms")
     )
 
@@ -328,12 +333,16 @@ WITH d AS (
   SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY day
 ), monthly AS (
   SELECT day // 30 AS m30, count(DISTINCT user_id) AS mau FROM d GROUP BY 1
+), span AS (
+  SELECT max(day) AS max_day FROM d
 )
 SELECT m30 * 30 * {_DAY_MS} AS period_start_ms, mau,
-       {rnd_sql('avg(dau)', 4)} AS avg_dau,
-       {rnd_sql('avg(dau) / mau', 6)} AS stickiness
+       least(30, span.max_day - m30 * 30 + 1)::BIGINT AS n_days,
+       {rnd_sql('sum(dau) * 1.0 / least(30, span.max_day - m30 * 30 + 1)', 4)} AS avg_dau,
+       {rnd_sql('sum(dau) * 1.0 / least(30, span.max_day - m30 * 30 + 1) / mau', 6)} AS stickiness
 FROM daily JOIN monthly ON daily.day // 30 = monthly.m30
-GROUP BY m30, mau ORDER BY period_start_ms
+CROSS JOIN span
+GROUP BY m30, mau, span.max_day ORDER BY period_start_ms
 """,
 )
 def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,8 +350,14 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     period actives — the canonical engagement ratio.  Fixed 30-day
     epochs (not calendar months) keep the bucketing pure integer math.
 
+    The average divides by CALENDAR days in the period (zero-event days
+    count as DAU 0; the trailing partial period divides by its elapsed
+    days) — an avg() over only the active-day rows would silently
+    overstate stickiness on sparse data (review finding r06).
+
     Scale shape: two distinct-count aggregates off one (day, user)
-    projection, joined on the 30-day bucket of the daily aggregate."""
+    projection, joined on the 30-day bucket of the daily aggregate; the
+    corpus max-day enters as a 1-row broadcast scalar."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         (F.expr(_MS) / _DAY_MS).cast("long").alias("day"), "user_id"
@@ -351,16 +366,22 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = d.groupBy((F.col("day") / 30).cast("long").alias("m30")).agg(
         F.countDistinct("user_id").alias("mau")
     )
+    span = d.agg(F.max("day").alias("max_day"))
+    n_days = F.least(F.lit(30), F.col("max_day") - F.col("m30") * 30 + 1)
     return (
         daily.withColumn("m30", (F.col("day") / 30).cast("long"))
         .join(monthly, "m30")
-        .groupBy("m30", "mau")
-        .agg(F.avg("dau").alias("avg_dau_raw"))
+        .crossJoin(F.broadcast(span))
+        .groupBy("m30", "mau", "max_day")
+        .agg(F.sum("dau").alias("dau_sum"))
         .select(
             (F.col("m30") * 30 * _DAY_MS).alias("period_start_ms"),
             "mau",
-            rnd("avg_dau_raw", 4).alias("avg_dau"),
-            rnd(F.col("avg_dau_raw") / F.col("mau"), 6).alias("stickiness"),
+            n_days.cast("long").alias("n_days"),
+            rnd(F.col("dau_sum") * 1.0 / n_days, 4).alias("avg_dau"),
+            rnd(
+                F.col("dau_sum") * 1.0 / n_days / F.col("mau"), 6
+            ).alias("stickiness"),
         )
         .orderBy("period_start_ms")
     )

@@ -182,6 +182,7 @@ _BNLJ_OK = {
     "text_vocab_coverage",  # rank<=cutoff inequality join vs broadcast 3-row literal
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
     "q_band_join",  # range join vs a broadcast 4-row literal band table
+    "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
