@@ -74,6 +74,38 @@ def main() -> None:
     )
     q.awaitTermination(300)
     results["spark_source_msgs_per_sec"] = round(N / (time.perf_counter() - t0))
+
+    # -- stateful CDC compaction over the stream ------------------------
+    from redis_streams_spark.streaming.compact import compact_changes
+    from redis_streams_spark.streaming.windows import project
+
+    log3 = StreamLog(root, "cdc")
+    prod3 = Producer(log3, "cdc")
+    cdc_rows = [
+        {"user": f"u{i % 500}", "kind": "update", "value": float(i), "seq": i}
+        for i in range(N)
+    ]
+    for k in range(0, N, 1000):
+        prod3.add_many(cdc_rows[k : k + 1000])
+    src3 = open_stream(spark, root, "cdc", group="compact-bench", batch_size=0)
+    typed = project(
+        src3,
+        {"user": "string", "kind": "string", "value": "double", "seq": "bigint"},
+    )
+    out = compact_changes(typed, key_col="user", type_col="kind",
+                          value_col="value", seq_col="seq")
+    t0 = time.perf_counter()
+    q2 = (
+        out.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    results["compact_changes_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
     spark.stop()
 
     print(json.dumps({"metric": "streaming_throughput", "n": N, **results}))
