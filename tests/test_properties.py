@@ -260,3 +260,35 @@ def test_containment_prefix_never_loses_a_true_pair(docs, tq):
         for b, sb in docs.items():
             if a != b and len(sa & sb) / len(sa) >= tq:
                 assert (a, b) in cands, (a, b, sa, sb, tq)
+
+
+def test_weighted_sample_invariant_to_partition_layout(spark, sf_dir):
+    """q_weighted_sample's result must be a pure function of the DATA:
+    identical under any partitioning of the input — the property that
+    separates hash-keyed sampling from RNG TABLESAMPLE (whose output
+    depends on task layout)."""
+    from redis_streams_spark.queries.analytics5 import q_weighted_sample
+
+    base = [tuple(r) for r in q_weighted_sample(spark, sf_dir).collect()]
+
+    # recompute from an adversarially re-partitioned orders table
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.functions.hashing import h32
+    from redis_streams_spark.functions.rounding import rnd
+    from redis_streams_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(7, "o_orderpriority")
+    u = (h32(F.col("o_orderkey").cast("string")) + 1) / F.lit(4294967296.0)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        rnd(F.exp(F.log(u) / F.col("o_totalprice")), 9).alias("sample_key"),
+    )
+    shuffled = [
+        tuple(r)
+        for r in keyed.orderBy(F.desc("sample_key"), "o_orderkey")
+        .limit(20)
+        .collect()
+    ]
+    assert base == shuffled
