@@ -1,22 +1,42 @@
 """Concurrent consumers sharing a group claim DISJOINT messages (the
-Redis-server serialization of XREADGROUP, provided by the group lock)."""
+Redis-server serialization of XREADGROUP, provided by the group lock).
+Parametrized over both storage backends: the file log's flocks and the
+Redis backend's SET-NX locks must both serialize correctly."""
 
 from __future__ import annotations
 
+import pytest
 from concurrent.futures import ThreadPoolExecutor
 
 from redis_streams_spark.sources.stream_log import StreamLog
 from redis_streams_spark.streaming import Consumer, Producer
 
 
-def test_concurrent_consumers_disjoint(tmp_path):
-    log = StreamLog(str(tmp_path), "cc")
+def _make_log(kind, tmp_path, stream, request):
+    if kind == "file":
+        return StreamLog(str(tmp_path), stream)
+    from redis_streams_spark.sources.fake_redis import FakeRedis
+    from redis_streams_spark.sources.redis_log import RedisStreamLog
+
+    server = f"cc-{tmp_path.name}"
+    request.addfinalizer(lambda: FakeRedis.reset_server(server))
+    return RedisStreamLog(str(tmp_path), stream, client=FakeRedis(server))
+
+
+@pytest.mark.parametrize("backend", ["file", "fakeredis"])
+def test_concurrent_consumers_disjoint(tmp_path, request, backend):
+    import threading
+
+    log = _make_log(backend, tmp_path, "cc", request)
     prod = Producer(log, "cc")
     n = 120
     for i in range(n):
         prod.add({"i": i})
 
+    barrier = threading.Barrier(4)
+
     def run(cid: str) -> list[str]:
+        barrier.wait()  # all consumers contend from the same instant
         con = Consumer(
             log,
             "cc",
@@ -42,7 +62,12 @@ def test_concurrent_consumers_disjoint(tmp_path):
     all_ids = [m for r in results for m in r]
     assert len(all_ids) == n  # nothing lost
     assert len(set(all_ids)) == n  # nothing double-delivered
-    assert sum(1 for r in results if r) >= 2  # work actually spread
+    if backend == "file":
+        # the spread assertion is timing-based: file-log IO interleaves
+        # the threads reliably; the zero-latency in-process fake can let
+        # one consumer drain everything before the rest wake, which is
+        # correct (disjointness above is the contract), just not spread
+        assert sum(1 for r in results if r) >= 2  # work actually spread
 
 
 def test_concurrent_producers_no_lost_appends(tmp_path):
