@@ -22,6 +22,7 @@ def _load_all() -> None:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         assoc,
         cdc,
         contamination,
@@ -29,6 +30,7 @@ def _load_all() -> None:
         dedup,
         dedup2,
         dedup3,
+        dedup4,
         embedmath,
         formats,
         frontier,

@@ -1,0 +1,180 @@
+"""Round-6 dedup diagnostics: per-source duplicate rates and the
+near-dup threshold tuning curve.
+
+Both are REPORTS over the existing dedup machinery (exact digests;
+MinHash-LSH verified pairs) — the knobs-and-dials surface an operator
+of the dedup family ships with: how much each source would shrink, and
+how the near-dup threshold choice moves the pair count.
+
+Reference basis: none (north-star dedup extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32_sql
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
+from redis_streams_spark.functions.hashing import (
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    ROWS_PER_BAND,
+)
+from redis_streams_spark.operators.dedup import NORM_RE, minhash_lsh_pairs
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
+
+
+@register(
+    "dedup_rate_by_source",
+    tags=("dedup", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS digest FROM documents
+), g AS (
+  SELECT h.*,
+         count(*) OVER (PARTITION BY digest) AS group_size,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rnk
+  FROM h
+)
+SELECT source, count(*) AS n_docs,
+       count(*) FILTER (group_size > 1) AS n_in_dup_groups,
+       count(*) FILTER (rnk > 1) AS n_removed,
+       {rnd_sql('count(*) FILTER (rnk > 1) * 100.0 / count(*)', 4)} AS removal_pct
+FROM g GROUP BY source ORDER BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per source: how many of each source's
+    documents sit in a corpus-wide duplicate group, and how many the
+    min-doc_id-keeper policy would remove — the per-source shrink
+    numbers a mixing stage needs BEFORE reweighting (a source that is
+    40% duplicates contributes far fewer effective tokens than its raw
+    count suggests).
+
+    Scale shape: one digest projection, digest-partitioned windows
+    (16-byte keys), one source-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), NORM_RE, " "))
+        ).alias("digest"),
+    )
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("digest")
+    g = h.select(
+        "source",
+        F.count(F.lit(1)).over(wd).alias("group_size"),
+        F.row_number().over(wd.orderBy("doc_id")).alias("rnk"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("count_if(group_size > 1)").alias("n_in_dup_groups"),
+            F.expr("count_if(rnk > 1)").alias("n_removed"),
+            rnd(
+                F.expr("count_if(rnk > 1)") * 100.0 / F.count(F.lit(1)), 4
+            ).alias("removal_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _pairs_cte() -> str:
+    """The MinHash-LSH candidate-pair + exact-Jaccard CTEs (same math as
+    dedup_minhash_lsh's oracle, without its presentation SELECT)."""
+    min_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
+), hv AS (
+  SELECT doc_id, {h32_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) t
+), sigs AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.a_id, c.b_id,
+         round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 /
+               greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+               6) AS jaccard
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)"""
+
+
+@register(
+    "dedup_threshold_curve",
+    tags=("dedup", "lsh", "tuning", "llm-pipeline"),
+    oracle=f"""
+WITH {_pairs_cte()}
+SELECT t.threshold::DOUBLE AS threshold,
+       count(*) FILTER (p.jaccard >= t.threshold) AS n_pairs,
+       count(DISTINCT CASE WHEN p.jaccard >= t.threshold THEN p.b_id END)
+         AS n_docs_removable
+FROM (VALUES (0.3), (0.5), (0.7), (0.9)) t(threshold)
+CROSS JOIN pairs p
+GROUP BY t.threshold ORDER BY t.threshold
+""",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: for each candidate Jaccard
+    threshold, how many verified LSH pairs qualify and how many
+    documents a remove-the-larger-id policy would drop — the
+    one-glance answer to "what does moving the dedup knob cost?".
+
+    Scale shape: the expensive part (candidate generation + exact
+    verify) runs ONCE via the shared minhash operator; the curve itself
+    is a 4-row broadcast threshold frame aggregated over the verified
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("a_id", "b_id", "jaccard")
+    th = docs.sparkSession.createDataFrame(
+        [(t,) for t in _THRESHOLDS], "threshold DOUBLE"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.expr("count_if(jaccard >= threshold)").alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("jaccard") >= F.col("threshold"), F.col("b_id"))
+            ).alias("n_docs_removable"),
+        )
+        .orderBy("threshold")
+    )

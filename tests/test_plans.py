@@ -183,6 +183,8 @@ _BNLJ_OK = {
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
     "q_band_join",  # range join vs a broadcast 4-row literal band table
     "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)
+    "dedup_threshold_curve",  # verified pairs x broadcast 4-row threshold frame
+    "mix_curriculum_phases",  # 1-row tertile-bounds crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
