@@ -12,11 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.functions.textfns import STOPWORDS, words_sql, words
+from redis_streams_spark.functions.textfns import STOPWORDS, sql_str_list, words, words_sql
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
-_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_STOP_SQL = sql_str_list(STOPWORDS)
 
 
 @register(

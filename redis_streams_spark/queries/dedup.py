@@ -57,7 +57,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).orderBy("doc_id")
 
 
-def _minhash_oracle() -> str:
+def minhash_bands_cte() -> str:
+    """Shared oracle CTE body: tokens → 3-shingles → h32 → 32-perm
+    minhash signatures → LSH band rows.  The SINGLE source of the
+    MinHash-LSH SQL math — dedup_minhash_lsh, dedup_incremental, and
+    dedup4's threshold curve all build on this, so the oracle side can
+    never desynchronize from the shared Spark operator
+    (operators/dedup.py band_rows_from_sets)."""
     min_exprs = ",\n         ".join(
         f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
         for j, (a, b) in enumerate(MINHASH_COEFFS)
@@ -71,8 +77,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {words_sql('text')} AS w FROM documents
 ), sh AS (
   SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
@@ -85,7 +90,12 @@ WITH toks AS (
   FROM hv GROUP BY doc_id
 ), bands AS (
 {band_selects}
-), cands AS (
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {minhash_bands_cte()}, cands AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -314,38 +324,12 @@ _BATCH_PRED = "doc_id % 10 = 7"
 
 
 def _incremental_oracle() -> str:
-    min_exprs = ",\n         ".join(
-        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
     jac = (
         "round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 / "
         "greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6)"
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id, {words_sql('text')} AS w FROM documents
-), sh AS (
-  SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
-), hv AS (
-  SELECT doc_id, {h32_sql('shingle')} AS h
-  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) t
-), sigs AS (
-  SELECT doc_id,
-         {min_exprs}
-  FROM hv GROUP BY doc_id
-), bands AS (
-{band_selects}
-), ch AS (
+WITH {minhash_bands_cte()}, ch AS (
   SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents
 ), exact AS (
   SELECT b.doc_id, min(h.doc_id) AS exact_match

@@ -14,20 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from redis_streams_spark.functions.hashing import h32_sql
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
-from redis_streams_spark.functions.hashing import (
-    LSH_BANDS,
-    MINHASH_COEFFS,
-    MINHASH_PRIME,
-    ROWS_PER_BAND,
-)
-from redis_streams_spark.operators.dedup import NORM_RE, minhash_lsh_pairs
+from redis_streams_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 from redis_streams_spark.queries.base import register
+from redis_streams_spark.queries.dedup import _NORM_SQL, minhash_bands_cte
 from redis_streams_spark.session import load_table
-
-_NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
 
 
 @register(
@@ -60,29 +51,18 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one digest projection, digest-partitioned windows
     (16-byte keys), one source-keyed aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower("text"), NORM_RE, " "))
-        ).alias("digest"),
-    )
-    from pyspark.sql import Window as W
-
-    wd = W.partitionBy("digest")
-    g = h.select(
-        "source",
-        F.count(F.lit(1)).over(wd).alias("group_size"),
-        F.row_number().over(wd.orderBy("doc_id")).alias("rnk"),
-    )
+    # exact_dedup IS the canonical digest + windows (and fanout
+    # rebalance); this report only joins the source back on and
+    # aggregates — one definition of "exact duplicate" repo-wide
+    g = exact_dedup(docs).join(docs.select("doc_id", "source"), "doc_id")
     return (
         g.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.expr("count_if(group_size > 1)").alias("n_in_dup_groups"),
-            F.expr("count_if(rnk > 1)").alias("n_removed"),
+            F.expr("count_if(dup_rank > 1)").alias("n_removed"),
             rnd(
-                F.expr("count_if(rnk > 1)") * 100.0 / F.count(F.lit(1)), 4
+                F.expr("count_if(dup_rank > 1)") * 100.0 / F.count(F.lit(1)), 4
             ).alias("removal_pct"),
         )
         .orderBy("source")
@@ -93,36 +73,9 @@ _THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
 
 
 def _pairs_cte() -> str:
-    """The MinHash-LSH candidate-pair + exact-Jaccard CTEs (same math as
-    dedup_minhash_lsh's oracle, without its presentation SELECT)."""
-    min_exprs = ",\n         ".join(
-        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
-    return f"""
-toks AS (
-  SELECT doc_id, {words_sql('text')} AS w FROM documents
-), sh AS (
-  SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
-), hv AS (
-  SELECT doc_id, {h32_sql('shingle')} AS h
-  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) t
-), sigs AS (
-  SELECT doc_id,
-         {min_exprs}
-  FROM hv GROUP BY doc_id
-), bands AS (
-{band_selects}
-), cands AS (
+    """Shared MinHash-LSH CTE body (queries/dedup.py's single source of
+    the oracle math) plus the candidate-pair + exact-Jaccard suffix."""
+    return f"""{minhash_bands_cte()}, cands AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

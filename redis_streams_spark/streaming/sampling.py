@@ -79,15 +79,17 @@ def weighted_reservoir(
                 pool[rid] = _es_key(rid, float(wt))
         # keep the k largest keys; (score, id) ordering makes ties stable
         top = sorted(pool.items(), key=lambda t: (-t[1], t[0]))[:k]
-        pool = dict(top)
         ids_out = [t[0] for t in top]
-        scores_out = [round(t[1], 9) for t in top]
-        state.update((ids_out, scores_out, n_seen))
+        # state keeps FULL-precision scores — rounding them would let a
+        # fresh unrounded score beat a stored rounded one at the batch
+        # boundary, making membership replay-dependent (review finding
+        # r06); only the EMITTED scores are rounded for display
+        state.update((ids_out, [t[1] for t in top], n_seen))
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],
                 "reservoir_ids": [ids_out],
-                "reservoir_scores": [scores_out],
+                "reservoir_scores": [[round(t[1], 9) for t in top]],
                 "n_seen": [n_seen],
             }
         )
