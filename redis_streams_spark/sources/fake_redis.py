@@ -77,6 +77,16 @@ class FakeRedis:
         with cls._REGISTRY_LOCK:
             cls._SERVERS.pop(server_name, None)
 
+    # -- pipeline --------------------------------------------------------
+    def pipeline(self, transaction: bool = True) -> "_FakePipeline":
+        """Buffered command pipeline, mirroring redis-py's: queued calls
+        run back-to-back under one server-lock hold on execute() —
+        per-command atomicity, batch round-trip amortization.  The
+        ``transaction`` flag is accepted for signature parity (a real
+        MULTI/EXEC adds nothing here: the single server lock already
+        makes the flush contiguous)."""
+        return _FakePipeline(self)
+
     # -- strings / locks -------------------------------------------------
     def set(self, name: str, value: str, nx: bool = False, px: int | None = None):
         s = self._srv
@@ -234,3 +244,30 @@ class FakeRedis:
             for m in doomed:
                 del z[m]
             return len(doomed)
+
+
+class _FakePipeline:
+    """Queues commands; execute() replays them against the server under
+    one lock hold and returns their results in order (redis-py shape)."""
+
+    def __init__(self, client: FakeRedis):
+        self._client = client
+        self._queued: list[tuple[str, tuple, dict]] = []
+
+    def __getattr__(self, name: str):
+        target = getattr(self._client, name)  # raises for unknown commands
+
+        def queue(*args, **kwargs):
+            self._queued.append((name, args, kwargs))
+            return self
+
+        return queue if callable(target) else target
+
+    def execute(self) -> list:
+        srv = self._client._srv
+        out = []
+        with srv.lock:  # RLock: per-command locking inside stays legal
+            for name, args, kwargs in self._queued:
+                out.append(getattr(self._client, name)(*args, **kwargs))
+        self._queued.clear()
+        return out

@@ -176,18 +176,32 @@ class RedisStreamLog:
             seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
             ids: list[str] = []
             pos = m["appended"]
+            # pipeline when the client offers one: a naive loop costs 2
+            # network round trips PER MESSAGE (xadd + zadd) — exactly the
+            # per-message XADD bound the reference lives with
+            # (producer.py:44-49); one pipelined flush amortizes it away.
+            # transaction=False: the stream_lock already serializes
+            # writers, MULTI/EXEC would only add latency.
+            pipe_factory = getattr(self.client, "pipeline", None)
+            sink = (
+                pipe_factory(transaction=False) if pipe_factory else self.client
+            )
+            idx_batch: dict[str, int] = {}
             for content in contents:
                 msgid = f"{ms}-{seq:06d}"
                 redis_id = f"{ms}-{seq}"
-                self.client.xadd(
+                sink.xadd(
                     self._k_log,
                     {**{k: str(v) for k, v in content.items()}, "_msgid": msgid},
                     id=redis_id,
                 )
-                self.client.zadd(self._k_idx, {redis_id: pos})
+                idx_batch[redis_id] = pos
                 ids.append(msgid)
                 seq += 1
                 pos += 1
+            sink.zadd(self._k_idx, idx_batch)
+            if sink is not self.client:
+                sink.execute()
             m.update(appended=pos, last_ms=ms, last_seq=seq - 1)
             self._save_meta(m)
             if maxlen is not None and m["appended"] - m["first_pos"] > maxlen:

@@ -162,3 +162,36 @@ def test_fake_xadd_monotonic_under_clock_stepback(rlog, monkeypatch):
     assert new_id == "1000-6"
     ids = [eid for eid, _ in c.xrange("s")]
     assert ids == sorted(ids, key=lambda s: tuple(map(int, s.split("-"))))
+
+
+def test_append_many_uses_one_pipeline_flush(rlog):
+    """append_many must batch its stream+index writes through the
+    client's pipeline — one flush, not 2 round trips per message."""
+    calls = {"pipelines": 0, "direct_xadds": 0}
+    real_pipeline = rlog.client.pipeline
+    real_xadd = rlog.client.xadd
+
+    def counting_pipeline(transaction=True):
+        calls["pipelines"] += 1
+        return real_pipeline(transaction=transaction)
+
+    def counting_xadd(*a, **kw):
+        calls["direct_xadds"] += 1
+        return real_xadd(*a, **kw)
+
+    rlog.client.pipeline = counting_pipeline
+    rlog.client.xadd = counting_xadd
+    try:
+        ids = rlog.append_many([{"i": i} for i in range(50)])
+    finally:
+        del rlog.client.pipeline
+        del rlog.client.xadd
+    assert len(ids) == 50
+    assert calls["pipelines"] == 1
+    # the pipeline replays through client.xadd on execute(), so exactly
+    # the 50 batched calls happen -- none issued eagerly before execute
+    assert calls["direct_xadds"] == 50
+    assert rlog.xlen() == 50
+    assert [c["i"] for _, _, c in rlog.read_slice(0, 50)] == [
+        str(i) for i in range(50)
+    ]
