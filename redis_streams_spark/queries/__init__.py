@@ -40,6 +40,7 @@ def _load_all() -> None:
         multimodal,
         nullsem,
         pipelines,
+        profile2,
         pyudf,
         quality,
         relational,

@@ -185,6 +185,7 @@ _BNLJ_OK = {
     "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)
     "dedup_threshold_curve",  # verified pairs x broadcast 4-row threshold frame
     "mix_curriculum_phases",  # 1-row tertile-bounds crossJoin (broadcast scalar)
+    "sim_centroid_separation",  # k x k pair join over the broadcast centroid table
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
