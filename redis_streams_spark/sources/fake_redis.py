@@ -266,8 +266,13 @@ class _FakePipeline:
     def execute(self) -> list:
         srv = self._client._srv
         out = []
-        with srv.lock:  # RLock: per-command locking inside stays legal
-            for name, args, kwargs in self._queued:
-                out.append(getattr(self._client, name)(*args, **kwargs))
-        self._queued.clear()
+        try:
+            with srv.lock:  # RLock: per-command locking inside stays legal
+                for name, args, kwargs in self._queued:
+                    out.append(getattr(self._client, name)(*args, **kwargs))
+        finally:
+            # redis-py resets the command stack in a finally: a retried
+            # execute() after a mid-replay error must NOT re-apply the
+            # already-applied prefix (review finding, round 6)
+            self._queued.clear()
         return out

@@ -167,16 +167,25 @@ def test_fake_xadd_monotonic_under_clock_stepback(rlog, monkeypatch):
 def test_append_many_uses_one_pipeline_flush(rlog):
     """append_many must batch its stream+index writes through the
     client's pipeline — one flush, not 2 round trips per message."""
-    calls = {"pipelines": 0, "direct_xadds": 0}
+    calls = {"pipelines": 0, "xadds": 0, "xadds_before_flush": None}
     real_pipeline = rlog.client.pipeline
     real_xadd = rlog.client.xadd
 
     def counting_pipeline(transaction=True):
         calls["pipelines"] += 1
-        return real_pipeline(transaction=transaction)
+        pipe = real_pipeline(transaction=transaction)
+        real_execute = pipe.execute
+
+        def snapshot_execute():
+            # how many xadds ran EAGERLY before the flush: must be zero
+            calls["xadds_before_flush"] = calls["xadds"]
+            return real_execute()
+
+        pipe.execute = snapshot_execute
+        return pipe
 
     def counting_xadd(*a, **kw):
-        calls["direct_xadds"] += 1
+        calls["xadds"] += 1
         return real_xadd(*a, **kw)
 
     rlog.client.pipeline = counting_pipeline
@@ -188,9 +197,8 @@ def test_append_many_uses_one_pipeline_flush(rlog):
         del rlog.client.xadd
     assert len(ids) == 50
     assert calls["pipelines"] == 1
-    # the pipeline replays through client.xadd on execute(), so exactly
-    # the 50 batched calls happen -- none issued eagerly before execute
-    assert calls["direct_xadds"] == 50
+    assert calls["xadds_before_flush"] == 0  # nothing issued eagerly
+    assert calls["xadds"] == 50  # all 50 replayed through the one flush
     assert rlog.xlen() == 50
     assert [c["i"] for _, _, c in rlog.read_slice(0, 50)] == [
         str(i) for i in range(50)
