@@ -82,69 +82,30 @@ _REPO_ROOT = os.path.dirname(
 
 # Manual escape hatch: names listed here sort before everything else
 # (e.g. to force a driver re-check of a risky fix next round).
-# r06: the six r05 pins all went driver-green (CORRECTNESS_r05.json), so
-# they are dropped.  Pinned now, in verification-priority order: the 20
-# round-5 additions that queued behind the r05 front-50 (the only
-# queries with no driver row ever), then the 29 round-6 additions of
-# the first two waves.  The pin is FIFO fairness made explicit: every
-# no-green-row query ties at priority 0, and the registration-order
-# tie-break follows MODULE IMPORT order — review finding r06: the
-# third-wave modules (analytics7/relational6) import before
-# text4/timeseries3 and silently displaced 9 earlier additions.  The
-# 10 third-wave queries take the remaining slot(s) and queue for r07.
+# r07: all 49 r06 pins went driver-green (CORRECTNESS_r06.json), so they
+# are dropped.  Pinned now: the 16 round-6 wave-3/4 additions — the only
+# queries in the registry with no driver row ever (VERDICT r06 verified
+# by simulation that with stale pins only q_behavior_entropy reaches the
+# r07 front-50).  FIFO order by the wave they were registered in.
 _DRIVER_PIN: list[str] = [
-    # -- round-5 additions awaiting their first driver row --
-    "q_link_prediction",
-    "q_systematic_sample",
-    "mix_importance_resample",
-    "q_dq_constraints",
-    "q_table_diff",
-    "q_histogram",
-    "q_profile_table",
-    "q_zorder_scan",
-    "sim_ivf_indexed",
-    "q_cms_heavy_hitters",
-    "q_hll_distinct",
-    "q_hll_merge",
-    "q_train_val_test",
-    "dedup_cross_split_leakage",
-    "text_langid_eval",
-    "text_entropy",
-    "text_zipf",
-    "text_gopher_rules",
-    "text_gopher_report",
-    "text_bigram_lm",
-    # -- round-6 wave 1 (11) --
-    "text_line_dedup",
-    "text_pmi_collocations",
-    "text_charclass_profile",
-    "text_token_fertility",
-    "q_weighted_sample",
-    "q_incremental_rollup",
-    "q_cdc_compact",
-    "q_attribution",
-    "q_degree_distribution",
-    "mix_domain_targets",
-    "sim_dot_topk",
-    # -- round-6 wave 2 (18) --
-    "q_seasonal_residual",
-    "q_interarrival_stats",
-    "q_yoy_growth",
-    "q_rolling_corr",
-    "q_activity_streaks",
-    "q_bitwise_gallery",
-    "q_conditional_agg",
-    "q_try_semantics",
-    "q_ingest_gap_islands",
-    "q_benford",
-    "q_iqr_outliers",
-    "q_join_fanout_audit",
-    "q_decile_lift",
-    "q_audience_overlap",
-    "q_new_vs_returning",
-    "sim_knn_classify",
-    "text_vocab_coverage",
-    "text_source_divergence",
+    # -- round-6 wave 3 --
+    "q_cume_dist",
+    "q_string_funcs2",
+    "q_regexp_gallery",
+    "q_band_join",
+    "q_behavior_entropy",
+    "q_local_peaks",
+    "q_linear_interpolate",
+    "q_time_to_convert",
+    "q_dau_mau",
+    # -- round-6 wave 4 + closing wave --
+    "dedup_rate_by_source",
+    "dedup_threshold_curve",
+    "q_key_skew_stats",
+    "mix_curriculum_phases",
+    "text_length_profile",
+    "q_user_activity_histogram",
+    "sim_centroid_separation",
 ]
 
 # NB: cached for the PROCESS lifetime — if CORRECTNESS_r*.json files are
