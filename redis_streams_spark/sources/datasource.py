@@ -22,13 +22,16 @@ Structured-Streaming mapping of the reference's delivery semantics
   retention runs inside commit (S2's trim-on-write).
 
 Options: path (log root), stream, group (default "spark"),
-batch_size (default 100), maxlen (writer only).
+batch_size (default 100), maxlen (writer only), redis_url (Redis
+backend; travels with the serialized plan into executor workers, see
+``connect_log``).
 
 Backend: logs are opened through ``connect_log`` — file-backed
-StreamLog by default, RedisStreamLog when ``RSS_REDIS_URL`` points at a
-real server (see ``redis_log.py``).  The env-var selection matters
-here: readers re-open the log inside executor python workers, where the
-env travels but driver-constructed clients cannot.
+StreamLog by default, RedisStreamLog when the ``redis_url`` option (or
+the ``RSS_REDIS_URL`` env var) points at a server.  The option is
+carried inside the serialized RangePartition / writer objects, so
+executor python workers open the SAME backend the driver planned
+against, regardless of env skew.
 """
 
 from __future__ import annotations
@@ -87,6 +90,9 @@ class RangePartition(InputPartition):
     stream: str
     start: int
     end: int
+    # backend URL travels WITH the plan into executor workers — immune
+    # to driver/worker env skew (None = file backend / env default)
+    url: str | None = None
 
 
 @dataclass
@@ -95,14 +101,15 @@ class StagedCommit(WriterCommitMessage):
     n_rows: int
 
 
-def _opts(options) -> tuple[str, str, str, int]:
+def _opts(options) -> tuple[str, str, str, int, str | None]:
     root = options.get("path")
     if not root:
         raise ValueError("option 'path' (stream log root dir) is required")
     stream = options.get("stream", "stream")
     group = options.get("group", "spark")
     batch_size = int(options.get("batch_size", "100"))
-    return root, stream, group, batch_size
+    url = options.get("redis_url")  # None → env / file backend
+    return root, stream, group, batch_size, url
 
 
 class RedisLogDataSource(DataSource):
@@ -130,21 +137,25 @@ class RedisLogBatchReader(DataSourceReader):
     """Batch scan of the whole retained log (XRANGE - +)."""
 
     def __init__(self, options):
-        self.root, self.stream, _, _ = _opts(options)
+        self.root, self.stream, _, _, self.url = _opts(options)
 
     def partitions(self):
-        log = connect_log(self.root, self.stream)
-        return [RangePartition(self.root, self.stream, log.first_pos(), log.count())]
+        log = connect_log(self.root, self.stream, url=self.url)
+        return [
+            RangePartition(
+                self.root, self.stream, log.first_pos(), log.count(), self.url
+            )
+        ]
 
     def read(self, partition: RangePartition):
-        log = connect_log(partition.root, partition.stream)
+        log = connect_log(partition.root, partition.stream, url=partition.url)
         yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
 
 class RedisLogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.root, self.stream, self.group, self.batch_size = _opts(options)
-        self._log = connect_log(self.root, self.stream)
+        self.root, self.stream, self.group, self.batch_size, self.url = _opts(options)
+        self._log = connect_log(self.root, self.stream, url=self.url)
         self._log.create_group(self.group)
 
     def initialOffset(self) -> dict:
@@ -174,10 +185,12 @@ class RedisLogStreamReader(DataSourceStreamReader):
         return {"pos": log.update_group(self.group, plan)}
 
     def partitions(self, start: dict, end: dict):
-        return [RangePartition(self.root, self.stream, start["pos"], end["pos"])]
+        return [
+            RangePartition(self.root, self.stream, start["pos"], end["pos"], self.url)
+        ]
 
     def read(self, partition: RangePartition):
-        log = connect_log(partition.root, partition.stream)
+        log = connect_log(partition.root, partition.stream, url=partition.url)
         yield from _arrow_batches(log.read_slice(partition.start, partition.end))
 
     def commit(self, end: dict) -> None:
@@ -203,7 +216,7 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, options):
-        self.root, self.stream, _, _ = _opts(options)
+        self.root, self.stream, _, _, self.url = _opts(options)
         self.maxlen = int(options["maxlen"]) if "maxlen" in options else None
 
     def write(self, iterator) -> StagedCommit:
@@ -233,7 +246,7 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
                 if msg and os.path.exists(msg.staging_path):
                     os.remove(msg.staging_path)
             return
-        log = connect_log(self.root, self.stream)
+        log = connect_log(self.root, self.stream, url=self.url)
         # one append_many for the whole epoch: a single stream_lock
         # acquire + meta write instead of one per message (the reference
         # pays one XADD round trip per message, producer.py:44-49 — batch
@@ -267,7 +280,7 @@ class RedisLogBatchWriter(DataSourceWriter):
     job commits once)."""
 
     def __init__(self, options, overwrite: bool):
-        self.root, self.stream, _, _ = _opts(options)
+        self.root, self.stream, _, _, self.url = _opts(options)
         self.maxlen = int(options["maxlen"]) if "maxlen" in options else None
         self.overwrite = overwrite
 
@@ -289,7 +302,7 @@ class RedisLogBatchWriter(DataSourceWriter):
         return StagedCommit(staging_path=path, n_rows=n)
 
     def commit(self, messages) -> None:
-        log = connect_log(self.root, self.stream)
+        log = connect_log(self.root, self.stream, url=self.url)
         if self.overwrite:
             log.delete()
         rows: list[dict] = []

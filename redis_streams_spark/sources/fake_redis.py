@@ -107,6 +107,51 @@ class FakeRedis:
             s.drop_expired(name)
             return s.strings.get(name)
 
+    def pexpire(self, name: str, ms: int) -> int:
+        s = self._srv
+        with s.lock:
+            s.drop_expired(name)
+            if name not in s.strings:
+                return 0
+            s.expiry[name] = time.time() + int(ms) / 1000.0
+            return 1
+
+    def eval(self, script: str, numkeys: int, *keys_and_args: str):
+        """EVAL limited to the three canonical scripts RedisStreamLog
+        ships (compare-and-delete release, compare-and-renew, lock-guarded
+        set) — matched by exact script text, executed atomically under
+        the server lock, exactly what a real server's Lua sandbox
+        guarantees.  Anything else is a loud NotImplementedError rather
+        than a wrong answer."""
+        from redis_streams_spark.sources import redis_log as _rl
+
+        numkeys = int(numkeys)
+        keys = [str(k) for k in keys_and_args[:numkeys]]
+        args = [str(a) for a in keys_and_args[numkeys:]]
+        s = self._srv
+        with s.lock:
+            if script == _rl.RELEASE_SCRIPT:
+                s.drop_expired(keys[0])
+                if s.strings.get(keys[0]) == args[0]:
+                    s.strings.pop(keys[0], None)
+                    s.expiry.pop(keys[0], None)
+                    return 1
+                return 0
+            if script == _rl.RENEW_SCRIPT:
+                s.drop_expired(keys[0])
+                if s.strings.get(keys[0]) == args[0]:
+                    s.expiry[keys[0]] = time.time() + int(args[1]) / 1000.0
+                    return 1
+                return 0
+            if script == _rl.GUARDED_SET_SCRIPT:
+                s.drop_expired(keys[0])
+                if s.strings.get(keys[0]) == args[0]:
+                    s.strings[keys[1]] = args[1]
+                    s.expiry.pop(keys[1], None)
+                    return 1
+                return 0
+        raise NotImplementedError(f"FakeRedis.eval: unknown script {script[:60]!r}")
+
     def delete(self, *names: str) -> int:
         s = self._srv
         n = 0
@@ -206,6 +251,27 @@ class FakeRedis:
                     break
         return out
 
+    def xrevrange(
+        self, name: str, max: str = "+", min: str = "-", count: int | None = None
+    ) -> list[tuple[str, dict[str, str]]]:
+        """Newest-first scan — the crash-recovery read ('what is the real
+        stream top?') is XREVRANGE <log> + - COUNT 1."""
+        lo = (0, 0) if min == "-" else _parse_id(min, default_seq=0)
+        hi = (
+            (1 << 62, 1 << 62) if max == "+" else _parse_id(max, default_seq=1 << 62)
+        )
+        out: list[tuple[str, dict[str, str]]] = []
+        with self._srv.lock:
+            for eid, fields in reversed(self._srv.streams.get(name, [])):
+                if eid > hi:
+                    continue
+                if eid < lo:
+                    break
+                out.append((f"{eid[0]}-{eid[1]}", dict(fields)))
+                if count is not None and len(out) >= count:
+                    break
+        return out
+
     def xtrim(self, name: str, maxlen: int, approximate: bool = False) -> int:
         s = self._srv
         with s.lock:
@@ -224,6 +290,10 @@ class FakeRedis:
             added = sum(1 for m in mapping if m not in z)
             z.update({str(m): float(sc) for m, sc in mapping.items()})
             return added
+
+    def zcard(self, name: str) -> int:
+        with self._srv.lock:
+            return len(self._srv.zsets.get(name, {}))
 
     def zrangebyscore(
         self, name: str, min: float, max: float, withscores: bool = False

@@ -37,19 +37,28 @@ reassign = XCLAIM — the blob is simply where the resulting state lives.
 
 Locking: both ``stream_lock`` and ``group_lock`` are standard
 single-instance Redis locks (SET NX PX + token + retry), the same
-mutual-exclusion shape as the file backend's flock.  Release checks the
-token before DELETE; the unguarded GET→DEL window is the classic
-single-instance caveat — production multi-instance deployments should
-swap in a Lua compare-and-delete or Redlock, which slots into
-``_lock()`` without touching callers.
+mutual-exclusion shape as the file backend's flock.  Three Lua scripts
+close the classic single-instance races atomically server-side:
+
+- release is compare-and-delete (:data:`RELEASE_SCRIPT`) — a holder
+  whose TTL expired mid-hold can no longer delete the *next* holder's
+  lock (the GET→DEL window round 6 documented is gone);
+- long holds renew via compare-and-pexpire (:data:`RENEW_SCRIPT`) —
+  ``append_many`` renews after buffering a large epoch so the pipeline
+  flush cannot outlive the TTL silently;
+- the meta blob is written through compare-lock-then-set
+  (:data:`GUARDED_SET_SCRIPT`) — if the lock WAS lost anyway (GC pause
+  longer than the TTL), the final meta write fails loudly with
+  :class:`LockLostError` instead of clobbering the new holder's state.
 
 Backend selection: :func:`connect_log` returns a RedisStreamLog when
-``RSS_REDIS_URL`` is set (e.g. ``redis://host:6379/0``) and redis-py is
-importable, else the default file StreamLog.  There is no Redis server
-or redis-py in this sandbox, so tests exercise this class through
-:class:`~redis_streams_spark.sources.fake_redis.FakeRedis` (same call
-signatures); against a real server pass
-``redis.Redis.from_url(url, decode_responses=True)``.
+``RSS_REDIS_URL`` is set (e.g. ``redis://host:6379/0``) or an explicit
+``url=`` is passed, else the default file StreamLog.  The client is
+redis-py when importable, else the pure-stdlib
+:class:`~redis_streams_spark.sources.resp.RespClient` — real RESP on
+the wire, so both reach a real server AND the in-repo
+:class:`~redis_streams_spark.sources.resp.RespServer` (which is how
+Spark executor processes exercise this backend in tests).
 """
 
 from __future__ import annotations
@@ -65,6 +74,59 @@ from redis_streams_spark.sources.stream_log import StreamLog
 
 _LOCK_TTL_MS = 30_000  # crash-safety expiry; normal holds are ms-long
 _LOCK_WAIT_S = 30.0
+
+# Canonical Lua scripts (valid against a real server; FakeRedis.eval
+# recognizes them by exact text and runs the equivalent atomically).
+RELEASE_SCRIPT = (
+    "if redis.call('get', KEYS[1]) == ARGV[1] then "
+    "return redis.call('del', KEYS[1]) else return 0 end"
+)
+RENEW_SCRIPT = (
+    "if redis.call('get', KEYS[1]) == ARGV[1] then "
+    "return redis.call('pexpire', KEYS[1], ARGV[2]) else return 0 end"
+)
+GUARDED_SET_SCRIPT = (
+    "if redis.call('get', KEYS[1]) == ARGV[1] then "
+    "redis.call('set', KEYS[2], ARGV[2]) return 1 else return 0 end"
+)
+
+
+class LockLostError(RuntimeError):
+    """The lock TTL expired mid-hold and another writer may own the
+    resource; the guarded write was refused server-side."""
+
+
+class _LockHandle:
+    """A held lock: carries the fencing token so guarded writes and
+    renewals can prove ownership server-side."""
+
+    __slots__ = ("client", "key", "token")
+
+    def __init__(self, client, key: str, token: str):
+        self.client = client
+        self.key = key
+        self.token = token
+
+    def renew(self, ttl_ms: int = _LOCK_TTL_MS) -> None:
+        """Extend the TTL iff still held (compare-and-pexpire); raises
+        LockLostError if the lock expired and must not be relied on."""
+        if not self.client.eval(RENEW_SCRIPT, 1, self.key, self.token, ttl_ms):
+            raise LockLostError(f"lock {self.key} expired during hold")
+
+    def guarded_set(self, target_key: str, value: str) -> None:
+        """SET target iff the lock is still held — the atomic
+        only-the-holder-writes guarantee for meta/group blobs."""
+        ok = self.client.eval(
+            GUARDED_SET_SCRIPT, 2, self.key, target_key, self.token, value
+        )
+        if not ok:
+            raise LockLostError(
+                f"lock {self.key} lost before writing {target_key}; "
+                "refusing to clobber the new holder's state"
+            )
+
+    def release(self) -> None:
+        self.client.eval(RELEASE_SCRIPT, 1, self.key, self.token)
 
 
 class RedisStreamLog:
@@ -90,9 +152,16 @@ class RedisStreamLog:
     def _connect(url: str | None):
         if not url:
             raise ValueError("RedisStreamLog needs a client or a redis:// url")
-        import redis  # gated: not present in this sandbox
+        try:
+            import redis  # preferred when installed
 
-        return redis.Redis.from_url(url, decode_responses=True)
+            return redis.Redis.from_url(url, decode_responses=True)
+        except ImportError:
+            # pure-stdlib RESP client — same bytes on the wire, imports
+            # inside Spark executor workers where redis-py is absent
+            from redis_streams_spark.sources.resp import RespClient
+
+            return RespClient.from_url(url)
 
     # pickling crosses the Spark driver→executor boundary: ship the
     # connection RECIPE, not the socket.  FakeRedis pickles itself (it
@@ -119,31 +188,86 @@ class RedisStreamLog:
             if time.time() > deadline:
                 raise TimeoutError(f"could not acquire redis lock {key}")
             time.sleep(0.001)
+        handle = _LockHandle(self.client, key, token)
         try:
-            yield
+            yield handle
         finally:
-            if self.client.get(key) == token:
-                self.client.delete(key)
+            handle.release()  # Lua compare-and-delete: never deletes a
+            # successor's lock after our own TTL expiry
 
     @contextmanager
     def stream_lock(self):
-        with self._lock(f"{self._ns}:lock:stream"):
-            yield
+        with self._lock(f"{self._ns}:lock:stream") as handle:
+            yield handle
 
     @contextmanager
     def group_lock(self, group: str):
-        with self._lock(f"{self._ns}:lock:group:{group}"):
-            yield
+        with self._lock(f"{self._ns}:lock:group:{group}") as handle:
+            yield handle
 
     # -- meta ------------------------------------------------------------
+    @staticmethod
+    def _meta_default() -> dict:
+        return {"appended": 0, "first_pos": 0, "last_ms": 0, "last_seq": -1}
+
     def _meta(self) -> dict:
         raw = self.client.get(self._k_meta)
         if raw is None:
-            return {"appended": 0, "first_pos": 0, "last_ms": 0, "last_seq": -1}
+            return self._meta_default()
         return json.loads(raw)
 
-    def _save_meta(self, m: dict) -> None:
-        self.client.set(self._k_meta, json.dumps(m))
+    def _save_meta(self, m: dict, lock: _LockHandle | None = None) -> None:
+        """Persist the meta blob; with a lock handle the write is the
+        Lua-guarded compare-lock-then-set, so a hold whose TTL expired
+        fails with LockLostError instead of clobbering the next
+        writer's meta (ADVICE r06: TTL-outlived holds)."""
+        if lock is not None:
+            lock.guarded_set(self._k_meta, json.dumps(m))
+        else:
+            self.client.set(self._k_meta, json.dumps(m))
+
+    def _reconciled_meta(self) -> dict:
+        """Meta blob self-healed against the actual stream state — one
+        pipelined round trip for (meta, stream top, index size).
+
+        The crash window this closes (ADVICE r06): a writer that died
+        between the append pipeline flush and the meta save leaves the
+        stream/index AHEAD of meta; trusting the stale blob would
+        re-mint an already-used id and the server would refuse every
+        subsequent XADD ('id is equal or smaller than the target stream
+        top item') — a permanently wedged stream.  Reconciling
+        last_ms/last_seq from XREVRANGE COUNT 1 and appended from
+        first_pos + ZCARD makes the next append mint PAST the orphaned
+        entries.  Recovery is redo-shaped, at-least-once: if the crash
+        hit before the trailing ZADD, the entries have no positions and
+        read_slice's score-keyed attribution never surfaces them (the
+        failed batch stays failed); if the whole pipeline applied, the
+        ZCARD reconcile adopts the entries — they become readable, and
+        a retrying producer may duplicate them (the same at-least-once
+        contract the delivery side already documents).  A crash
+        inside trim (index pruned, first_pos stale) self-corrects on the
+        next trim: excess is computed from the same stale first_pos it
+        increments, so the post-trim first_pos lands exactly right."""
+        pipe_factory = getattr(self.client, "pipeline", None)
+        if pipe_factory:
+            pipe = pipe_factory(transaction=False)
+            pipe.get(self._k_meta)
+            pipe.xrevrange(self._k_log, count=1)
+            pipe.zcard(self._k_idx)
+            raw, top, idx_count = pipe.execute()
+        else:
+            raw = self.client.get(self._k_meta)
+            top = self.client.xrevrange(self._k_log, count=1)
+            idx_count = self.client.zcard(self._k_idx)
+        m = json.loads(raw) if raw is not None else self._meta_default()
+        if top:
+            t_ms, t_seq = (int(x) for x in top[0][0].split("-"))
+            if (t_ms, t_seq) > (m["last_ms"], m["last_seq"]):
+                m["last_ms"], m["last_seq"] = t_ms, t_seq
+        true_appended = m["first_pos"] + int(idx_count)
+        if true_appended > m["appended"]:
+            m["appended"] = true_appended
+        return m
 
     def count(self) -> int:
         return self._meta()["appended"]
@@ -168,8 +292,8 @@ class RedisStreamLog:
     def append_many(self, contents: list[dict], maxlen: int | None = None) -> list[str]:
         if not contents:
             return []
-        with self.stream_lock():
-            m = self._meta()
+        with self.stream_lock() as lock:
+            m = self._reconciled_meta()
             ms = int(time.time() * 1000)
             if ms < m["last_ms"]:  # clock step-back: stay monotonic
                 ms = m["last_ms"]
@@ -200,12 +324,17 @@ class RedisStreamLog:
                 seq += 1
                 pos += 1
             sink.zadd(self._k_idx, idx_batch)
+            if len(contents) >= 5000:
+                # large epoch: buffering + flushing can approach the lock
+                # TTL — renew (compare-and-pexpire) before the flush so
+                # the hold provably spans it (ADVICE r06)
+                lock.renew()
             if sink is not self.client:
                 sink.execute()
             m.update(appended=pos, last_ms=ms, last_seq=seq - 1)
-            self._save_meta(m)
+            self._save_meta(m, lock)
             if maxlen is not None and m["appended"] - m["first_pos"] > maxlen:
-                self._trim_locked(maxlen)
+                self._trim_locked(maxlen, lock)
         return ids
 
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
@@ -241,10 +370,10 @@ class RedisStreamLog:
         return out
 
     def trim(self, maxlen: int) -> int:
-        with self.stream_lock():
-            return self._trim_locked(maxlen)
+        with self.stream_lock() as lock:
+            return self._trim_locked(maxlen, lock)
 
-    def _trim_locked(self, maxlen: int) -> int:
+    def _trim_locked(self, maxlen: int, lock: _LockHandle | None = None) -> int:
         m = self._meta()
         excess = (m["appended"] - m["first_pos"]) - maxlen
         if excess <= 0:
@@ -254,7 +383,7 @@ class RedisStreamLog:
             self._k_idx, m["first_pos"], m["first_pos"] + excess - 1
         )
         m["first_pos"] += excess
-        self._save_meta(m)
+        self._save_meta(m, lock)
         return excess
 
     def delete(self) -> None:
@@ -289,10 +418,13 @@ class RedisStreamLog:
         self.client.sadd(self._k_groups, group)
 
     def update_group(self, group: str, mutator: Callable[[dict], object]) -> object:
-        with self.group_lock(group):
+        with self.group_lock(group) as lock:
             state = self.group_state(group)
             result = mutator(state)
-            self.save_group(group, state)
+            # guarded save: a hold that outlived its TTL fails loudly
+            # instead of overwriting the next holder's group state
+            lock.guarded_set(self._group_key(group), json.dumps(state))
+            self.client.sadd(self._k_groups, group)
             return result
 
     def list_groups(self) -> list[str]:
@@ -303,27 +435,25 @@ class RedisStreamLog:
         self.client.srem(self._k_groups, group)
 
 
-def connect_log(root: str, stream: str):
-    """Backend factory: RedisStreamLog when ``RSS_REDIS_URL`` is set,
-    else the default file-backed StreamLog.  The env var (not a
-    constructor arg) is deliberate: the Spark data source re-creates
-    logs inside executor python workers, and the env travels where
-    constructor state cannot.
+def connect_log(root: str, stream: str, url: str | None = None):
+    """Backend factory: RedisStreamLog when a ``redis://`` URL is given
+    (explicit ``url=`` beats the ``RSS_REDIS_URL`` env var), else the
+    default file-backed StreamLog.
 
-    A set URL with no importable redis-py is a HARD ERROR, never a
-    silent file fallback: the factory runs independently on the driver
-    and in every executor worker, and an env-skewed worker quietly
-    reading an empty file log where the Redis data lives would commit
-    epochs over zero rows — silent data loss (review finding, round 6).
+    The explicit parameter exists for the Spark data source: readers and
+    writers re-open logs inside executor python workers, and an option
+    threaded through the serialized partition/writer travels with the
+    plan — immune to env skew between driver and workers (a skewed
+    worker silently reading an empty FILE log where the Redis data
+    lives would commit epochs over zero rows; review finding, round 6).
+    The env var remains for REPL/CLI use where no plan exists.
+
+    Client resolution inside RedisStreamLog: redis-py when importable,
+    else the pure-stdlib RESP client — both speak real RESP, so a set
+    URL can never silently fall back to the file backend; a wrong URL
+    fails with a ConnectionError, loudly.
     """
-    url = os.environ.get("RSS_REDIS_URL")
+    url = url or os.environ.get("RSS_REDIS_URL")
     if url:
-        try:
-            return RedisStreamLog(root, stream, url=url)
-        except ImportError as e:
-            raise RuntimeError(
-                "RSS_REDIS_URL is set but redis-py is not importable in "
-                "this python environment (driver AND executor workers "
-                "need it); refusing to fall back to the file backend"
-            ) from e
+        return RedisStreamLog(root, stream, url=url)
     return StreamLog(root, stream)

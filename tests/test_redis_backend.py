@@ -126,13 +126,19 @@ def test_connect_log_defaults_to_file_backend(tmp_path, monkeypatch):
     assert isinstance(connect_log(str(tmp_path), "s"), StreamLog)
 
 
-def test_connect_log_hard_errors_when_redis_py_absent(tmp_path, monkeypatch):
-    # a SET url with no redis-py must fail LOUDLY: the factory also runs
-    # inside executor python workers, and a silent file fallback there
-    # would read an empty log and commit epochs over zero rows
-    monkeypatch.setenv("RSS_REDIS_URL", "redis://localhost:6379/0")
-    with pytest.raises(RuntimeError, match="redis-py is not importable"):
+def test_connect_log_never_silently_falls_back_to_file(tmp_path, monkeypatch):
+    # a SET url must never silently produce a file log: the factory also
+    # runs inside executor python workers, and a file fallback there
+    # would read an empty log and commit epochs over zero rows.  With no
+    # redis-py installed the pure-stdlib RESP client dials the URL — an
+    # unreachable server is a LOUD ConnectionError, not a StreamLog.
+    monkeypatch.setenv("RSS_REDIS_URL", "redis://127.0.0.1:1/0")  # port 1: nothing listens
+    with pytest.raises(OSError):
         connect_log(str(tmp_path), "s")
+    # explicit url= overrides env and fails the same way
+    monkeypatch.delenv("RSS_REDIS_URL")
+    with pytest.raises(OSError):
+        connect_log(str(tmp_path), "s", url="redis://127.0.0.1:1/0")
 
 
 def test_read_slice_attributes_positions_by_index_score(rlog):
@@ -196,7 +202,9 @@ def test_append_many_uses_one_pipeline_flush(rlog):
         del rlog.client.pipeline
         del rlog.client.xadd
     assert len(ids) == 50
-    assert calls["pipelines"] == 1
+    # exactly two flushes: the batched reconcile READ (meta + stream top
+    # + index size) and the single WRITE flush for all 50 messages
+    assert calls["pipelines"] == 2
     assert calls["xadds_before_flush"] == 0  # nothing issued eagerly
     assert calls["xadds"] == 50  # all 50 replayed through the one flush
     assert rlog.xlen() == 50
