@@ -334,15 +334,15 @@ WITH d AS (
 ), monthly AS (
   SELECT day // 30 AS m30, count(DISTINCT user_id) AS mau FROM d GROUP BY 1
 ), span AS (
-  SELECT max(day) AS max_day FROM d
+  SELECT min(day) AS min_day, max(day) AS max_day FROM d
 )
 SELECT m30 * 30 * {_DAY_MS} AS period_start_ms, mau,
-       least(30, span.max_day - m30 * 30 + 1)::BIGINT AS n_days,
-       {rnd_sql('sum(dau) * 1.0 / least(30, span.max_day - m30 * 30 + 1)', 4)} AS avg_dau,
-       {rnd_sql('sum(dau) * 1.0 / least(30, span.max_day - m30 * 30 + 1) / mau', 6)} AS stickiness
+       (least(span.max_day, m30 * 30 + 29) - greatest(span.min_day, m30 * 30) + 1)::BIGINT AS n_days,
+       {rnd_sql('sum(dau) * 1.0 / (least(span.max_day, m30 * 30 + 29) - greatest(span.min_day, m30 * 30) + 1)', 4)} AS avg_dau,
+       {rnd_sql('sum(dau) * 1.0 / (least(span.max_day, m30 * 30 + 29) - greatest(span.min_day, m30 * 30) + 1) / mau', 6)} AS stickiness
 FROM daily JOIN monthly ON daily.day // 30 = monthly.m30
 CROSS JOIN span
-GROUP BY m30, mau, span.max_day ORDER BY period_start_ms
+GROUP BY m30, mau, span.min_day, span.max_day ORDER BY period_start_ms
 """,
 )
 def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,10 +350,13 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     period actives — the canonical engagement ratio.  Fixed 30-day
     epochs (not calendar months) keep the bucketing pure integer math.
 
-    The average divides by CALENDAR days in the period (zero-event days
-    count as DAU 0; the trailing partial period divides by its elapsed
-    days) — an avg() over only the active-day rows would silently
-    overstate stickiness on sparse data (review finding r06).
+    The average divides by CALENDAR days the corpus actually covers in
+    the period (zero-event days inside coverage count as DAU 0) — an
+    avg() over only the active-day rows would silently overstate
+    stickiness on sparse data (review finding r06).  BOTH partial
+    periods clamp: the trailing one to max_day and the LEADING one to
+    min_day, else a corpus starting mid-bucket divides its first period
+    by the full 30 and understates avg_dau (ADVICE r06).
 
     Scale shape: two distinct-count aggregates off one (day, user)
     projection, joined on the 30-day bucket of the daily aggregate; the
@@ -366,13 +369,17 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = d.groupBy((F.col("day") / 30).cast("long").alias("m30")).agg(
         F.countDistinct("user_id").alias("mau")
     )
-    span = d.agg(F.max("day").alias("max_day"))
-    n_days = F.least(F.lit(30), F.col("max_day") - F.col("m30") * 30 + 1)
+    span = d.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    n_days = (
+        F.least(F.col("max_day"), F.col("m30") * 30 + 29)
+        - F.greatest(F.col("min_day"), F.col("m30") * 30)
+        + 1
+    )
     return (
         daily.withColumn("m30", (F.col("day") / 30).cast("long"))
         .join(monthly, "m30")
         .crossJoin(F.broadcast(span))
-        .groupBy("m30", "mau", "max_day")
+        .groupBy("m30", "mau", "min_day", "max_day")
         .agg(F.sum("dau").alias("dau_sum"))
         .select(
             (F.col("m30") * 30 * _DAY_MS).alias("period_start_ms"),

@@ -71,8 +71,14 @@ def compact_changes(
             # state' claim would hold for the survivor tuple only
             # (review finding, round 6)
             n_changes += len(fresh)
-            top = fresh.loc[fresh[seq_col].astype("int64").idxmax()]
-            last_seq = int(top[seq_col])
+            # survivor pick uses the COERCED seqs, not a raw astype: a
+            # numeric-but-non-integer seq ('3.5', '2e3') passes the
+            # to_numeric filter yet raises in astype('int64'), which
+            # would recreate exactly the checkpoint-retry poison-pill
+            # the filter above exists to prevent (ADVICE r06)
+            idx = seqs.loc[fresh.index].idxmax()
+            top = fresh.loc[idx]
+            last_seq = int(seqs.loc[idx])
             last_type = str(top[type_col])
             last_value = float(top[value_col])
         state.update((last_type, last_value, last_seq, n_changes))

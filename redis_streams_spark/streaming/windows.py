@@ -115,6 +115,7 @@ def ohlc_bars(
     keys: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
     order_col: str = "msgid",
+    order_col_is_msgid: bool | None = None,
 ) -> DataFrame:
     """Watermarked streaming OHLC bars: open/high/low/close of
     ``value_col`` per event-time bar — the batch q_ohlc_bars semantics
@@ -126,24 +127,29 @@ def ohlc_bars(
     row_number.  State per group is O(1) (four scalars + the sort keys),
     bounded overall by the watermark horizon × group cardinality.
 
-    Redis-style msgids ('<ms>-<seq>') are ordered NUMERICALLY: the tie
-    key splits the id into (ms, seq) longs, because lexicographic string
-    comparison diverges from stream order across digit-count boundaries
-    ('100-0' < '99-0' as strings).  Any other ``order_col`` (numeric
-    event ids, padded strings) passes through unchanged.
+    ``order_col_is_msgid`` picks the tie-break interpretation
+    EXPLICITLY (ADVICE r06: per-row pattern sniffing silently
+    reinterpreted any '<int>-<int>'-shaped id numerically, even when
+    the caller relied on lexicographic order).  True → the column holds
+    Redis-style msgids ('<ms>-<seq>') and is ordered numerically by the
+    split (ms, seq) longs, because lexicographic string comparison
+    diverges from stream order across digit-count boundaries
+    ('100-0' < '99-0' as strings); False → plain column order.  The
+    default None resolves from the column NAME (msgid → True), never
+    from the values.
     """
+    if order_col_is_msgid is None:
+        order_col_is_msgid = order_col == "msgid"
     oc = F.col(order_col)
-    looks_like_msgid = oc.rlike(r"^\d+-\d+$")
-    okey = F.struct(
-        F.col(ts_col),
-        F.when(looks_like_msgid, F.split(oc, "-")[0].cast("long")).otherwise(
-            F.lit(0)
-        ),
-        F.when(looks_like_msgid, F.split(oc, "-")[1].cast("long")).otherwise(
-            F.lit(0)
-        ),
-        oc,
-    )
+    if order_col_is_msgid:
+        okey = F.struct(
+            F.col(ts_col),
+            F.split(oc, "-")[0].cast("long"),
+            F.split(oc, "-")[1].cast("long"),
+            oc,
+        )
+    else:
+        okey = F.struct(F.col(ts_col), oc)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, bar_size), *keys)

@@ -58,7 +58,21 @@ def test_running_totals_tws_across_batches(spark, tmp_path):
     )
 
     if not tws_available():
-        pytest.skip("google.protobuf unavailable: transformWithState gated off")
+        # Concrete blocker, verified in-sandbox (round 7): transformWith-
+        # StateInPandas needs google.protobuf for its state-server
+        # protocol; the sandbox has no protobuf wheel and no network —
+        # `pip install protobuf` fails with "[Errno -2] Name or service
+        # not known ... No matching distribution found for protobuf",
+        # and vendoring the generated-code runtime without protoc is not
+        # possible.  The applyInPandasWithState twin above plus the
+        # batch-form hash check cover the semantics; this test runs
+        # wherever protobuf exists.
+        pytest.skip(
+            "google.protobuf unavailable (no wheel in sandbox, no network: "
+            "pip fails with 'No matching distribution found for protobuf'); "
+            "transformWithState needs it for the state-server protocol — "
+            "semantics covered by the applyInPandasWithState twin"
+        )
 
     log = StreamLog(str(tmp_path), "tws")
     prod = Producer(log, "tws")
