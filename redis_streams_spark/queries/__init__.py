@@ -23,6 +23,7 @@ def _load_all() -> None:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         assoc,
         cdc,
         contamination,
@@ -36,6 +37,7 @@ def _load_all() -> None:
         frontier,
         graph,
         llmprep,
+        llmprep2,
         mixing,
         multimodal,
         nullsem,

@@ -1,0 +1,290 @@
+"""Round-7 LLM-pipeline wave: readability scoring, decontamination
+n-gram sensitivity, and token-balanced sharding.
+
+Reference basis: none (the reference delivers messages; corpus
+preparation is the engine surface the build mandate adds).  All three
+stay JVM-side — regex/array expressions and hash math, no Python in
+any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32, h32_sql
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.functions.textfns import (
+    word_shingles,
+    word_shingles_sql,
+    words,
+    words_sql,
+)
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_BENCH_SOURCE = "src19"  # same held-out eval source as text_decontaminate
+_VOWEL_RE = "[aeiouy]+"
+_SENT_RE = "[.!?]+"
+
+
+@register(
+    "text_readability",
+    tags=("text-quality", "llm-prep", "scoring"),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         len({words_sql('text')})::BIGINT AS n_words,
+         greatest(1, len(list_filter(string_split_regex(text, '{_SENT_RE}'),
+                                     s -> length(trim(s)) > 0)))::BIGINT AS n_sents,
+         greatest(len({words_sql('text')}),
+                  len(regexp_extract_all(lower(text), '{_VOWEL_RE}')))::BIGINT AS n_syll
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       {rnd_sql('avg(n_words * 1.0 / n_sents)', 3)} AS avg_words_per_sentence,
+       {rnd_sql('avg(n_syll * 1.0 / n_words)', 4)} AS avg_syllables_per_word,
+       {rnd_sql('avg(206.835 - 1.015 * (n_words * 1.0 / n_sents) - 84.6 * (n_syll * 1.0 / n_words))', 3)} AS avg_flesch
+FROM per_doc WHERE n_words > 0
+GROUP BY source ORDER BY source
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 − 1.015·(words/sentence)
+    − 84.6·(syllables/word) — the classic readability screen training
+    pipelines use to segment prose from boilerplate/code.  Syllables
+    are approximated as vowel-group count (floored at one per word),
+    sentences as non-blank ``[.!?]+`` splits (floored at 1) — a
+    documented heuristic, identical regexes on both engines.
+
+    Scale shape: three per-row array/regex expressions inside one scan,
+    then a per-source average — the shuffle carries one row per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words("text")).cast("long")
+    n_sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), _SENT_RE),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+    ).cast("long")
+    n_syll = F.greatest(
+        F.size(words("text")),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_VOWEL_RE), 0)),
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words") * 1.0 / F.col("n_sents")
+    spw = F.col("n_syll") * 1.0 / F.col("n_words")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.avg(wps), 3).alias("avg_words_per_sentence"),
+            rnd(F.avg(spw), 4).alias("avg_syllables_per_word"),
+            rnd(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 3).alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontam_curve_oracle() -> str:
+    blocks = []
+    for n in (3, 5, 8):
+        blocks.append(
+            f"""
+SELECT {n} AS n_gram, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN ratio >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       {rnd_sql('avg(CASE WHEN ratio >= 0.05 THEN 1.0 ELSE 0.0 END)', 6)} AS flag_rate,
+       {rnd_sql('avg(ratio)', 6)} AS mean_ratio
+FROM (
+  WITH sets_ AS (
+    SELECT doc_id, source, {word_shingles_sql(words_sql('text'), n)} AS grams
+    FROM documents
+  ), bench AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM sets_ WHERE source = '{_BENCH_SOURCE}'
+  ), corpus AS (
+    SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+    FROM sets_ WHERE source <> '{_BENCH_SOURCE}'
+  ), hits AS (
+    SELECT doc_id, count(*) AS n_hit FROM corpus JOIN bench USING (gram) GROUP BY doc_id
+  )
+  SELECT b.doc_id,
+         CASE WHEN b.n_grams > 0
+              THEN coalesce(h.n_hit, 0) * 1.0 / b.n_grams ELSE 0.0 END AS ratio
+  FROM (SELECT doc_id, len(grams)::BIGINT AS n_grams
+        FROM sets_ WHERE source <> '{_BENCH_SOURCE}') b
+  LEFT JOIN hits h USING (doc_id)
+)"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY n_gram"
+
+
+@register(
+    "text_decontam_curve",
+    tags=("text-quality", "llm-prep", "decontamination", "tuning-curve"),
+    oracle=_decontam_curve_oracle(),
+)
+def text_decontam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sensitivity curve: the flagged-document rate and
+    mean benchmark-overlap ratio at n-gram sizes 3, 5, 8 — the tuning
+    table that shows how aggressively each gram size removes (3-grams
+    catch paraphrases but over-flag common phrases; 8-grams only catch
+    verbatim leakage).  The same operator-family tuning artifact as
+    ``dedup_threshold_curve`` is for MinHash.
+
+    Scale shape: per n, the benchmark gram set stays broadcast and the
+    corpus side is explode → map-side hash join → per-doc count — the
+    inverted-index decontam plan (text_decontaminate) run three times;
+    the final union carries 3 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", words("text").alias("w"))
+    out = None
+    for n in (3, 5, 8):
+        sets_ = toks.select(
+            "doc_id", "source", word_shingles(F.col("w"), n).alias("grams")
+        )
+        bench = (
+            sets_.where(F.col("source") == _BENCH_SOURCE)
+            .select(F.explode("grams").alias("gram"))
+            .distinct()
+        )
+        corpus_sets = sets_.where(F.col("source") != _BENCH_SOURCE)
+        hits = (
+            corpus_sets.select("doc_id", F.explode("grams").alias("gram"))
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        ratio = F.when(
+            F.col("n_grams") > 0,
+            F.coalesce(F.col("n_hit"), F.lit(0)) * 1.0 / F.col("n_grams"),
+        ).otherwise(0.0)
+        per_doc = (
+            corpus_sets.select(
+                "doc_id", F.size("grams").cast("long").alias("n_grams")
+            )
+            .join(hits, "doc_id", "left")
+            .select(ratio.alias("ratio"))
+        )
+        row = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ratio") >= 0.05, 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            rnd(
+                F.avg(F.when(F.col("ratio") >= 0.05, 1.0).otherwise(0.0)), 6
+            ).alias("flag_rate"),
+            rnd(F.avg("ratio"), 6).alias("mean_ratio"),
+        ).select(
+            F.lit(n).cast("long").alias("n_gram"),
+            "n_docs",
+            "n_flagged",
+            "flag_rate",
+            "mean_ratio",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_gram")
+
+
+@register(
+    "mix_shard_balance",
+    tags=("mixing", "llm-prep", "layout", "sharding"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({words_sql('text')})::BIGINT AS n_tokens,
+         {h32_sql('doc_id::VARCHAR')} AS h
+  FROM documents
+), bounds AS (
+  SELECT quantile_cont(n_tokens, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM toks
+), strat AS (
+  SELECT t.doc_id, t.n_tokens, t.h,
+         (CASE WHEN t.n_tokens >= b.q[9] THEN 9 WHEN t.n_tokens >= b.q[8] THEN 8
+               WHEN t.n_tokens >= b.q[7] THEN 7 WHEN t.n_tokens >= b.q[6] THEN 6
+               WHEN t.n_tokens >= b.q[5] THEN 5 WHEN t.n_tokens >= b.q[4] THEN 4
+               WHEN t.n_tokens >= b.q[3] THEN 3 WHEN t.n_tokens >= b.q[2] THEN 2
+               WHEN t.n_tokens >= b.q[1] THEN 1 ELSE 0 END) AS stratum
+  FROM toks t CROSS JOIN bounds b
+), assigned AS (
+  SELECT n_tokens, h % 16 AS hash_shard,
+         (row_number() OVER (PARTITION BY stratum, h % 8
+                             ORDER BY h, doc_id) - 1) % 16 AS strat_shard
+  FROM strat
+)
+SELECT strategy, shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM (
+  SELECT 'hash' AS strategy, hash_shard AS shard, n_tokens FROM assigned
+  UNION ALL
+  SELECT 'stratified' AS strategy, strat_shard AS shard, n_tokens FROM assigned
+)
+GROUP BY strategy, shard ORDER BY strategy, shard
+""",
+)
+def mix_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding, hash vs stratified: 'hash'
+    assigns ``h32(doc_id) % 16`` (balanced in doc COUNT only);
+    'stratified' buckets docs into token-size deciles (exact decile
+    boundaries computed once and broadcast — the curriculum-phases
+    pattern) and round-robins each (stratum, salt-cell)'s docs across
+    the 16 shards, bounding per-shard token skew by construction.  The
+    16-row-per-strategy manifest makes the imbalance comparable
+    directly.
+
+    Scale shape: the round-robin rank runs per (stratum × 8-way salt
+    cell) — at real scale the salt fans out to thousands of cells, so
+    no global (or near-global) sort exists; each cell independently
+    deals similar-sized docs around all 16 shards.  Deterministic:
+    ranks order by (h32, doc_id), replay-stable like every sharding
+    op here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        h32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    bounds = toks.agg(
+        F.expr(
+            "percentile(n_tokens, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("q")
+    )
+    stratum = F.lit(0)
+    for i in range(1, 10):
+        stratum = F.when(
+            F.col("n_tokens") >= F.element_at("q", i), F.lit(i)
+        ).otherwise(stratum)
+    strat = toks.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens", "h", stratum.alias("stratum")
+    )
+    w_cell = Window.partitionBy("stratum", F.col("h") % 8).orderBy("h", "doc_id")
+    assigned = strat.select(
+        "n_tokens",
+        (F.col("h") % 16).alias("hash_shard"),
+        ((F.row_number().over(w_cell) - 1) % 16).alias("strat_shard"),
+    )
+    both = assigned.select(
+        F.lit("hash").alias("strategy"),
+        F.col("hash_shard").alias("shard"),
+        "n_tokens",
+    ).unionByName(
+        assigned.select(
+            F.lit("stratified").alias("strategy"),
+            F.col("strat_shard").alias("shard"),
+            "n_tokens",
+        )
+    )
+    return (
+        both.groupBy("strategy", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("strategy", "shard")
+    )

@@ -186,6 +186,8 @@ _BNLJ_OK = {
     "dedup_threshold_curve",  # verified pairs x broadcast 4-row threshold frame
     "mix_curriculum_phases",  # 1-row tertile-bounds crossJoin (broadcast scalar)
     "sim_centroid_separation",  # k x k pair join over the broadcast centroid table
+    "q_survival_km",  # 1-row horizon / n-total crossJoins (broadcast scalars)
+    "mix_shard_balance",  # 1-row decile-bounds crossJoin (broadcast scalar)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {

@@ -2,10 +2,18 @@
 bench.py): producer append (single + batch), consumer batch collection +
 ack, and Structured Streaming source read.
 
-Prints one JSON line with msgs/sec per path.  The reference's design
-bound is one XADD network round trip per produced message and one
-XREADGROUP per poll (SURVEY §6 / BASELINE.md): local Redis tops out
-around 10-50k single XADD/s; the batch paths here amortize that away.
+Prints one JSON line with msgs/sec per path AND writes it to
+``BENCH_streaming.json`` at the repo root (round-7 verdict ask #6:
+streaming regressions should be as visible per-round as batch ones).
+The reference's design bound is one XADD network round trip per
+produced message and one XREADGROUP per poll (SURVEY §6 / BASELINE.md):
+local Redis tops out around 10-50k single XADD/s; the batch paths here
+amortize that away.
+
+Paths measured: producer single/batch append, consumer collect+ack,
+Spark source full read, source→sink copy (redislog→redislog), streaming
+exact dedup, stateful CDC compaction, weighted reservoir, and the
+producer batch path over the RESP socket backend.
 """
 
 from __future__ import annotations
@@ -62,6 +70,25 @@ def main() -> None:
         total += len(batch)
     results["consumer_msgs_per_sec"] = round(total / (time.perf_counter() - t0))
 
+    # -- producer batch over the RESP socket (Redis backend, real wire) --
+    from redis_streams_spark.sources.fake_redis import FakeRedis
+    from redis_streams_spark.sources.redis_log import RedisStreamLog
+    from redis_streams_spark.sources.resp import RespClient, RespServer
+
+    srv = RespServer(FakeRedis("bench-stream")).start()
+    try:
+        rlog = RedisStreamLog(root, "wire", client=RespClient.from_url(srv.url))
+        rprod = Producer(rlog, "wire")
+        t0 = time.perf_counter()
+        for k in range(0, N, 1000):
+            rprod.add_many(rows[k : k + 1000])
+        results["producer_redis_wire_msgs_per_sec"] = round(
+            N / (time.perf_counter() - t0)
+        )
+    finally:
+        srv.stop()
+        FakeRedis.reset_server("bench-stream")
+
     # -- Spark source: full stream read ---------------------------------
     spark = get_spark("bench-streaming")
     src = open_stream(spark, root, "batch", group="spark-bench", batch_size=0)
@@ -74,6 +101,40 @@ def main() -> None:
     )
     q.awaitTermination(300)
     results["spark_source_msgs_per_sec"] = round(N / (time.perf_counter() - t0))
+
+    # -- source→sink copy (redislog → redislog) --------------------------
+    src_copy = open_stream(spark, root, "batch", group="copy-bench", batch_size=0)
+    t0 = time.perf_counter()
+    qc = (
+        src_copy.writeStream.format("redislog")
+        .option("path", root)
+        .option("stream", "copy-out")
+        .option("checkpointLocation", os.path.join(root, "ck-copy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination(300)
+    results["source_to_sink_msgs_per_sec"] = round(N / (time.perf_counter() - t0))
+
+    # -- streaming exact dedup ------------------------------------------
+    from redis_streams_spark.streaming.windows import project, stream_dedup
+
+    src_dd = open_stream(spark, root, "batch", group="dedup-bench", batch_size=0)
+    from pyspark.sql import functions as F
+
+    typed_dd = project(src_dd, {"i": "bigint", "payload": "string"}).withColumn(
+        "ts", F.current_timestamp()
+    )
+    dd = stream_dedup(typed_dd, keys=["i"], ts_col="ts", watermark="10 minutes")
+    t0 = time.perf_counter()
+    qd = (
+        dd.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "ck-dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qd.awaitTermination(300)
+    results["stream_dedup_msgs_per_sec"] = round(N / (time.perf_counter() - t0))
 
     # -- stateful CDC compaction over the stream ------------------------
     from redis_streams_spark.streaming.compact import compact_changes
@@ -106,9 +167,39 @@ def main() -> None:
     results["compact_changes_msgs_per_sec"] = round(
         N / (time.perf_counter() - t0)
     )
+
+    # -- weighted reservoir ---------------------------------------------
+    from redis_streams_spark.streaming.sampling import weighted_reservoir
+
+    src_wr = open_stream(spark, root, "cdc", group="wr-bench", batch_size=0)
+    typed_wr = project(
+        src_wr, {"user": "string", "value": "double"}
+    )
+    wr = weighted_reservoir(
+        typed_wr, key_col="user", id_col="msgid", weight_col="value", k=10
+    )
+    t0 = time.perf_counter()
+    qw = (
+        wr.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck-wr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qw.awaitTermination(300)
+    results["weighted_reservoir_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
     spark.stop()
 
-    print(json.dumps({"metric": "streaming_throughput", "n": N, **results}))
+    line = {"metric": "streaming_throughput", "n": N, **results}
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_streaming.json",
+    )
+    with open(out_path, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
