@@ -64,6 +64,7 @@ def _load_all() -> None:
         timeseries,
         timeseries2,
         timeseries3,
+        timeseries4,
     )
 
 

@@ -288,3 +288,223 @@ def mix_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy", "shard")
     )
+
+
+_CODE_SYM_RE = "[{}();=<>]"
+_CAMEL_RE = r"\b[a-z]+[A-Z][a-zA-Z]*"
+
+
+@register(
+    "text_code_detect",
+    tags=("text-quality", "llm-prep", "classification"),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         greatest(1, len(list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0)))::BIGINT AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(trim(x), '{_CODE_SYM_RE}$')))::BIGINT AS sym_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> starts_with(x, '  ') OR starts_with(x, chr(9))))::BIGINT AS ind_lines,
+         (length(text) - length(regexp_replace(text, '{_CODE_SYM_RE}', '', 'g')))
+           * 1.0 / greatest(1, length(text)) AS sym_density,
+         len(regexp_extract_all(text, '{_CAMEL_RE}'))::BIGINT AS n_camel,
+         greatest(1, len({words_sql('text')}))::BIGINT AS n_words
+  FROM documents
+), scored AS (
+  SELECT source,
+         sym_lines * 1.0 / n_lines AS sym_line_ratio,
+         ind_lines * 1.0 / n_lines AS indent_ratio,
+         sym_density,
+         n_camel * 1.0 / n_words AS camel_ratio,
+         0.3 * (sym_lines * 1.0 / n_lines) + 0.25 * (ind_lines * 1.0 / n_lines)
+           + 0.25 * least(1.0, 10 * sym_density)
+           + 0.2 * least(1.0, 5 * n_camel * 1.0 / n_words) AS score
+  FROM per_doc
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       {rnd_sql('avg(sym_line_ratio)', 6)} AS avg_sym_line_ratio,
+       {rnd_sql('avg(indent_ratio)', 6)} AS avg_indent_ratio,
+       {rnd_sql('avg(sym_density)', 6)} AS avg_sym_density,
+       {rnd_sql('avg(camel_ratio)', 6)} AS avg_camel_ratio,
+       sum(CASE WHEN score >= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_code,
+       {rnd_sql('avg(CASE WHEN score >= 0.2 THEN 1.0 ELSE 0.0 END)', 6)} AS code_rate
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic classifier per source: line-level symbol
+    endings (``;``/``{``/``}``), indentation, symbol character density,
+    and camelCase token rate combine into a 0-1 score; docs at ≥ 0.2
+    read as code — the corpus-segmentation step training pipelines run
+    before language-specific processing.  All four signals are
+    documented heuristics with IDENTICAL regexes on both engines (RE2 ∩
+    Java subset, same discipline as q_regexp_gallery).
+
+    Scale shape: per-row line/regex array math inside one scan, then a
+    per-source average — the shuffle carries one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    nonblank = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.greatest(F.lit(1), F.size(nonblank)).cast("long")
+    sym_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(_CODE_SYM_RE + "$"))
+    ).cast("long")
+    ind_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("  ") | x.startswith("\t"),
+        )
+    ).cast("long")
+    sym_density = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", _CODE_SYM_RE, ""))
+    ) * 1.0 / F.greatest(F.lit(1), F.length("text"))
+    n_camel = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_CAMEL_RE), 0)
+    ).cast("long")
+    n_words = F.greatest(F.lit(1), F.size(words("text"))).cast("long")
+    per_doc = docs.select(
+        "source",
+        (sym_lines * 1.0 / n_lines).alias("sym_line_ratio"),
+        (ind_lines * 1.0 / n_lines).alias("indent_ratio"),
+        sym_density.alias("sym_density"),
+        (n_camel * 1.0 / n_words).alias("camel_ratio"),
+    )
+    score = (
+        0.3 * F.col("sym_line_ratio")
+        + 0.25 * F.col("indent_ratio")
+        + 0.25 * F.least(F.lit(1.0), 10 * F.col("sym_density"))
+        + 0.2 * F.least(F.lit(1.0), 5 * F.col("camel_ratio"))
+    )
+    scored = per_doc.withColumn("score", score)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.avg("sym_line_ratio"), 6).alias("avg_sym_line_ratio"),
+            rnd(F.avg("indent_ratio"), 6).alias("avg_indent_ratio"),
+            rnd(F.avg("sym_density"), 6).alias("avg_sym_density"),
+            rnd(F.avg("camel_ratio"), 6).alias("avg_camel_ratio"),
+            F.sum(F.when(F.col("score") >= 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_code"),
+            rnd(F.avg(F.when(F.col("score") >= 0.2, 1.0).otherwise(0.0)), 6).alias(
+                "code_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_EPOCH_CAP = 4.0
+_BUDGET_EPOCHS = 1.5  # token budget = 1.5 x corpus size
+
+
+@register(
+    "mix_epoch_allocation",
+    tags=("mixing", "llm-prep", "budget"),
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({words_sql('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT *, sqrt(n_tokens) AS w FROM per_source
+), tot AS (
+  SELECT sum(n_tokens) AS sum_t, sum(w) AS sum_w FROM weighted
+), capped AS (
+  SELECT s.source, s.n_docs, s.n_tokens, s.w,
+         {_BUDGET_EPOCHS} * t.sum_t * s.w / t.sum_w / s.n_tokens AS epochs_raw,
+         least({_EPOCH_CAP}, {_BUDGET_EPOCHS} * t.sum_t * s.w / t.sum_w / s.n_tokens)
+           AS epochs_c
+  FROM weighted s CROSS JOIN tot t
+), redist AS (
+  SELECT sum(epochs_c * n_tokens) AS alloc_c,
+         sum(CASE WHEN epochs_raw < {_EPOCH_CAP} THEN w ELSE 0 END) AS free_w
+  FROM capped
+)
+SELECT c.source, c.n_docs, c.n_tokens,
+       {rnd_sql('c.w / t.sum_w', 6)} AS weight_share,
+       {rnd_sql(
+           f'''least({_EPOCH_CAP}, c.epochs_c +
+             CASE WHEN c.epochs_raw < {_EPOCH_CAP} AND r.free_w > 0
+                  THEN ({_BUDGET_EPOCHS} * t.sum_t - r.alloc_c) * c.w
+                       / r.free_w / c.n_tokens
+                  ELSE 0 END)''', 4)} AS epochs,
+       floor(c.n_tokens * least({_EPOCH_CAP}, c.epochs_c +
+             CASE WHEN c.epochs_raw < {_EPOCH_CAP} AND r.free_w > 0
+                  THEN ({_BUDGET_EPOCHS} * t.sum_t - r.alloc_c) * c.w
+                       / r.free_w / c.n_tokens
+                  ELSE 0 END))::BIGINT AS alloc_tokens
+FROM capped c CROSS JOIN tot t CROSS JOIN redist r
+ORDER BY c.source
+""",
+)
+def mix_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch allocation under a token budget: each source gets budget
+    share ∝ sqrt(tokens) (temperature-0.5 weighting — upweights small
+    high-value domains), capped at 4 epochs, with ONE water-filling
+    redistribution round: budget freed by capped sources flows to the
+    uncapped ones ∝ weight (then re-capped).  This is the "how many
+    epochs of each domain fit my budget" planning table; a fixed-point
+    water-fill iterates this step, one round is the documented
+    approximation.
+
+    Scale shape: one per-source token aggregate (shuffle carries one
+    row per source); everything after operates on the domain-cardinality
+    frame via two 1-row broadcast joins — corpus-scale-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text"))).cast("long").alias("n_tokens"),
+    )
+    weighted = per_source.withColumn("w", F.sqrt("n_tokens"))
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("sum_t"), F.sum("w").alias("sum_w")
+    )
+    raw = (
+        F.lit(_BUDGET_EPOCHS)
+        * F.col("sum_t")
+        * F.col("w")
+        / F.col("sum_w")
+        / F.col("n_tokens")
+    )
+    capped = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w",
+        "sum_t",
+        "sum_w",
+        raw.alias("epochs_raw"),
+        F.least(F.lit(_EPOCH_CAP), raw).alias("epochs_c"),
+    )
+    redist = capped.agg(
+        F.sum(F.col("epochs_c") * F.col("n_tokens")).alias("alloc_c"),
+        F.sum(
+            F.when(F.col("epochs_raw") < _EPOCH_CAP, F.col("w")).otherwise(0.0)
+        ).alias("free_w"),
+    )
+    add = F.when(
+        (F.col("epochs_raw") < _EPOCH_CAP) & (F.col("free_w") > 0),
+        (F.lit(_BUDGET_EPOCHS) * F.col("sum_t") - F.col("alloc_c"))
+        * F.col("w")
+        / F.col("free_w")
+        / F.col("n_tokens"),
+    ).otherwise(0.0)
+    final_epochs = F.least(F.lit(_EPOCH_CAP), F.col("epochs_c") + add)
+    return (
+        capped.crossJoin(F.broadcast(redist))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rnd(F.col("w") / F.col("sum_w"), 6).alias("weight_share"),
+            rnd(final_epochs, 4).alias("epochs"),
+            F.floor(F.col("n_tokens") * final_epochs)
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

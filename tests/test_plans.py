@@ -188,6 +188,9 @@ _BNLJ_OK = {
     "sim_centroid_separation",  # k x k pair join over the broadcast centroid table
     "q_survival_km",  # 1-row horizon / n-total crossJoins (broadcast scalars)
     "mix_shard_balance",  # 1-row decile-bounds crossJoin (broadcast scalar)
+    "q_autocorr",  # 1-row mean/denom + 3-row lag frames (broadcast scalars)
+    "q_theil_sen",  # pairwise-slope inequality join over the ≤n_days daily aggregate
+    "mix_epoch_allocation",  # 1-row totals/redistribution crossJoins (broadcast scalars)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
