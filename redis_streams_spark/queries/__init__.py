@@ -24,6 +24,7 @@ def _load_all() -> None:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         assoc,
         cdc,
         contamination,
@@ -56,11 +57,13 @@ def _load_all() -> None:
         similarity2,
         sketch,
         splits,
+        stats,
         streamsem,
         text,
         text2,
         text3,
         text4,
+        text5,
         timeseries,
         timeseries2,
         timeseries3,

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.operators.similarity import brute_force_topk
 from redis_streams_spark.queries.base import register
-from redis_streams_spark.queries.similarity import _E_CTE
+from redis_streams_spark.queries.similarity import _DOT, _E_CTE
 from redis_streams_spark.session import load_table
 
 
@@ -104,3 +104,70 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@register(
+    "sim_cos_histogram",
+    tags=("similarity", "diagnostics", "histogram"),
+    oracle=f"""
+WITH {_E_CTE},
+s AS (SELECT vec_id, v, norm FROM e WHERE vec_id % 7 = 0),
+p AS (
+  SELECT {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cos
+  FROM s a JOIN s b ON b.vec_id > a.vec_id
+), binned AS (
+  SELECT floor(cos * 20)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+         {rnd_sql('avg(cos)', 6)} AS avg_cos
+  FROM p GROUP BY 1
+)
+SELECT bin, n_pairs, avg_cos,
+       {rnd_sql('n_pairs::DOUBLE / sum(n_pairs) OVER ()', 6)} AS pct
+FROM binned ORDER BY bin
+""",
+)
+def sim_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic 1-in-7 id sample
+    of the embedding corpus (0.05-wide bins): the geometry diagnostic
+    behind near-dup threshold tuning — a healthy embedding space shows
+    a unimodal bulk well below the dedup threshold; a hub/collapse
+    pathology shows mass near 1.0.
+
+    Scale shape: the quadratic pair join runs ONLY over the fixed id
+    sample (the modulus is the knob: resize it so the sample stays
+    O(thousands) at any corpus size); cosines fold left-to-right
+    identically on both engines, so bin assignment is exact.  The pct
+    normalizer is a global window above the ≤ 41-bin aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 7 == 0
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    s = e.select("vec_id", v.alias("v"), nrm.alias("norm"))
+    a = s.select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av"),
+        F.col("norm").alias("an"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv"),
+        F.col("norm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = a.join(b, F.col("bid") > F.col("aid")).select(
+        (dot / (F.col("an") * F.col("bn"))).alias("cos")
+    )
+    binned = p.groupBy(F.floor(F.col("cos") * 20).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        rnd(F.avg("cos"), 6).alias("avg_cos"),
+    )
+    return binned.select(
+        "bin",
+        "n_pairs",
+        "avg_cos",
+        rnd(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(W.partitionBy()),
+            6,
+        ).alias("pct"),
+    ).orderBy("bin")

@@ -191,6 +191,12 @@ _BNLJ_OK = {
     "q_autocorr",  # 1-row mean/denom + 3-row lag frames (broadcast scalars)
     "q_theil_sen",  # pairwise-slope inequality join over the ≤n_days daily aggregate
     "mix_epoch_allocation",  # 1-row totals/redistribution crossJoins (broadcast scalars)
+    "q_kendall_tau",  # pairwise concordance join over the ≤n_days daily aggregate
+    "q_mann_whitney",  # 1-row (N, tie-term) totals crossJoin (broadcast scalar)
+    "q_ks_test",  # 1-row source-pair + totals crossJoins (broadcast scalars)
+    "q_wasserstein_1d",  # same bounded ECDF frame as q_ks_test
+    "q_runs_test",  # 1-row median crossJoin (broadcast scalar)
+    "sim_cos_histogram",  # pair join over the fixed 1-in-7 id sample
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
