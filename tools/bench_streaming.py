@@ -12,8 +12,8 @@ amortize that away.
 
 Paths measured: producer single/batch append, consumer collect+ack,
 Spark source full read, source→sink copy (redislog→redislog), streaming
-exact dedup, stateful CDC compaction, weighted reservoir, and the
-producer batch path over the RESP socket backend.
+exact dedup, stateful CDC compaction, weighted reservoir, Misra-Gries
+top-k, and the producer batch path over the RESP socket backend.
 """
 
 from __future__ import annotations
@@ -188,6 +188,25 @@ def main() -> None:
     )
     qw.awaitTermination(300)
     results["weighted_reservoir_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
+
+    # -- Misra-Gries top-k ------------------------------------------------
+    from redis_streams_spark.streaming.topk import streaming_topk
+
+    src_tk = open_stream(spark, root, "cdc", group="tk-bench", batch_size=0)
+    typed_tk = project(src_tk, {"user": "string"})
+    tk = streaming_topk(typed_tk, key_col="user", item_col="msgid", k=16)
+    t0 = time.perf_counter()
+    qt = (
+        tk.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck-tk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qt.awaitTermination(300)
+    results["misra_gries_topk_msgs_per_sec"] = round(
         N / (time.perf_counter() - t0)
     )
     spark.stop()
