@@ -287,3 +287,92 @@ def q_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_from"
         ),
     ).orderBy("q_from", "q_to")
+
+
+@register(
+    "q_hhi_concentration",
+    tags=("analytics", "concentration"),
+    oracle=f"""
+WITH cm AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey AS cust,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, count(*)::BIGINT AS n_custs,
+       {rnd_sql('sum(rev)', 2)} AS total_rev,
+       {rnd_sql('sum(rev * rev) / (sum(rev) * sum(rev))', 6)} AS hhi,
+       {rnd_sql('''CASE WHEN count(*) > 1
+            THEN (sum(rev * rev) / (sum(rev) * sum(rev)) - 1.0 / count(*))
+                 / (1 - 1.0 / count(*))
+            ELSE 1.0 END''', 6)} AS hhi_normalized
+FROM cm GROUP BY month ORDER BY month
+""",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per month:
+    sum of squared customer revenue shares (and its 0-1 normalized
+    form) — the "is this month's revenue dangerously concentrated in a
+    few accounts" risk monitor.
+
+    Scale shape: identity sum(share^2) = sum(rev^2)/sum(rev)^2 turns the
+    per-customer-share window into two plain sums — one (month, cust)
+    aggregate, one per-month rollup, zero windows."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    hhi = F.sum(F.col("rev") * F.col("rev")) / (F.sum("rev") * F.sum("rev"))
+    n = F.count(F.lit(1))
+    return (
+        cm.groupBy("month")
+        .agg(
+            n.alias("n_custs"),
+            rnd(F.sum("rev"), 2).alias("total_rev"),
+            rnd(hhi, 6).alias("hhi"),
+            rnd(
+                F.when(
+                    n > 1,
+                    (hhi - 1.0 / n) / (1 - 1.0 / n),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("hhi_normalized"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q_var_cvar",
+    tags=("timeseries", "risk"),
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+v AS (SELECT quantile_cont(v, 0.05) AS var_5 FROM d)
+SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+       {rnd_sql('min(v.var_5)', 2)} AS var_5,
+       {rnd_sql('avg(CASE WHEN d.v <= v.var_5 THEN d.v END)', 2)} AS cvar_5,
+       sum(CASE WHEN d.v <= v.var_5 THEN 1 ELSE 0 END)::BIGINT AS n_tail_days
+FROM d CROSS JOIN v
+""",
+)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk / Conditional VaR of daily revenue at the 5% level:
+    the revenue floor breached only 1 day in 20, and the mean revenue of
+    those worst days (expected shortfall) — the tail-risk pair that
+    complements q_drawdown's path view.
+
+    Scale shape: one day-keyed aggregate; the 5th percentile is a 1-row
+    broadcast back onto the ≤ n_days frame."""
+    d = _daily(spark, sf_dir)
+    v = d.agg(F.expr("percentile(v, 0.05)").alias("var_5"))
+    j = d.crossJoin(F.broadcast(v))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        rnd(F.min("var_5"), 2).alias("var_5"),
+        rnd(F.avg(F.when(F.col("v") <= F.col("var_5"), F.col("v"))), 2).alias(
+            "cvar_5"
+        ),
+        F.sum(F.when(F.col("v") <= F.col("var_5"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tail_days"),
+    )

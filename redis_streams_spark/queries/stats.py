@@ -513,3 +513,231 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(e_runs, 4).alias("e_runs"),
         rnd((F.col("n_runs") - e_runs) / F.sqrt(var), 4).alias("z_score"),
     )
+
+
+@register(
+    "q_levene_test",
+    tags=("stats", "hypothesis-test", "variance"),
+    oracle=f"""
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY 1
+), z AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS z
+  FROM documents d JOIN med m USING (source)
+), g AS (
+  SELECT source, count(*)::DOUBLE AS n_g, sum(z) AS s_g, sum(z * z) AS q_g
+  FROM z GROUP BY 1
+), t AS (
+  SELECT count(*)::BIGINT AS k, sum(n_g) AS n, sum(s_g) AS s,
+         sum(q_g) AS q, sum(s_g * s_g / n_g) AS sb
+  FROM g
+)
+SELECT k AS k_groups, n::BIGINT AS n_total,
+       {rnd_sql('((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))', 4)}
+         AS w_stat
+FROM t
+""",
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for variance
+    homogeneity of document length across sources: one-way ANOVA on the
+    absolute deviations from each group's MEDIAN — the robust "are the
+    spreads equal" check that gates whether ANOVA's equal-variance
+    assumption holds at all.
+
+    Scale shape: per-source medians are a tiny aggregate broadcast back
+    onto the scan (20-row hash join); everything after is the same
+    moment-sum ANOVA as q_anova_oneway — nothing global."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    z = docs.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("q_g"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        rnd((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4).alias(
+            "w_stat"
+        ),
+    )
+
+
+@register(
+    "q_cohens_d",
+    tags=("stats", "effect-size"),
+    oracle="""
+WITH two AS (
+  SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2
+), ss AS (
+  SELECT min(source) AS s1, max(source) AS s2 FROM two
+), g AS (
+  SELECT d.source, count(*)::DOUBLE AS n, avg(d.n_chars) AS m,
+         var_samp(d.n_chars) AS v
+  FROM documents d CROSS JOIN ss
+  WHERE d.source = ss.s1 OR d.source = ss.s2
+  GROUP BY 1
+), w AS (
+  SELECT max(CASE WHEN source = (SELECT s1 FROM ss) THEN n END) AS n1,
+         max(CASE WHEN source = (SELECT s1 FROM ss) THEN m END) AS m1,
+         max(CASE WHEN source = (SELECT s1 FROM ss) THEN v END) AS v1,
+         max(CASE WHEN source = (SELECT s2 FROM ss) THEN n END) AS n2,
+         max(CASE WHEN source = (SELECT s2 FROM ss) THEN m END) AS m2,
+         max(CASE WHEN source = (SELECT s2 FROM ss) THEN v END) AS v2
+  FROM g
+)
+SELECT (SELECT s1 FROM ss) AS src_a, (SELECT s2 FROM ss) AS src_b,
+       n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+       round(5e-10 + m1, 4) AS mean_a, round(5e-10 + m2, 4) AS mean_b,
+       round(5e-10 + (m1 - m2)
+             / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+         AS cohens_d,
+       round(5e-10 + (m1 - m2)
+             / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+             * (1 - 3 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+FROM w
+""",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size between the document-length
+    means of the two lexicographically first sources (pooled-variance
+    standardized mean difference + small-sample correction) — the
+    magnitude companion to the hypothesis tests: a significant p with a
+    tiny d is noise you can ignore.
+
+    Scale shape: two groups' (n, mean, var) moments — one aggregate —
+    pivoted into a single row; everything else is scalar arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.select("source").distinct().orderBy("source").limit(2)
+    ss = two.agg(F.min("source").alias("s1"), F.max("source").alias("s2"))
+    g = (
+        docs.crossJoin(F.broadcast(ss))
+        .where((F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("n_chars").alias("m"),
+            F.var_samp("n_chars").alias("v"),
+        )
+    )
+    w = g.crossJoin(F.broadcast(ss)).agg(
+        F.max(F.when(F.col("source") == F.col("s1"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("source") == F.col("s1"), F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("source") == F.col("s1"), F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("source") == F.col("s2"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("source") == F.col("s2"), F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("source") == F.col("s2"), F.col("v"))).alias("v2"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    corr_g = d * (1 - 3 / (4 * (F.col("n1") + F.col("n2")) - 9))
+    return w.crossJoin(F.broadcast(ss)).select(
+        F.col("s1").alias("src_a"),
+        F.col("s2").alias("src_b"),
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        rnd(F.col("m1"), 4).alias("mean_a"),
+        rnd(F.col("m2"), 4).alias("mean_b"),
+        rnd(d, 6).alias("cohens_d"),
+        rnd(corr_g, 6).alias("hedges_g"),
+    )
+
+
+@register(
+    "q_mix_drift",
+    tags=("stats", "drift", "distribution"),
+    oracle=f"""
+WITH c AS (
+  SELECT epoch_ms(ts) // {_DAY_MS} AS day, event_type,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT day, sum(n) AS day_n FROM c GROUP BY 1
+), types AS (
+  SELECT event_type, sum(n) AS type_n FROM c GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM c),
+grid AS (
+  SELECT d.day, d.day_n, t.event_type,
+         t.type_n / tot.total AS q,
+         coalesce(c.n, 0) / d.day_n AS p
+  FROM days d CROSS JOIN types t CROSS JOIN tot
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+), terms AS (
+  SELECT day, day_n,
+         CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + 0.5 * q * ln(q / ((p + q) / 2)) AS term
+  FROM grid
+)
+SELECT day * {_DAY_MS} AS day_ms, min(day_n)::BIGINT AS n_events,
+       {rnd_sql('sum(term)', 6)} AS js_divergence
+FROM terms GROUP BY day ORDER BY day_ms
+""",
+)
+def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix drift: Jensen-Shannon divergence between each
+    day's event-type distribution and the corpus-wide distribution —
+    the drift alarm that fires when one day's traffic mix (not volume)
+    departs from the baseline.  Missing (day, type) cells contribute
+    their q-side JS term (the day is missing a type the corpus has),
+    which is why the grid is densified before the fold.
+
+    Scale shape: one (day, type) aggregate; the dense grid is
+    |days| x |types| (bounded, built from two tiny aggregates + a 1-row
+    total), left-joined back to the counts — corpus-scale-free past the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.expr(_MS) / _DAY_MS).cast("long").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    days = c.groupBy("day").agg(F.sum("n").alias("day_n"))
+    types = c.groupBy("event_type").agg(F.sum("n").alias("type_n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "day_n",
+            (F.col("type_n") / F.col("total")).alias("q"),
+            (F.coalesce(F.col("n"), F.lit(0.0)) / F.col("day_n")).alias("p"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        grid.select("day", "day_n", term.alias("term"))
+        .groupBy("day")
+        .agg(
+            F.min("day_n").cast("long").alias("n_events"),
+            rnd(F.sum("term"), 6).alias("js_divergence"),
+        )
+        .select(
+            (F.col("day") * _DAY_MS).alias("day_ms"),
+            "n_events",
+            "js_divergence",
+        )
+        .orderBy("day_ms")
+    )

@@ -197,6 +197,9 @@ _BNLJ_OK = {
     "q_wasserstein_1d",  # same bounded ECDF frame as q_ks_test
     "q_runs_test",  # 1-row median crossJoin (broadcast scalar)
     "sim_cos_histogram",  # pair join over the fixed 1-in-7 id sample
+    "q_cohens_d",  # 1-row source-pair/moment crossJoins (broadcast scalars)
+    "q_var_cvar",  # 1-row VaR percentile crossJoin (broadcast scalar)
+    "q_mix_drift",  # |days| x |types| dense-grid crossJoin (tiny aggregates)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
