@@ -13,7 +13,8 @@ amortize that away.
 Paths measured: producer single/batch append, consumer collect+ack,
 Spark source full read, source→sink copy (redislog→redislog), streaming
 exact dedup, stateful CDC compaction, weighted reservoir, Misra-Gries
-top-k, and the producer batch path over the RESP socket backend.
+top-k, the log-histogram quantile sketch, and the producer batch path
+over the RESP socket backend.
 """
 
 from __future__ import annotations
@@ -207,6 +208,25 @@ def main() -> None:
     )
     qt.awaitTermination(300)
     results["misra_gries_topk_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
+
+    # -- log-histogram quantile sketch ------------------------------------
+    from redis_streams_spark.streaming.quantiles import streaming_quantiles
+
+    src_qs = open_stream(spark, root, "cdc", group="qs-bench", batch_size=0)
+    typed_qs = project(src_qs, {"user": "string", "value": "double"})
+    qs = streaming_quantiles(typed_qs, key_col="user", value_col="value")
+    t0 = time.perf_counter()
+    qq = (
+        qs.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck-qs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination(300)
+    results["quantile_sketch_msgs_per_sec"] = round(
         N / (time.perf_counter() - t0)
     )
     spark.stop()
