@@ -138,14 +138,14 @@ WITH iv AS (
          epoch_ms(ts) + floor(value * 60000)::BIGINT AS e
   FROM events
 ), flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN s <= max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 0 ELSE 1 END AS new_island
   FROM iv
 ), grouped AS (
   SELECT user_id, s, e,
-         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged
 )
@@ -181,13 +181,18 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the running sum must use the SAME total order as the flag window:
+    # with only (s, e) a tied duplicate interval could sort before the
+    # row that opened its island and fold into the previous one
+    # (review finding, round 7)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.col("s") <= F.max("e").over(w_prev), F.lit(0))

@@ -155,7 +155,14 @@ class RedisStreamLog:
         try:
             import redis  # preferred when installed
 
-            return redis.Redis.from_url(url, decode_responses=True)
+            client = redis.Redis.from_url(url, decode_responses=True)
+            # redis-py dials lazily — without this ping an unreachable
+            # server would surface only at the first operation, breaking
+            # the "connect_log fails LOUDLY" contract that the stdlib
+            # RespClient (eager socket connect) already honors
+            # (review finding, round 7)
+            client.ping()
+            return client
         except ImportError:
             # pure-stdlib RESP client — same bytes on the wire, imports
             # inside Spark executor workers where redis-py is absent

@@ -101,6 +101,10 @@ def _read_command(f) -> list[str] | None:
             raise ResponseError(f"protocol error: expected bulk, got {hdr!r}")
         size = int(hdr[1:-2])
         data = f.read(size + 2)
+        if len(data) != size + 2:
+            # client died mid-frame: never execute a truncated argument
+            # (review finding, round 7)
+            raise ConnectionError("short bulk read in command frame")
         parts.append(data[:-2].decode())
     return parts
 
@@ -166,9 +170,10 @@ class RespServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return  # listener closed
-            t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
-            t.start()
-            self._threads.append(t)
+            # per-connection threads are daemons and NOT retained:
+            # keeping them in _threads leaked one dead Thread object per
+            # dial for the server's lifetime (review finding, round 7)
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, conn: socket.socket) -> None:
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -204,8 +209,18 @@ class RespServer:
         c = self._store
         if name == "PING":
             return "PONG"
-        if name in ("SELECT", "CLIENT", "HELLO"):
-            return "OK"  # connection setup chatter; single-db store
+        if name == "SELECT":
+            # single-db store: accepting SELECT n>0 silently would put a
+            # redis-py driver (which honors the URL db) and a RespClient
+            # executor on "different" databases without anyone noticing
+            # (review finding, round 7)
+            if args and args[0] != "0":
+                raise ResponseError(
+                    f"DB index {args[0]} out of range: single-db store"
+                )
+            return "OK"
+        if name in ("CLIENT", "HELLO"):
+            return "OK"  # connection setup chatter
         if name == "SET":
             key, value, rest = args[0], args[1], [a.upper() for a in args[2:]]
             nx, px = "NX" in rest, None
@@ -322,27 +337,35 @@ class RespClient:
     command is an independent round trip, like redis-py's default
     connection-pool-of-one behavior under a lock)."""
 
-    def __init__(self, host: str, port: int):
-        self.host, self.port = host, port
+    def __init__(self, host: str, port: int, db: int = 0):
+        self.host, self.port, self.db = host, port, db
         self._sock = socket.create_connection((host, port), timeout=30)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._f = self._sock.makefile("rb")
         self._lock = threading.Lock()
+        if db:
+            # honor the URL's database index the way redis-py does —
+            # silently staying on db 0 would split driver (redis-py,
+            # db n) and executor (RespClient, db 0) onto different
+            # keyspaces (review finding, round 7).  Against the single-db
+            # RespServer this raises loudly instead.
+            self._call("SELECT", db)
 
     @classmethod
     def from_url(cls, url: str) -> "RespClient":
         u = urlparse(url)
         if u.scheme not in ("redis", "resp"):
             raise ValueError(f"unsupported url scheme {u.scheme!r}")
-        return cls(u.hostname or "127.0.0.1", u.port or 6379)
+        db = int((u.path or "").strip("/") or 0)
+        return cls(u.hostname or "127.0.0.1", u.port or 6379, db=db)
 
     # a pickled client re-dials on first use in the new process — this is
     # what crosses the Spark driver→executor boundary
     def __getstate__(self) -> dict:
-        return {"host": self.host, "port": self.port}
+        return {"host": self.host, "port": self.port, "db": self.db}
 
     def __setstate__(self, state: dict) -> None:
-        self.__init__(state["host"], state["port"])
+        self.__init__(state["host"], state["port"], state.get("db", 0))
 
     def close(self) -> None:
         try:

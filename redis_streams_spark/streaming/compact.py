@@ -30,7 +30,11 @@ OUTPUT_SCHEMA = (
     "key string, last_type string, last_value double, last_seq bigint, "
     "n_changes bigint, is_tombstone boolean"
 )
-STATE_SCHEMA = "last_type string, last_value double, last_seq bigint, n_changes bigint"
+# last_seq is DOUBLE in state (full precision): truncating a fractional
+# seq ('3.5') to int would let its own redelivery pass the seq > last_seq
+# filter forever, inflating n_changes on every replay (review finding,
+# round 7); the EMITTED last_seq stays bigint for display
+STATE_SCHEMA = "last_type string, last_value double, last_seq double, n_changes bigint"
 
 
 def compact_changes(
@@ -56,7 +60,7 @@ def compact_changes(
         if state.exists:
             last_type, last_value, last_seq, n_changes = state.get
         else:
-            last_type, last_value, last_seq, n_changes = None, 0.0, -1, 0
+            last_type, last_value, last_seq, n_changes = None, 0.0, -1.0, 0
         for pdf in pdfs:
             # dirty rows (missing/unparseable seq arrive as NaN) are
             # dropped, not fatal: astype on NaN would poison-pill the
@@ -78,7 +82,7 @@ def compact_changes(
             # the filter above exists to prevent (ADVICE r06)
             idx = seqs.loc[fresh.index].idxmax()
             top = fresh.loc[idx]
-            last_seq = int(seqs.loc[idx])
+            last_seq = float(seqs.loc[idx])
             last_type = str(top[type_col])
             last_value = float(top[value_col])
         state.update((last_type, last_value, last_seq, n_changes))
@@ -87,7 +91,7 @@ def compact_changes(
                 "key": [str(key[0])],
                 "last_type": [last_type],
                 "last_value": [last_value],
-                "last_seq": [last_seq],
+                "last_seq": [int(last_seq)],
                 "n_changes": [n_changes],
                 "is_tombstone": [last_type == tombstone_type],
             }

@@ -53,7 +53,14 @@ def bin_index(values: np.ndarray) -> np.ndarray:
     v = np.asarray(values, dtype=float)
     with np.errstate(divide="ignore", invalid="ignore"):
         raw = np.ceil(np.log10(np.maximum(v, 1e-300)) * N_PER_DECADE)
-    idx = raw.astype(int) - _LO_EXP * N_PER_DECADE
+    # +inf must clamp to the TOP bin, but astype(int) on non-finite is
+    # platform-defined (INT64_MIN on numpy) and would land it in the
+    # underflow bin below the clip (review finding, round 7); NaN (only
+    # reachable via direct calls — the operator drops them first) goes
+    # to the underflow bin
+    idx = np.nan_to_num(raw, nan=0.0, posinf=0.0, neginf=0.0).astype(int) \
+        - _LO_EXP * N_PER_DECADE
+    idx = np.where(np.isposinf(v), N_BINS - 1, np.where(np.isnan(v), 0, idx))
     return np.clip(idx, 0, N_BINS - 1)
 
 

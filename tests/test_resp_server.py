@@ -296,3 +296,27 @@ def test_spark_streaming_source_and_sink_over_redis_backend(
         .load()
     )
     assert df.count() == out.xlen()
+
+
+def test_nonzero_db_is_selected_or_rejected_loudly(server):
+    # the URL's db index is honored like redis-py: db 0 connects fine,
+    # a non-zero db against the single-db RespServer fails LOUDLY at
+    # connect time instead of silently reading db 0 (review finding,
+    # round 7: a silent fallback would split a redis-py driver and a
+    # RespClient executor onto different keyspaces)
+    ok = RespClient.from_url(f"redis://127.0.0.1:{server.port}/0")
+    assert ok.set("k", "v") and ok.get("k") == "v"
+    with pytest.raises(ResponseError, match="out of range"):
+        RespClient.from_url(f"redis://127.0.0.1:{server.port}/3")
+
+
+def test_truncated_command_frame_never_executes(server, client):
+    # a client dying mid-frame must not execute a corrupted argument:
+    # send a bulk header claiming 100 bytes but only part of the payload
+    import socket as _socket
+
+    raw = _socket.create_connection(("127.0.0.1", server.port))
+    raw.sendall(b"*3\r\n$3\r\nSET\r\n$1\r\nk\r\n$100\r\ntruncated")
+    raw.close()
+    time.sleep(0.1)
+    assert client.get("k") is None  # the partial SET was dropped

@@ -137,3 +137,16 @@ def test_fold_skips_dirty_null_seq_rows():
                          {"kind": "update", "value": 2.0, "seq": 5}])
     assert st.get == ("update", 2.0, 5, 1)  # null-seq row dropped, no crash
     assert out[0]["n_changes"].iloc[0] == 1
+
+
+def test_fold_fractional_seq_redelivery_not_inflated():
+    # a numeric-but-non-integer seq must not be truncated in state:
+    # int(3.5)=3 would let the SAME row pass seq > last_seq on every
+    # replay, inflating n_changes forever (review finding, round 7)
+    st = _FakeState()
+    _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "3.5"}])
+    assert st.get[3] == 1
+    out = _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "3.5"}])
+    assert st.get[3] == 1  # replay NOT counted
+    # emitted last_seq stays integral for display
+    assert out[0]["last_seq"].iloc[0] == 3

@@ -91,6 +91,12 @@ def test_sketch_pure_functions():
     assert idxs[0] == 0 and idxs[-1] == N_BINS - 1
     # zero / negative go to the underflow bin
     assert list(bin_index(np.array([0.0, -5.0]))) == [0, 0]
+    # non-finite: +inf clamps to the TOP bin (not the underflow bin via
+    # int-cast wraparound), -inf/NaN to the underflow bin
+    inf = float("inf")
+    assert list(bin_index(np.array([inf, -inf, float("nan")]))) == [
+        N_BINS - 1, 0, 0,
+    ]
     # mergeability: histogram of the union == sum of histograms
     a = np.bincount(bin_index(vals[:4]), minlength=N_BINS)
     b = np.bincount(bin_index(vals[4:]), minlength=N_BINS)
