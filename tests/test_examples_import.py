@@ -18,6 +18,7 @@ EXAMPLES = [
     "streaming_native",
     "event_analytics",
     "growth_quality_audit",
+    "drift_monitor",
 ]
 
 
