@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Compressed media codecs (JPEG/PNG/MP4 — PIL/ffmpeg) are not present in
-this container, so those branches of ``decode_features(...,
+Lossy media codecs (JPEG/MP4 — PIL/ffmpeg) are not present in this
+container, so those branches of ``decode_features(...,
 use_real_codecs=True)`` raise NotImplementedError.  The real-codec branch
-IS exercised end-to-end, though: pure-Python parsers for the two
-dependency-free raster formats (BMP 24-bit uncompressed, PPM ``P6``)
-decode actual header + pixel bytes inside the mapInPandas batch, and
-``make_bmp`` / ``make_ppm`` synthesize valid payloads for tests.  The
+IS exercised end-to-end, though: pure-Python parsers for the three
+dependency-free raster formats — BMP 24-bit uncompressed, PPM ``P6``,
+and PNG (8-bit gray/RGB/RGBA, full zlib inflate + all five row filters,
+chunk CRCs verified) — decode actual header + pixel bytes inside the
+mapInPandas batch, and ``make_bmp`` / ``make_ppm`` / ``make_png``
+synthesize valid payloads for tests.  The
 default deterministic fake derives "decoded" features from the payload's
 md5 — which makes the whole mapInPandas pipeline (schema, Arrow batching,
 partition parallelism) real and testable, and even SQL-oracle-verifiable.
@@ -183,19 +185,132 @@ def parse_ppm(b: bytes) -> tuple[int, int, float]:
     return width, height, round(sum(body) / len(body), 4)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def make_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a valid 8-bit RGB PNG (color type 2, non-interlaced,
+    filter 0 per row, one zlib IDAT).  ``pixels`` is width*height*3 RGB
+    bytes, row 0 first."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(b: bytes) -> tuple[int, int, float]:
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / gray+A / RGBA):
+    (width, height, mean sample byte — over ALL channels incl. alpha).
+    Full inflate + per-row unfilter (all 5 filter types), chunk CRCs
+    verified; palette/16-bit/interlaced variants rejected loudly.  Pure
+    stdlib (zlib) — PNG is the one compressed raster a no-dependency
+    environment can still decode for real."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, ihdr, idat = 8, None, []
+    while i + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, i)
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) != ln or i + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, i + 8 + ln)
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    ch = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or ch is None:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={ctype})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    total = 0
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        total += sum(line)
+        prev = line
+    return w, h, round(total / (w * h * ch), 4)
+
+
 def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
-    """Dependency-free real decode: BMP / PPM header+pixel parse (single
-    frame).  Compressed formats need PIL/ffmpeg — absent here, so they
-    raise a clearly-marked NotImplementedError instead of fake numbers."""
+    """Dependency-free real decode: BMP / PPM / PNG parse (single
+    frame).  JPEG/MP4 need PIL/ffmpeg — absent here, so they raise a
+    clearly-marked NotImplementedError instead of fake numbers."""
     if payload[:2] == b"BM":
         w, h, mean = parse_bmp(payload)
     elif payload[:2] == b"P6":
         w, h, mean = parse_ppm(payload)
+    elif payload[:8] == _PNG_SIG:
+        w, h, mean = parse_png(payload)
     else:
         raise NotImplementedError(
-            "compressed media codecs (JPEG/PNG/MP4 via PIL/ffmpeg) are not "
-            "available in this environment; supported real formats here "
-            "are BMP (24-bit uncompressed) and PPM P6"
+            "JPEG/MP4 codecs (PIL/ffmpeg) are not available in this "
+            "environment; supported real formats here are BMP (24-bit "
+            "uncompressed), PPM P6, and PNG (8-bit, non-interlaced)"
         )
     return w, h, 1, mean
 
@@ -227,7 +342,7 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
                         # an image regardless of its id (review finding)
                         "modality": [
                             "image"
-                            if p[:2] in (b"BM", b"P6")
+                            if p[:2] in (b"BM", b"P6") or p[:8] == _PNG_SIG
                             else "unknown"
                             for p in payloads
                         ],

@@ -11,8 +11,10 @@ from redis_streams_spark.operators.multimodal import (
     attach_blob,
     decode_features,
     make_bmp,
+    make_png,
     make_ppm,
     parse_bmp,
+    parse_png,
     parse_ppm,
 )
 from redis_streams_spark.session import load_table
@@ -62,7 +64,7 @@ def test_real_codec_decode_over_spark(spark):
 def test_real_codecs_compressed_formats_raise(spark):
     """Formats that need PIL/ffmpeg stay a loud stub, not fake numbers."""
     docs = spark.createDataFrame(
-        [(0, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "doc_id bigint, payload binary"
+        [(0, bytearray(b"\xff\xd8\xffJFIFrest"))], "doc_id bigint, payload binary"
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         decode_features(docs, use_real_codecs=True).collect()
@@ -86,3 +88,107 @@ def test_decode_deterministic(spark, sf_dir):
         assert 64 <= r.width < 1024 and 64 <= r.height < 1024
         assert 1 <= r.n_frames <= 120
         assert 0.0 <= r.mean_byte <= 255.0
+
+
+def _png_with_filters(w, h, ch, ctype, pixels, filters):
+    """Hand-build a PNG applying the given forward filter per row — the
+    encoder only emits filter 0, so this is how the decoder's Sub/Up/
+    Average/Paeth paths get exercised against ground truth."""
+    import struct
+    import zlib
+
+    stride = w * ch
+    prev = bytearray(stride)
+    raw = b""
+    for r in range(h):
+        line = bytearray(pixels[r * stride : (r + 1) * stride])
+        ft = filters[r % len(filters)]
+        enc = bytearray(stride)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    for w, h in ((5, 3), (4, 4), (1, 7)):
+        px = _pixels(w * h * 3, w * 31 + h)
+        exp = (w, h, round(sum(px) / len(px), 4))
+        # encoder path (filter 0 only)
+        assert parse_png(make_png(w, h, px)) == exp
+        # every decoder filter path against the hand-built forward filter
+        for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = parse_png(_png_with_filters(w, h, 3, 2, px, filters))
+            assert got == exp, (w, h, filters)
+
+
+def test_png_gray_and_rgba_channels():
+    w, h = 6, 2
+    gray = _pixels(w * h, 9)
+    assert parse_png(_png_with_filters(w, h, 1, 0, gray, [4])) == (
+        w, h, round(sum(gray) / len(gray), 4),
+    )
+    rgba = _pixels(w * h * 4, 11)
+    assert parse_png(_png_with_filters(w, h, 4, 6, rgba, [3])) == (
+        w, h, round(sum(rgba) / len(rgba), 4),
+    )
+
+
+def test_png_rejects_corruption_loudly():
+    good = make_png(4, 4, _pixels(48, 3))
+    # flip one IDAT byte -> CRC mismatch, never silent garbage
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|unsupported"):
+        parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"BMnope")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        parse_png(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_real_codec_decode_png_over_spark(spark):
+    rows, expected = [], {}
+    for doc_id in range(6):
+        w, h = 2 + doc_id, 3
+        px = _pixels(w * h * 3, doc_id + 50)
+        rows.append((doc_id, bytearray(make_png(w, h, px))))
+        expected[doc_id] = (w, h, 1, round(sum(px) / len(px), 4))
+    docs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    decoded = decode_features(docs, use_real_codecs=True).collect()
+    got = {
+        r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in decoded
+    }
+    assert got == expected
+    assert all(r.modality == "image" for r in decoded)
