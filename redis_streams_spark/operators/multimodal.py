@@ -319,9 +319,10 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
     """Decode / feature-extract over Arrow batches via mapInPandas.
 
     With ``use_real_codecs=True`` the ``payload`` binary column is decoded
-    by REAL pure-Python raster parsers (BMP 24-bit, PPM P6 — header +
-    pixel bytes, see :func:`parse_bmp` / :func:`parse_ppm`); compressed
-    formats raise NotImplementedError (PIL/ffmpeg absent here — swap
+    by REAL pure-Python raster parsers (BMP 24-bit, PPM P6, PNG 8-bit
+    non-interlaced incl. full inflate + unfilter — see :func:`parse_bmp`
+    / :func:`parse_ppm` / :func:`parse_png`); lossy formats (JPEG/MP4)
+    raise NotImplementedError (PIL/ffmpeg absent here — swap
     :func:`_real_decode_payload`'s fallback for a codec call in
     production).  The default fake is deterministic md5 arithmetic over
     ``text``, so downstream operators and the SQL oracle can verify the

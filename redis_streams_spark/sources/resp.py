@@ -348,8 +348,14 @@ class RespClient:
             # silently staying on db 0 would split driver (redis-py,
             # db n) and executor (RespClient, db 0) onto different
             # keyspaces (review finding, round 7).  Against the single-db
-            # RespServer this raises loudly instead.
-            self._call("SELECT", db)
+            # RespServer this raises loudly instead — closing the
+            # already-dialed socket first so a failed constructor does
+            # not leak one fd per task retry (review finding, round 7).
+            try:
+                self._call("SELECT", db)
+            except BaseException:
+                self.close()
+                raise
 
     @classmethod
     def from_url(cls, url: str) -> "RespClient":

@@ -30,11 +30,33 @@ OUTPUT_SCHEMA = (
     "key string, last_type string, last_value double, last_seq bigint, "
     "n_changes bigint, is_tombstone boolean"
 )
-# last_seq is DOUBLE in state (full precision): truncating a fractional
-# seq ('3.5') to int would let its own redelivery pass the seq > last_seq
-# filter forever, inflating n_changes on every replay (review finding,
-# round 7); the EMITTED last_seq stays bigint for display
-STATE_SCHEMA = "last_type string, last_value double, last_seq double, n_changes bigint"
+STATE_SCHEMA = "last_type string, last_value double, last_seq bigint, n_changes bigint"
+
+
+def _as_int_seq(x) -> int | None:
+    """Exact integral parse of a seq cell; None = dirty (dropped).
+
+    Why not pd.to_numeric: one dirty cell flips the whole batch to
+    float64, and msgid-derived seqs (~1.7e18) lose precision past 2^53 —
+    a genuinely NEWER event would then compare equal to the stored seq
+    and be dropped forever (review finding, round 7).  Exact python-int
+    parsing keeps the monotonic fold exact at any magnitude; fractional
+    ('3.5') and non-finite ('inf') seqs are OUT OF CONTRACT (the order
+    key is a long) and are dirty — folding a truncation of them would
+    let their own redelivery re-pass the filter, and storing them would
+    overflow the bigint state (both review findings, rounds 6-7)."""
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, int):
+        return x
+    if isinstance(x, float):
+        return int(x) if x == x and x.is_integer() and abs(x) < 2**63 else None
+    try:
+        return int(str(x).strip())
+    except (ValueError, TypeError):
+        return None
 
 
 def compact_changes(
@@ -59,30 +81,30 @@ def compact_changes(
     def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
             last_type, last_value, last_seq, n_changes = state.get
+            last_seq = int(last_seq)
         else:
-            last_type, last_value, last_seq, n_changes = None, 0.0, -1.0, 0
+            last_type, last_value, last_seq, n_changes = None, 0.0, -1, 0
         for pdf in pdfs:
-            # dirty rows (missing/unparseable seq arrive as NaN) are
-            # dropped, not fatal: astype on NaN would poison-pill the
-            # query — every checkpoint retry re-hits the same row
-            # (review finding, round 6)
-            seqs = pd.to_numeric(pdf[seq_col], errors="coerce")
-            fresh = pdf[seqs.notna() & (seqs > last_seq)]
-            if fresh.empty:
+            # dirty rows (missing / unparseable / non-integral /
+            # non-finite seq) are dropped, not fatal: crashing on them
+            # would poison-pill the query — every checkpoint retry
+            # re-hits the same row (review findings, rounds 6-7); see
+            # _as_int_seq for why this is exact-int, not to_numeric
+            seqs = [_as_int_seq(x) for x in pdf[seq_col]]
+            mask = [s is not None and s > last_seq for s in seqs]
+            if not any(mask):
                 continue
+            fresh = pdf[mask]
             # count only seq > last_seq: cross-batch REDELIVERY of an
             # epoch must not inflate n_changes, or the 'exactly-once net
             # state' claim would hold for the survivor tuple only
             # (review finding, round 6)
             n_changes += len(fresh)
-            # survivor pick uses the COERCED seqs, not a raw astype: a
-            # numeric-but-non-integer seq ('3.5', '2e3') passes the
-            # to_numeric filter yet raises in astype('int64'), which
-            # would recreate exactly the checkpoint-retry poison-pill
-            # the filter above exists to prevent (ADVICE r06)
-            idx = seqs.loc[fresh.index].idxmax()
-            top = fresh.loc[idx]
-            last_seq = float(seqs.loc[idx])
+            best_pos = max(
+                (i for i, m in enumerate(mask) if m), key=lambda i: seqs[i]
+            )
+            top = pdf.iloc[best_pos]
+            last_seq = seqs[best_pos]
             last_type = str(top[type_col])
             last_value = float(top[value_col])
         state.update((last_type, last_value, last_seq, n_changes))
@@ -91,7 +113,7 @@ def compact_changes(
                 "key": [str(key[0])],
                 "last_type": [last_type],
                 "last_value": [last_value],
-                "last_seq": [int(last_seq)],
+                "last_seq": [last_seq],
                 "n_changes": [n_changes],
                 "is_tombstone": [last_type == tombstone_type],
             }

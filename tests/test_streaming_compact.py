@@ -139,14 +139,37 @@ def test_fold_skips_dirty_null_seq_rows():
     assert out[0]["n_changes"].iloc[0] == 1
 
 
-def test_fold_fractional_seq_redelivery_not_inflated():
-    # a numeric-but-non-integer seq must not be truncated in state:
-    # int(3.5)=3 would let the SAME row pass seq > last_seq on every
-    # replay, inflating n_changes forever (review finding, round 7)
+def test_fold_non_integral_seq_is_dirty_not_truncated():
+    # a non-integral seq ('3.5') is OUT OF CONTRACT (the order key is a
+    # long): truncating it into state would let the SAME row pass
+    # seq > last_seq on every replay, inflating n_changes forever
+    # (review finding, round 7) — so it is dirty-dropped like null
     st = _FakeState()
+    _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "3.5"},
+                   {"kind": "update", "value": 2.0, "seq": "4"}])
+    assert st.get == ("update", 2.0, 4, 1)  # only the integral row folds
     _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "3.5"}])
-    assert st.get[3] == 1
-    out = _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "3.5"}])
-    assert st.get[3] == 1  # replay NOT counted
-    # emitted last_seq stays integral for display
-    assert out[0]["last_seq"].iloc[0] == 3
+    assert st.get[3] == 1  # replay of the dirty row never counts
+
+
+def test_fold_nonfinite_seq_never_poisons():
+    # 'inf' parses numeric but cannot live in bigint state: folding it
+    # would OverflowError at emit on every checkpoint retry (review
+    # finding, round 7) — dirty-dropped instead
+    st = _FakeState()
+    out = _run_fold(st, [{"kind": "update", "value": 1.0, "seq": "inf"},
+                         {"kind": "update", "value": 2.0, "seq": 7}])
+    assert st.get == ("update", 2.0, 7, 1)
+    assert out[0]["last_seq"].iloc[0] == 7
+
+
+def test_fold_exact_past_double_precision():
+    # msgid-derived seqs sit near 1.7e18 — far past 2^53, where float64
+    # cannot distinguish n from n+1: state must stay exact-int so a
+    # genuinely newer event is never dropped (review finding, round 7)
+    base = 2**53
+    st = _FakeState()
+    _run_fold(st, [{"kind": "update", "value": 1.0, "seq": base}])
+    assert st.get == ("update", 1.0, base, 1)
+    _run_fold(st, [{"kind": "update", "value": 2.0, "seq": base + 1}])
+    assert st.get == ("update", 2.0, base + 1, 2)  # +1 NOT lost to float
