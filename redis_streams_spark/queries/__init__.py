@@ -166,10 +166,20 @@ def _driver_history() -> dict[str, int]:
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
     hist = _driver_history()
+    # Pins SELF-EXPIRE: a pinned name keeps its front-of-line rank only
+    # while it has no green driver row (hist == 0).  Once the driver
+    # verifies it, the pin is inert — so a stale pin list can never
+    # re-occupy the window and displace genuinely-unverified queries
+    # again (the round-6→7 rotation trap, now structural instead of a
+    # per-round manual chore).
     pin = {name: i for i, name in enumerate(_DRIVER_PIN)}
     reg_idx = {name: i for i, name in enumerate(REGISTRY)}
     names = sorted(
         REGISTRY,
-        key=lambda n: (pin.get(n, len(pin)), hist.get(n, 0), reg_idx[n]),
+        key=lambda n: (
+            pin.get(n, len(pin)) if hist.get(n, 0) == 0 else len(pin),
+            hist.get(n, 0),
+            reg_idx[n],
+        ),
     )
     return {n: REGISTRY[n] for n in names}

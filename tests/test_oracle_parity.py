@@ -98,3 +98,24 @@ def test_plans_report_tracks_registry():
     m = re.search(r"Totals: (\d+) queries, (\d+) cartesian products", text)
     assert m and int(m.group(1)) == n, "run tools/plan_audit.py"
     assert int(m.group(2)) == 0
+
+
+def test_driver_pins_self_expire():
+    """A pinned name holds front-of-line rank only while it has no green
+    driver row; once verified, the pin is inert — a stale pin list can
+    never displace unverified queries from the driver window again
+    (the round-6->7 rotation trap, made structural)."""
+    import redis_streams_spark.queries as Q
+
+    Q._load_all()
+    real = dict(Q._driver_history())
+    try:
+        # today: every pin is never-green and occupies the front
+        front = list(Q.all_queries())[: len(Q._DRIVER_PIN)]
+        assert front == Q._DRIVER_PIN
+        # simulate the driver verifying all pins in round 99
+        Q._HISTORY_CACHE = {**real, **{n: 99 for n in Q._DRIVER_PIN}}
+        front50 = list(Q.all_queries())[:50]
+        assert not set(front50) & set(Q._DRIVER_PIN)
+    finally:
+        Q._HISTORY_CACHE = None
