@@ -292,3 +292,87 @@ def test_weighted_sample_invariant_to_partition_layout(spark, sf_dir):
         .collect()
     ]
     assert base == shuffled
+
+
+# -- round-7 sketch guarantees under arbitrary batch splits ---------------
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    k=st.integers(min_value=1, max_value=8),
+    splits=st.lists(st.integers(min_value=1, max_value=50), max_size=10),
+)
+@settings(max_examples=80, deadline=None)
+def test_misra_gries_guarantees_any_batching(items, k, splits):
+    """The Misra-Gries merge keeps its textbook guarantees no matter how
+    the stream is cut into micro-batches: estimates never exceed truth,
+    undercount is bounded by the tracked decrement total (itself
+    <= n/(k+1)), the summary never exceeds k entries, and every item
+    above the n/(k+1) frequency threshold survives."""
+    from collections import Counter
+
+    from redis_streams_spark.streaming.topk import misra_gries_merge
+
+    truth = Counter(str(x) for x in items)
+    n = len(items)
+    # cut the stream at the hypothesis-chosen points
+    batches, pos = [], 0
+    for w in splits:
+        if pos >= n:
+            break
+        batches.append(items[pos : pos + w])
+        pos += w
+    if pos < n:
+        batches.append(items[pos:])
+
+    counters, dec = {}, 0
+    for batch in batches:
+        counters, m = misra_gries_merge(
+            counters, dict(Counter(str(x) for x in batch)), k
+        )
+        dec += m
+
+    assert len(counters) <= k
+    assert dec <= n // (k + 1)
+    for item, est in counters.items():
+        assert 0 < est <= truth[item]
+        assert truth[item] - est <= dec
+    for item, c in truth.items():
+        if c > n / (k + 1):
+            assert item in counters
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=1e-6, max_value=1e12, exclude_min=True),
+        min_size=1,
+        max_size=200,
+    ),
+    cut=st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=80, deadline=None)
+def test_quantile_sketch_bound_and_merge(vals, cut):
+    """Log-histogram estimates stay within BASE of the exact order
+    statistic for every tracked quantile, and merging two partial
+    histograms equals the single-pass histogram."""
+    import math
+
+    import numpy as np
+
+    from redis_streams_spark.streaming.quantiles import (
+        BASE,
+        N_BINS,
+        QUANTILES,
+        bin_index,
+        estimate_quantiles,
+    )
+
+    a = np.bincount(bin_index(np.array(vals[:cut] or [])), minlength=N_BINS) if vals[:cut] else np.zeros(N_BINS, dtype=int)
+    b = np.bincount(bin_index(np.array(vals[cut:] or [])), minlength=N_BINS) if vals[cut:] else np.zeros(N_BINS, dtype=int)
+    u = np.bincount(bin_index(np.array(vals)), minlength=N_BINS)
+    assert ((a + b) == u).all()
+
+    s = sorted(vals)
+    for q, est in zip(QUANTILES, estimate_quantiles(u)):
+        exact = s[max(1, math.ceil(q * len(s))) - 1]
+        assert exact <= est * (1 + 1e-9)
+        assert est < exact * BASE * (1 + 1e-9)
