@@ -172,16 +172,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
     joined = cands.join(sa, "a_id").join(sb, "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    return (
-        joined.select(
-            "a_id",
-            "b_id",
-            inter.cast("long").alias("n_common"),
-            rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
-        )
-        .withColumn("is_dup", F.col("jaccard") >= threshold)
-        .orderBy("a_id", "b_id")
-    )
+    # NO presentation sort: the pair output is C(clique,2) rows per
+    # clique at real duplicate density, and globally range-sorting 43M
+    # result rows buys nothing the order-insensitive correctness gate
+    # needs (driver-verified: 33 green queries emit unsorted).  Measured
+    # at the 100x load: 251 s -> 225 s wall from dropping the orderBy
+    # (the remaining cost is enumeration + emit, SCALE.md); negligible
+    # at sf0.1 where the output is small.  Callers that want ordered
+    # output sort the (small) filtered result themselves.
+    return joined.select(
+        "a_id",
+        "b_id",
+        inter.cast("long").alias("n_common"),
+        rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    ).withColumn("is_dup", F.col("jaccard") >= threshold)
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
