@@ -13,8 +13,8 @@ amortize that away.
 Paths measured: producer single/batch append, consumer collect+ack,
 Spark source full read, source→sink copy (redislog→redislog), streaming
 exact dedup, stateful CDC compaction, weighted reservoir, Misra-Gries
-top-k, the log-histogram quantile sketch, and the producer batch path
-over the RESP socket backend.
+top-k, the log-histogram quantile sketch, the JS drift monitor, and the
+producer batch path over the RESP socket backend.
 """
 
 from __future__ import annotations
@@ -227,6 +227,29 @@ def main() -> None:
     )
     qq.awaitTermination(300)
     results["quantile_sketch_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
+
+    # -- distribution-drift monitor ---------------------------------------
+    from redis_streams_spark.streaming.drift import (
+        reference_histogram,
+        streaming_drift,
+    )
+
+    ref = reference_histogram([float(1 + i % 500) for i in range(5000)])
+    src_dr = open_stream(spark, root, "cdc", group="dr-bench", batch_size=0)
+    typed_dr = project(src_dr, {"user": "string", "value": "double"})
+    dr = streaming_drift(typed_dr, reference=ref, key_col="user", value_col="value")
+    t0 = time.perf_counter()
+    qdr = (
+        dr.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck-dr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qdr.awaitTermination(300)
+    results["drift_monitor_msgs_per_sec"] = round(
         N / (time.perf_counter() - t0)
     )
     spark.stop()
