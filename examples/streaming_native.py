@@ -72,6 +72,59 @@ def main() -> None:
     rate, suggestion = listener.scale_decision()
     print(f"scaling advice: rate={rate} suggestion={suggestion}")
 
+    # bounded-state monitors over the same stream (round 7): hot keys,
+    # value percentiles, and distribution drift — each O(k)/O(1) state
+    # per group regardless of stream length
+    from redis_streams_spark.streaming.drift import (
+        reference_histogram,
+        streaming_drift,
+    )
+    from redis_streams_spark.streaming.quantiles import streaming_quantiles
+    from redis_streams_spark.streaming.topk import streaming_topk
+
+    ref = reference_histogram([0.5 * i for i in range(1, 600)])
+    monitors = {
+        # item = log2 value bucket: a skewed space where a heavy hitter
+        # exists (an all-unique item stream correctly yields an EMPTY
+        # summary — nothing exceeds the n/(k+1) guarantee threshold)
+        "hot value buckets (Misra-Gries top-3)": (
+            streaming_topk, dict(key_col="event_type", item_col="bucket", k=3),
+        ),
+        "value percentiles (log-histogram sketch)": (
+            streaming_quantiles, dict(key_col="event_type", value_col="value"),
+        ),
+        "distribution drift vs reference (JS)": (
+            streaming_drift,
+            dict(reference=ref, key_col="event_type", value_col="value"),
+        ),
+    }
+    for title, (op, kw) in monitors.items():
+        src_m = open_stream(
+            spark, root, "events", group=f"mon-{op.__name__}", batch_size=0
+        )
+        typed_m = project(
+            src_m, {"event_type": "string", "value": "double"}
+        ).withColumn(
+            "bucket", F.floor(F.log2(F.col("value") + 1)).cast("string")
+        )
+        name = f"mon_{op.__name__}"
+        qm = (
+            op(typed_m, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", os.path.join(root, f"ck-{op.__name__}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        qm.awaitTermination(120)
+        print(title + ":")
+        spark.sql(
+            f"SELECT * FROM {name} ORDER BY n_seen DESC LIMIT 3"
+        ).show(truncate=False)
+
     spark.streams.removeListener(listener)
     spark.stop()
 
