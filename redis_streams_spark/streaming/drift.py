@@ -29,7 +29,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from redis_streams_spark.streaming.quantiles import N_BINS, bin_index
+from redis_streams_spark.streaming.quantiles import (
+    N_BINS,
+    bin_index,
+    fold_histogram_state,
+)
 
 OUTPUT_SCHEMA = "key string, n_seen bigint, js_divergence double"
 STATE_SCHEMA = "counts array<bigint>, n_seen bigint"
@@ -75,22 +79,17 @@ def streaming_drift(
             "(build it with reference_histogram())"
         )
     ref = np.asarray(reference, dtype=np.int64)
+    if ref.sum() <= 0:
+        # an empty reference would make every score NaN — and NaN never
+        # exceeds an alert threshold, silently disabling the alarm the
+        # operator exists to provide (review finding, round 7)
+        raise ValueError(
+            "reference histogram is empty (sum 0): build it from a "
+            "non-empty offline sample"
+        )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            counts_l, n_seen = state.get
-            counts = np.asarray(counts_l, dtype=np.int64)
-        else:
-            counts, n_seen = np.zeros(N_BINS, dtype=np.int64), 0
-        for pdf in pdfs:
-            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
-            if not len(vals):
-                continue
-            n_seen += len(vals)
-            counts += np.bincount(
-                bin_index(vals.to_numpy()), minlength=N_BINS
-            ).astype(np.int64)
-        state.update((counts.tolist(), n_seen))
+        counts, n_seen = fold_histogram_state(state, pdfs, value_col)
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],

@@ -88,6 +88,30 @@ def estimate_quantiles(counts: np.ndarray, qs=QUANTILES) -> list[float]:
     return out
 
 
+def fold_histogram_state(state, pdfs, value_col: str):
+    """Shared per-batch histogram fold for every log-histogram-state
+    operator (this sketch and :mod:`~redis_streams_spark.streaming.drift`):
+    restore counts/n_seen, coerce + drop dirty values, bincount-add each
+    batch, persist, return (counts, n_seen).  One copy so value coercion
+    and state encoding can never silently diverge between the sketches
+    (review finding, round 7)."""
+    if state.exists:
+        counts_l, n_seen = state.get
+        counts = np.asarray(counts_l, dtype=np.int64)
+    else:
+        counts, n_seen = np.zeros(N_BINS, dtype=np.int64), 0
+    for pdf in pdfs:
+        vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+        if not len(vals):
+            continue
+        n_seen += len(vals)
+        counts += np.bincount(
+            bin_index(vals.to_numpy()), minlength=N_BINS
+        ).astype(np.int64)
+    state.update((counts.tolist(), n_seen))
+    return counts, n_seen
+
+
 def streaming_quantiles(
     df: DataFrame,
     key_col: str = "event_type",
@@ -97,20 +121,7 @@ def streaming_quantiles(
     (update output mode: one row per touched key per batch)."""
 
     def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            counts_l, n_seen = state.get
-            counts = np.asarray(counts_l, dtype=np.int64)
-        else:
-            counts, n_seen = np.zeros(N_BINS, dtype=np.int64), 0
-        for pdf in pdfs:
-            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
-            if not len(vals):
-                continue
-            n_seen += len(vals)
-            counts += np.bincount(
-                bin_index(vals.to_numpy()), minlength=N_BINS
-            ).astype(np.int64)
-        state.update((counts.tolist(), n_seen))
+        counts, n_seen = fold_histogram_state(state, pdfs, value_col)
         p50, p90, p99 = estimate_quantiles(counts)
         yield pd.DataFrame(
             {

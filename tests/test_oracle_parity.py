@@ -110,10 +110,17 @@ def test_driver_pins_self_expire():
     Q._load_all()
     real = dict(Q._driver_history())
     try:
-        # today: every pin is never-green and occupies the front
+        # BOTH halves stub the history: asserting the live repo state
+        # would make this test start failing the moment the driver's
+        # next CORRECTNESS file marks any pin green — the exact outcome
+        # pins exist to produce (review finding, round 7)
+        # never-green pins occupy the front...
+        Q._HISTORY_CACHE = {
+            k: v for k, v in real.items() if k not in Q._DRIVER_PIN
+        }
         front = list(Q.all_queries())[: len(Q._DRIVER_PIN)]
         assert front == Q._DRIVER_PIN
-        # simulate the driver verifying all pins in round 99
+        # ...and once the driver verifies them (round 99) they are inert
         Q._HISTORY_CACHE = {**real, **{n: 99 for n in Q._DRIVER_PIN}}
         front50 = list(Q.all_queries())[:50]
         assert not set(front50) & set(Q._DRIVER_PIN)

@@ -81,3 +81,10 @@ def test_streaming_drift_scores(spark, tmp_path):
 def test_reference_must_match_bin_grid():
     with pytest.raises(ValueError, match="bin histogram"):
         streaming_drift(None, reference=[1, 2, 3])
+
+
+def test_empty_reference_rejected():
+    # an all-zero reference would score NaN forever — NaN never crosses
+    # an alert threshold, silently disabling the alarm (review finding)
+    with pytest.raises(ValueError, match="empty"):
+        streaming_drift(None, reference=reference_histogram([]))

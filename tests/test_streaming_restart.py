@@ -13,7 +13,7 @@ from redis_streams_spark.streaming.topk import streaming_topk
 from redis_streams_spark.streaming.windows import project
 
 
-def _run_until_drained(out, name, ck, spark):
+def _run_until_drained(out, ck):
     # foreachBatch, not the memory sink: memory does not support
     # checkpoint recovery ("This query does not support recovering from
     # checkpoint location"), and recovery is the very thing under test
@@ -50,13 +50,13 @@ def test_topk_state_survives_restart(spark, tmp_path):
         return streaming_topk(typed, key_col="event_type", item_col="user_id", k=3)
 
     ck = str(tmp_path / "ck")
-    _run_until_drained(build(), "rk_run1", ck, spark)
+    _run_until_drained(build(), ck)
 
     # second half arrives while the query is DOWN
     for i in range(40, 80):
         prod.add({"event_type": "a", "user_id": "hot" if i % 2 == 0 else f"t{i}"})
 
-    rows = _run_until_drained(build(), "rk_run2", ck, spark)
+    rows = _run_until_drained(build(), ck)
     final = max(rows, key=lambda r: r.n_seen)
     # state resumed: the restarted run counts ALL 80, not just its 40
     assert final.n_seen == 80
@@ -82,13 +82,13 @@ def test_quantiles_state_survives_restart(spark, tmp_path):
         return streaming_quantiles(typed, key_col="event_type", value_col="value")
 
     ck = str(tmp_path / "ck")
-    _run_until_drained(build(), "rq_run1", ck, spark)
+    _run_until_drained(build(), ck)
 
     vals2 = [float(1000 + i) for i in range(60)]  # much larger second wave
     for v in vals2:
         prod.add({"event_type": "a", "value": v})
 
-    rows = _run_until_drained(build(), "rq_run2", ck, spark)
+    rows = _run_until_drained(build(), ck)
     final = max(rows, key=lambda r: r.n_seen)
     assert final.n_seen == 120  # histogram resumed, not restarted
     # p50 of the COMBINED multiset sits at the vals1/vals2 boundary:
