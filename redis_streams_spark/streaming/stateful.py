@@ -59,15 +59,67 @@ def running_totals(
     )
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf (the state-server
-    protocol); absent/broken in some environments — gate, don't crash."""
+# Known pure-Python protobuf runtimes shipped by other tooling on a
+# host: when no protobuf wheel can be installed, any of these makes
+# transformWithStateInPandas work (the gcloud SDK bundles a current
+# runtime for App Engine tooling).
+_PROTOBUF_FALLBACK_ROOTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable — in this process AND in
+    Spark's Python workers — discovering a pure-Python runtime from
+    ``RSS_PROTOBUF_PATH`` or known host locations when no wheel is
+    installed.
+
+    Worker processes inherit the JVM's environment, so this must run
+    BEFORE the SparkSession starts for the PYTHONPATH export to reach
+    them (tests do it in conftest).  The discovered runtime may be one
+    minor version older than pyspark's generated StateMessage code;
+    protobuf's own documented escape hatch
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true``) bridges that
+    — the wire format itself is stable across those versions."""
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    roots = [os.environ.get("RSS_PROTOBUF_PATH"), *_PROTOBUF_FALLBACK_ROOTS]
+    for root in filter(None, roots):
+        if not os.path.isfile(
+            os.path.join(root, "google", "protobuf", "__init__.py")
+        ):
+            continue
+        # APPEND, never prepend: the fallback root may carry other
+        # top-level names (the gcloud SDK ships `lib`, `demos`, ...) and
+        # must not shadow anything already installed; `google` still
+        # resolves because nothing else provides it
+        sys.path.append(root)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            sys.path.remove(root)
+            continue
+        os.environ["PYTHONPATH"] = (
+            os.environ.get("PYTHONPATH", "") + os.pathsep + root
+        ).lstrip(os.pathsep)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        return True
+    return False
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf (the state-server
+    protocol); absent/broken in some environments — gate, don't crash."""
+    return ensure_protobuf()
 
 
 def running_totals_tws(

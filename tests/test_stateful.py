@@ -58,18 +58,14 @@ def test_running_totals_tws_across_batches(spark, tmp_path):
     )
 
     if not tws_available():
-        # Concrete blocker, verified in-sandbox (round 7): transformWith-
-        # StateInPandas needs google.protobuf for its state-server
-        # protocol; the sandbox has no protobuf wheel and no network —
-        # `pip install protobuf` fails with "[Errno -2] Name or service
-        # not known ... No matching distribution found for protobuf",
-        # and vendoring the generated-code runtime without protoc is not
-        # possible.  The applyInPandasWithState twin above plus the
-        # batch-form hash check cover the semantics; this test runs
-        # wherever protobuf exists.
+        # tws_available() == ensure_protobuf(): no protobuf wheel AND no
+        # discoverable pure-Python runtime (RSS_PROTOBUF_PATH or the
+        # gcloud-bundled copy) on this host.  In the build sandbox the
+        # gcloud runtime IS found, so this test RUNS there (round 7 —
+        # previously skipped for two rounds on the missing wheel).
         pytest.skip(
-            "google.protobuf unavailable (no wheel in sandbox, no network: "
-            "pip fails with 'No matching distribution found for protobuf'); "
+            "google.protobuf unavailable and no pure-Python runtime found "
+            "(set RSS_PROTOBUF_PATH to a dir containing google/protobuf); "
             "transformWithState needs it for the state-server protocol — "
             "semantics covered by the applyInPandasWithState twin"
         )
@@ -82,19 +78,35 @@ def test_running_totals_tws_across_batches(spark, tmp_path):
     src = open_stream(spark, str(tmp_path), "tws", group="tws", batch_size=10)
     typed = project(src, {"event_type": "string", "value": "double"})
     out = running_totals_tws(typed, key_col="event_type", value_col="value")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tws_out")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ck2"))
-        .trigger(processingTime="200 milliseconds")
-        .start()
+    # transformWithState stores each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed store fails with STATE_STORE_MULTIPLE_COLUMN_FAMILIES)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
-        rows = spark.sql("SELECT * FROM tws_out ORDER BY total_rows").collect()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM tws_out ORDER BY total_rows").collect()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     finals = {}
     for r in rows:
         finals[r.key] = (r.total_rows, r.total_value)
