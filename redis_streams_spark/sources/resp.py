@@ -83,7 +83,9 @@ def read_reply(f):
         if n == -1:
             return None
         return [read_reply(f) for _ in range(n)]
-    raise ResponseError(f"protocol error: unexpected reply marker {marker!r}")
+    # Not an error *reply* — the stream itself is desynced.  ConnectionError
+    # (not ResponseError) so pipeline drains abort instead of reading garbage.
+    raise ConnectionError(f"protocol error: unexpected reply marker {marker!r}")
 
 
 def _read_command(f) -> list[str] | None:
@@ -494,9 +496,9 @@ class _RespPipeline:
         self._buf: list[bytes] = []
         self._parsers: list = []
 
-    def _queue(self, parser, *args) -> "_RespPipeline":
+    def _queue(self, parser, *args, on_error=None) -> "_RespPipeline":
         self._buf.append(encode_command(*args))
-        self._parsers.append(parser)
+        self._parsers.append((parser, on_error))
         return self
 
     def xadd(self, name, fields, id="*", maxlen=None, approximate=True):
@@ -506,7 +508,11 @@ class _RespPipeline:
         cmd.append(id)
         for k, v in fields.items():
             cmd += [k, v]
-        return self._queue(None, *cmd)
+        # same duplicate-id translation as RespClient.xadd so batched
+        # appends surface the identical exception type as single appends
+        return self._queue(
+            None, *cmd, on_error=lambda e: ValueError(str(e))
+        )
 
     def zadd(self, name, mapping):
         cmd = ["ZADD", name]
@@ -534,8 +540,24 @@ class _RespPipeline:
             return []
         with client._lock:
             client._sock.sendall(b"".join(buf))
+            # Drain ALL replies unconditionally (redis-py behavior): an
+            # error reply is still a complete, framed reply, and stopping
+            # mid-drain would leave the remaining replies buffered on the
+            # shared connection — every later command would then silently
+            # read a stale reply.  Only ConnectionError (framing lost /
+            # peer gone) may abort the drain.
             out = []
-            for parser in parsers:
-                reply = read_reply(client._f)
+            first_error: Exception | None = None
+            for parser, on_error in parsers:
+                try:
+                    reply = read_reply(client._f)
+                except ResponseError as e:
+                    err = on_error(e) if on_error else e
+                    if first_error is None:
+                        first_error = err
+                    out.append(err)
+                    continue
                 out.append(parser(reply) if parser else reply)
+            if first_error is not None:
+                raise first_error
             return out

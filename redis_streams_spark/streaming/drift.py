@@ -49,12 +49,19 @@ def reference_histogram(values) -> list[int]:
     )
 
 
-def js_divergence(counts: np.ndarray, ref_counts: np.ndarray) -> float:
+def js_divergence(counts: np.ndarray, ref_counts: np.ndarray):
     """Exact JS divergence (nats) between two histogram distributions on
-    the shared bin grid; 0·ln 0 cells contribute 0, no smoothing."""
+    the shared bin grid; 0·ln 0 cells contribute 0, no smoothing.
+
+    Returns ``None`` (SQL NULL downstream) when either histogram is
+    empty: NaN never exceeds an alert threshold, so returning NaN here
+    would silently disable any ``js_divergence > t`` alarm for a key
+    whose values were all dirty-dropped.  NULL lets thresholding
+    operators distinguish "no data" from "no drift" (advice, round 7).
+    """
     n, m = counts.sum(), ref_counts.sum()
     if n == 0 or m == 0:
-        return float("nan")
+        return None
     p = counts / n
     q = ref_counts / m
     mid = (p + q) / 2

@@ -118,8 +118,21 @@ def ensure_protobuf() -> bool:
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf (the state-server
-    protocol); absent/broken in some environments — gate, don't crash."""
-    return ensure_protobuf()
+    protocol); absent/broken in some environments — gate, don't crash.
+
+    Pure probe: NO side effects.  It reports whether protobuf is
+    importable *right now*; it does not mutate sys.path/PYTHONPATH or
+    environment flags.  Callers that want the fallback-root discovery
+    must invoke :func:`ensure_protobuf` explicitly (as tests/conftest.py
+    does pre-JVM), because that call changes the environment of the
+    whole process and future Spark workers (advice, round 7).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def running_totals_tws(
@@ -136,8 +149,10 @@ def running_totals_tws(
     """
     if not tws_available():
         raise ImportError(
-            "transformWithStateInPandas requires google.protobuf; "
-            "use running_totals() (applyInPandasWithState) instead"
+            "transformWithStateInPandas requires google.protobuf; call "
+            "ensure_protobuf() BEFORE SparkSession creation to discover a "
+            "pure-Python runtime, or use running_totals() "
+            "(applyInPandasWithState) instead"
         )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -93,6 +93,33 @@ def test_wire_pipeline_flushes_in_one_send(client):
     assert client.xlen("p") == 2
 
 
+def test_wire_pipeline_error_keeps_connection_framed(client):
+    """ADVICE r07 medium: a failed command mid-pipeline must not stop
+    the reply drain — an error reply is still a framed reply, and
+    abandoning the rest desyncs the shared connection permanently
+    (reproduced there: GET of a missing key returned '200-0').  redis-py
+    behavior: drain everything, then raise the first error."""
+    client.xadd("fr", {"i": "0"}, id="200-0")
+    pipe = client.pipeline(transaction=False)
+    pipe.xadd("fr", {"i": "1"}, id="100-0")  # id regression → error reply
+    pipe.xadd("fr", {"i": "2"}, id="200-1")  # must still drain (and apply)
+    pipe.zadd("frz", {"m": 1.0})
+    # pipelined xadd surfaces the same exception type as single xadd
+    with pytest.raises(ValueError, match="equal or smaller"):
+        pipe.execute()
+    # the connection is still framed: every later command reads ITS reply
+    assert client.get("missing-key") is None
+    assert client.xlen("fr") == 2  # 200-0 and the post-error 200-1
+    assert client.zcard("frz") == 1
+    # and a clean pipeline on the same connection still works end-to-end
+    pipe2 = client.pipeline(transaction=False)
+    pipe2.get("missing-key")
+    pipe2.xrevrange("fr", count=1)
+    out = pipe2.execute()
+    assert out[0] is None
+    assert out[1][0][0] == "200-1"
+
+
 def test_wire_unknown_command_is_error_not_hang(client):
     with pytest.raises(ResponseError, match="unknown command"):
         client._call("FLUSHALL")

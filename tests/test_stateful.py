@@ -58,9 +58,10 @@ def test_running_totals_tws_across_batches(spark, tmp_path):
     )
 
     if not tws_available():
-        # tws_available() == ensure_protobuf(): no protobuf wheel AND no
-        # discoverable pure-Python runtime (RSS_PROTOBUF_PATH or the
-        # gcloud-bundled copy) on this host.  In the build sandbox the
+        # tws_available() is a pure probe; conftest already ran
+        # ensure_protobuf() pre-JVM, so False here means no protobuf wheel
+        # AND no discoverable pure-Python runtime (RSS_PROTOBUF_PATH or
+        # the gcloud-bundled copy) on this host.  In the build sandbox the
         # gcloud runtime IS found, so this test RUNS there (round 7 —
         # previously skipped for two rounds on the missing wheel).
         pytest.skip(

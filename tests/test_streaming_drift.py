@@ -22,6 +22,16 @@ def _base_value(i: int) -> float:
     return float(1 + (i * 13) % 40)
 
 
+def test_js_divergence_empty_is_null_not_nan():
+    """ADVICE r07: a key whose values were all dirty-dropped must score
+    NULL, not NaN — NaN never exceeds a threshold, silently disabling
+    the alarm; NULL is distinguishable as 'no data'."""
+    ref = np.asarray(reference_histogram([1.0, 2.0, 3.0]))
+    assert js_divergence(np.zeros(N_BINS, dtype=np.int64), ref) is None
+    assert js_divergence(ref, np.zeros(N_BINS, dtype=np.int64)) is None
+    assert js_divergence(ref, ref) == pytest.approx(0.0)
+
+
 def test_streaming_drift_scores(spark, tmp_path):
     # reference = the same generator the 'same' stream draws from
     ref = reference_histogram([_base_value(i) for i in range(500)])
