@@ -26,7 +26,7 @@ from redis_streams_spark.functions.textfns import words
 from redis_streams_spark.operators.dedup import (
     connected_components,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_lsh_star_edges,
 )
 from redis_streams_spark.queries import all_queries
 from redis_streams_spark.session import get_spark, load_table
@@ -55,8 +55,11 @@ def main() -> None:
     uniq = docs_q.join(canon.select("doc_id"), "doc_id")
     n2 = uniq.count()
 
-    # 3. near-dup clusters: keep each cluster's min doc_id
-    pairs = minhash_lsh_pairs(uniq, threshold=0.5).select("a_id", "b_id")
+    # 3. near-dup clusters: keep each cluster's min doc_id.  STAR edges
+    # (bucket-min -> member, Jaccard-verified) are linear in corpus size;
+    # all-pairs enumeration is only needed when the PAIRS are the product
+    # (dedup_minhash_lsh / dedup_threshold_curve), never for clustering.
+    pairs = minhash_lsh_star_edges(uniq, threshold=0.5)
     clusters = connected_components(pairs)  # (node, cluster_id=min reachable id)
     losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")

@@ -188,6 +188,57 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
     ).withColumn("is_dup", F.col("jaccard") >= threshold)
 
 
+def minhash_lsh_star_edges(
+    docs: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Near-dup edges for the CLUSTERING path: per LSH band bucket emit
+    only the (bucket-min doc, doc) STAR edges — O(bucket size) rows —
+    instead of :func:`minhash_lsh_pairs`' all C(bucket,2) pairs, then
+    exact-Jaccard-verify just those edges.  Feed the result to
+    :func:`connected_components`.
+
+    Why this exists (round-7 scale finding, SCALE.md): with k-member
+    duplicate cliques the all-pairs candidate list grows as C(k,2) per
+    clique — at the 100× load, 295 s of the 364 s composed pipeline was
+    pair enumeration feeding CC, which only needs a spanning set.  Star
+    edges to the bucket minimum preserve within-bucket connectivity at
+    k-1 edges per bucket, so the verified edge list is linear in corpus
+    size, not quadratic in clique size.
+
+    Semantics note: the star edge set is a SUBSET of the all-pairs set,
+    so after Jaccard verification clusters can only be equal or finer
+    than all-pairs clusters (a bucket whose min-doc fails verification
+    against members that would pass against each other splits).  For
+    actual near-duplicate cliques — mutually similar members, which is
+    what LSH buckets collect at the configured band/row setting — every
+    star edge verifies and the components are identical; the parity is
+    asserted on the synthetic corpus in tests/test_dedup_operators.py.
+
+    Scale shape: one window-min shuffle keyed on (band_idx, band_hash)
+    — the same key the pair self-join would use, minus the join's
+    quadratic output; a degenerate giant bucket degrades to a linear
+    straggler, never a quadratic one.  The verify join is an equi-join
+    on doc_id against the (linear) edge list.
+    """
+    sets_ = shingle_sets(docs, n).persist()
+    bands = band_rows_from_sets(sets_)
+    bw = W.partitionBy("band_idx", "band_hash")
+    star = (
+        bands.withColumn("root", F.min("doc_id").over(bw))
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("a_id"), F.col("doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    joined = star.join(sa, "a_id").join(sb, "b_id")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return joined.where(
+        inter * 1.0 / F.greatest(union, F.lit(1)) >= threshold
+    ).select("a_id", "b_id")
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over term frequencies.
 

@@ -320,6 +320,74 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_star_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {minhash_bands_cte()},
+star AS MATERIALIZED (
+  SELECT DISTINCT a_id, b_id FROM (
+    SELECT min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS a_id,
+           doc_id AS b_id
+    FROM bands) t
+  WHERE a_id <> b_id
+), edges AS MATERIALIZED (
+  SELECT s.a_id, s.b_id
+  FROM star s
+  JOIN sh sa ON sa.doc_id = s.a_id
+  JOIN sh sb ON sb.doc_id = s.b_id
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
+        greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1)
+        >= 0.3
+), sym AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM edges
+  UNION SELECT b_id, a_id FROM edges
+), reach(node, lbl) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) n(a)
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_clusters_lsh",
+    tags=("dedup", "clusters", "lsh"),
+    oracle=_lsh_star_clusters_oracle(),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clusters via STAR edges (round-7 verdict ask
+    #1): per band bucket only (bucket-min, member) edges are emitted and
+    Jaccard-verified — linear in corpus size, not C(clique,2) — then
+    connected components assigns cluster_id = component minimum.  This
+    is the clustering path the composed LLM pipeline uses at scale
+    (tools/bench_pipeline.py); the all-pairs form stays available for
+    pair-report queries (dedup_minhash_lsh, dedup_threshold_curve).
+    Oracle: identical star construction + recursive-CTE reachability in
+    DuckDB."""
+    from pyspark.sql import Window as W
+
+    from redis_streams_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_star_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_star_edges(docs, n=3, threshold=0.3)
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 _BATCH_PRED = "doc_id % 10 = 7"
 
 

@@ -1,4 +1,4 @@
-"""File-format source/sink coverage: CSV, JSON, and ORC round trips.
+"""File-format source/sink coverage: CSV, JSON, ORC, and XML round trips.
 
 SURVEY §2.2 row 1 lists parquet/json/csv among the scan carriers; every
 other query reads parquet, so these exercise the other formats — each
@@ -66,6 +66,14 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     elif fmt == "orc":
         writer.orc(path)
         back = spark.read.schema(_SCHEMA).orc(path)
+    elif fmt == "xml":
+        writer.format("xml").option("rowTag", "row").save(path)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "row")
+            .schema(_SCHEMA)
+            .load(path)
+        )
     else:
         writer.json(path)
         back = spark.read.schema(_SCHEMA).json(path)
@@ -97,6 +105,16 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source round trip with explicit read schema —
     same invariant as the CSV trip for the schemaless format."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register("q_xml_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round trip (Spark 4 ships spark-xml natively) —
+    element-per-row encoding with an explicit read schema, same
+    lost-information invariant as the other text trips.  Registered in
+    round 8 (verdict ask #2): the format was already covered by
+    tests/test_formats_extra.py but lacked an oracle row."""
+    return _roundtrip(spark, sf_dir, "xml")
 
 
 @register("q_orc_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)

@@ -62,6 +62,42 @@ def test_star_cc_long_chain_few_rounds(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_lsh_star_edges_cluster_parity(spark):
+    """Star-edge near-dup clustering (linear edges per LSH bucket) must
+    produce the SAME components as all-pairs clustering on the testdata
+    corpus — duplicate cliques are mutually similar, so every star edge
+    Jaccard-verifies and connectivity is preserved (the scale rationale
+    in minhash_lsh_star_edges' docstring).  Also asserts the edge list
+    is materially smaller: that's the entire point of the operator."""
+    from redis_streams_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    star = minhash_lsh_star_edges(docs, threshold=0.3).persist()
+    pairs = (
+        minhash_lsh_pairs(docs, threshold=0.3)
+        .where("is_dup")
+        .select("a_id", "b_id")
+        .persist()
+    )
+    n_star, n_pairs = star.count(), pairs.count()
+    assert 0 < n_star < n_pairs  # linear vs quadratic edge growth
+
+    cc_star = {
+        r["node"]: r["cluster_id"] for r in connected_components(star).collect()
+    }
+    cc_pairs = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    # every all-pairs cluster member is present and identically labeled
+    assert cc_star == cc_pairs
+    star.unpersist()
+    pairs.unpersist()
+
+
 @pytest.mark.parametrize("seed", [7, 42, 1337])
 def test_cc_algorithms_agree_with_union_find(spark, seed):
     """Both CC implementations must match a Python union-find reference

@@ -36,7 +36,7 @@ from redis_streams_spark.functions.textfns import words
 from redis_streams_spark.operators.dedup import (
     connected_components,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_lsh_star_edges,
 )
 from redis_streams_spark.queries import all_queries
 from redis_streams_spark.session import get_spark, load_table
@@ -89,14 +89,18 @@ def main() -> None:
         "exact_dedup", docs_q.join(canon.select("doc_id"), "doc_id"), docs_q
     )
 
-    # 3. near-dup clusters (minhash-LSH pairs → connected components →
-    # keep cluster minimum).  connected_components iterates EAGERLY at
-    # call time (its convergence loop runs counts), so the whole block
-    # is timed manually — a timed() around only the anti-join would
-    # leave the CC rounds unattributed.  uniq stays persisted because
-    # the anti-join consumes it again after CC finishes.
+    # 3. near-dup clusters (minhash-LSH STAR edges → connected
+    # components → keep cluster minimum).  Star edges (bucket-min →
+    # member, Jaccard-verified) are linear in corpus size; the round-7
+    # all-pairs form made this stage 295 s of the 364 s composed 100×
+    # run purely from C(clique,2) pair enumeration CC never needed.
+    # connected_components iterates EAGERLY at call time (its
+    # convergence loop runs counts), so the whole block is timed
+    # manually — a timed() around only the anti-join would leave the CC
+    # rounds unattributed.  uniq stays persisted because the anti-join
+    # consumes it again after CC finishes.
     t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(uniq, threshold=0.5).select("a_id", "b_id")
+    pairs = minhash_lsh_star_edges(uniq, threshold=0.5)
     clusters = connected_components(pairs)
     losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
