@@ -61,7 +61,10 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        # no presentation sort: rank is already assigned per query by the
+        # window; globally range-sorting queries x k rows is a full-output
+        # sort at scale and the correctness gate is order-insensitive
+        # (round-8 verdict ask #3)
     )
 
 
@@ -119,7 +122,10 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        # no presentation sort: rank is already assigned per query by the
+        # window; globally range-sorting queries x k rows is a full-output
+        # sort at scale and the correctness gate is order-insensitive
+        # (round-8 verdict ask #3)
     )
 
 
@@ -356,7 +362,10 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        # no presentation sort: rank is already assigned per query by the
+        # window; globally range-sorting queries x k rows is a full-output
+        # sort at scale and the correctness gate is order-insensitive
+        # (round-8 verdict ask #3)
     )
 
 
@@ -421,7 +430,10 @@ def ivf_topk_indexed(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        # no presentation sort: rank is already assigned per query by the
+        # window; globally range-sorting queries x k rows is a full-output
+        # sort at scale and the correctness gate is order-insensitive
+        # (round-8 verdict ask #3)
     )
 
 
@@ -535,5 +547,8 @@ def brute_force_topk_np(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        # no presentation sort: rank is already assigned per query by the
+        # window; globally range-sorting queries x k rows is a full-output
+        # sort at scale and the correctness gate is order-insensitive
+        # (round-8 verdict ask #3)
     )

@@ -52,9 +52,10 @@ ORDER BY doc_id
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on normalized-text digest): SURVEY §2.2
-    north-star.  The shuffle key is the 32-byte md5, never the document."""
+    north-star.  The shuffle key is the 32-byte md5, never the document.
+    No presentation sort: per-doc output (r08 verdict ask #3)."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("doc_id")
+    return exact_dedup(docs)
 
 
 def minhash_bands_cte() -> str:

@@ -115,7 +115,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stopword_ratio"),
             quality.alias("quality_score"),
         )
-        .orderBy("doc_id")
+        # no presentation sort: per-doc output, and a global doc_id sort
+        # is a full-corpus range shuffle at scale (r08 verdict ask #3)
     )
 
 

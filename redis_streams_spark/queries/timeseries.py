@@ -169,7 +169,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("duration_ms").alias("max_duration_ms"),
             rnd(F.sum("session_value"), 2).alias("total_value"),
         )
-        .orderBy("user_id")
+        # no presentation sort: one row per user (r08 verdict ask #3)
     )
 
 
@@ -255,7 +255,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_orderkey",
             rnd("last_totalprice", 2).alias("last_totalprice"),
         )
-        .orderBy("event_id")
+        # no presentation sort: one row per event (r08 verdict ask #3)
     )
 
 
