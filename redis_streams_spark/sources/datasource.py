@@ -72,12 +72,23 @@ def _arrow_batches(records: list[tuple[int, str, dict]], chunk: int = 4096):
     )
     for k in range(0, len(records), chunk):
         part = records[k : k + chunk]
+        # flat (offsets, keys, values) MapArray build instead of a
+        # list-of-tuples python object per row: one str-array allocation
+        # per column, ~3x on the conversion path (round-8 profile)
+        keys: list[str] = []
+        vals: list[str] = []
+        offsets = [0]
+        for _, _, content in part:
+            keys.extend(content.keys())
+            vals.extend(content.values())
+            offsets.append(len(keys))
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([msgid for _, msgid, _ in part]),
-                pa.array(
-                    [list(content.items()) for _, _, content in part],
-                    type=pa.map_(pa.string(), pa.string()),
+                pa.array([msgid for _, msgid, _ in part], type=pa.string()),
+                pa.MapArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(keys, type=pa.string()),
+                    pa.array(vals, type=pa.string()),
                 ),
             ],
             schema=schema,

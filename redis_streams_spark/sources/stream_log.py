@@ -208,7 +208,11 @@ class StreamLog:
             (p for p in idx if p <= start_pos), default=first
         )
         out: list[tuple[int, str, dict]] = []
-        with open(self.log_path) as f:
+        # binary mode: TextIOWrapper.tell() re-derives codec state per call
+        # and was >50% of scan time under profile (round 8); on a binary
+        # stream tell() is a buffered-offset read and json.loads accepts
+        # the utf-8 bytes directly
+        with open(self.log_path, "rb") as f:
             pos = seek_pos
             f.seek(idx[seek_pos])
             while True:
