@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Lossy media codecs (JPEG/MP4 — PIL/ffmpeg) are not present in this
-container, so those branches of ``decode_features(...,
-use_real_codecs=True)`` raise NotImplementedError.  The real-codec branch
-IS exercised end-to-end, though: pure-Python parsers for the three
-dependency-free raster formats — BMP 24-bit uncompressed, PPM ``P6``,
-and PNG (8-bit gray/RGB/RGBA, full zlib inflate + all five row filters,
-chunk CRCs verified) — decode actual header + pixel bytes inside the
-mapInPandas batch, and ``make_bmp`` / ``make_ppm`` / ``make_png``
-synthesize valid payloads for tests.  The
+Video codecs (MP4 — ffmpeg) are not present in this container, so that
+branch of ``decode_features(..., use_real_codecs=True)`` raises
+NotImplementedError.  The real-codec branch IS exercised end-to-end for
+images, though: pure-Python parsers for four dependency-free formats —
+BMP 24-bit uncompressed, PPM ``P6``, PNG (8-bit gray/RGB/RGBA, full zlib
+inflate + all five row filters, chunk CRCs verified), and baseline JPEG
+(``operators/jpeg.py``: Huffman + dequant + batched IDCT + 4:2:0/4:2:2
+upsampling + YCbCr conversion; progressive raises) — decode actual
+header + pixel/bitstream bytes inside the mapInPandas batch, and
+``make_bmp`` / ``make_ppm`` / ``make_png`` / ``make_jpeg`` synthesize
+valid payloads for tests.  The
 default deterministic fake derives "decoded" features from the payload's
 md5 — which makes the whole mapInPandas pipeline (schema, Arrow batching,
 partition parallelism) real and testable, and even SQL-oracle-verifiable.
@@ -297,20 +299,26 @@ def parse_png(b: bytes) -> tuple[int, int, float]:
 
 
 def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
-    """Dependency-free real decode: BMP / PPM / PNG parse (single
-    frame).  JPEG/MP4 need PIL/ffmpeg — absent here, so they raise a
-    clearly-marked NotImplementedError instead of fake numbers."""
+    """Dependency-free real decode: BMP / PPM / PNG / baseline JPEG
+    parse (single frame).  Video (MP4) needs ffmpeg — absent here, so it
+    raises a clearly-marked NotImplementedError instead of fake numbers;
+    progressive JPEG raises the same from inside ``parse_jpeg``."""
     if payload[:2] == b"BM":
         w, h, mean = parse_bmp(payload)
     elif payload[:2] == b"P6":
         w, h, mean = parse_ppm(payload)
     elif payload[:8] == _PNG_SIG:
         w, h, mean = parse_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from redis_streams_spark.operators.jpeg import parse_jpeg
+
+        w, h, mean = parse_jpeg(payload)
     else:
         raise NotImplementedError(
-            "JPEG/MP4 codecs (PIL/ffmpeg) are not available in this "
-            "environment; supported real formats here are BMP (24-bit "
-            "uncompressed), PPM P6, and PNG (8-bit, non-interlaced)"
+            "video codecs (ffmpeg) are not available in this environment; "
+            "supported real formats here are BMP (24-bit uncompressed), "
+            "PPM P6, PNG (8-bit, non-interlaced), and baseline JPEG "
+            "(operators/jpeg.py — progressive/arithmetic raise)"
         )
     return w, h, 1, mean
 
@@ -343,7 +351,8 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
                         # an image regardless of its id (review finding)
                         "modality": [
                             "image"
-                            if p[:2] in (b"BM", b"P6") or p[:8] == _PNG_SIG
+                            if p[:2] in (b"BM", b"P6", b"\xff\xd8")
+                            or p[:8] == _PNG_SIG
                             else "unknown"
                             for p in payloads
                         ],

@@ -61,12 +61,25 @@ def test_real_codec_decode_over_spark(spark):
     assert all(r.modality == "image" for r in decoded)
 
 
-def test_real_codecs_compressed_formats_raise(spark):
-    """Formats that need PIL/ffmpeg stay a loud stub, not fake numbers."""
+def test_real_codecs_video_raises(spark):
+    """Formats that need ffmpeg stay a loud stub, not fake numbers.
+    (JPEG no longer raises — operators/jpeg.py decodes baseline streams;
+    see test_jpeg.py for that coverage.)"""
+    mp4ish = b"\x00\x00\x00\x18ftypmp42rest-of-box"
+    docs = spark.createDataFrame(
+        [(0, bytearray(mp4ish))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        decode_features(docs, use_real_codecs=True).collect()
+
+
+def test_real_codecs_truncated_jpeg_raises(spark):
+    """A JPEG magic with garbage after it must fail loudly (honest
+    error), never return fabricated dimensions."""
     docs = spark.createDataFrame(
         [(0, bytearray(b"\xff\xd8\xffJFIFrest"))], "doc_id bigint, payload binary"
     )
-    with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
+    with pytest.raises(Exception, match="ValueError|invalid|marker"):
         decode_features(docs, use_real_codecs=True).collect()
 
 
