@@ -37,6 +37,7 @@ def _load_all() -> None:
         formats,
         frontier,
         graph,
+        graph2,
         llmprep,
         llmprep2,
         mixing,
@@ -52,10 +53,12 @@ def _load_all() -> None:
         relational4,
         relational5,
         relational6,
+        relational7,
         scale,
         similarity,
         similarity2,
         sketch,
+        sketch2,
         splits,
         stats,
         streamsem,
@@ -68,6 +71,7 @@ def _load_all() -> None:
         timeseries2,
         timeseries3,
         timeseries4,
+        timeseries5,
     )
 
 
