@@ -25,6 +25,7 @@ def _load_all() -> None:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         assoc,
         cdc,
         contamination,
@@ -57,6 +58,7 @@ def _load_all() -> None:
         scale,
         similarity,
         similarity2,
+        similarity3,
         sketch,
         sketch2,
         splits,
@@ -67,6 +69,7 @@ def _load_all() -> None:
         text3,
         text4,
         text5,
+        text6,
         timeseries,
         timeseries2,
         timeseries3,

@@ -1,0 +1,249 @@
+"""Round-8 similarity wave: MMR (maximal marginal relevance)
+re-ranking — the diversity-aware top-k used between ANN retrieval and a
+RAG prompt, as a fixed-step unrolled greedy with a CTE-unrolled oracle.
+
+Reference basis: none (SURVEY §2.2 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.operators.similarity import cosine
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_QUERY_MOD = 97
+_POOL_K = 8
+_LAMBDA = 0.7
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos(av: str, an: str, bv: str, bn: str) -> str:
+    return f"round(5e-10 + {_DOT.format(a=av, b=bv)} / ({an} * {bn}), 6)"
+
+
+def _mmr_oracle() -> str:
+    lam, om = _LAMBDA, 1 - _LAMBDA
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)),
+                          (a, b) -> a + b)) AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label, v AS qv, norm AS qn
+  FROM e WHERE vec_id % {_QUERY_MOD} = 0
+), pool AS (
+  SELECT query_id, cand_id, rel, cv, cn FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           {_cos('q.qv', 'q.qn', 'e.v', 'e.norm')} AS rel,
+           e.v AS cv, e.norm AS cn,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos('q.qv', 'q.qn', 'e.v', 'e.norm')} DESC,
+                      e.vec_id) AS r
+    FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.query_id) t
+  WHERE r <= {_POOL_K}
+), sims AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         {_cos('a.cv', 'a.cn', 'b.cv', 'b.cn')} AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), s1 AS (
+  SELECT query_id, cand_id, rel, rel AS mmr_score FROM (
+    SELECT query_id, cand_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS r
+    FROM pool) t WHERE r = 1
+), s2 AS (
+  SELECT query_id, cand_id, rel, mmr_score FROM (
+    SELECT p.query_id, p.cand_id, p.rel,
+           {lam} * p.rel - {om} * s.sim AS mmr_score,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {lam} * p.rel - {om} * s.sim DESC, p.cand_id) AS r
+    FROM pool p
+    JOIN s1 ON s1.query_id = p.query_id AND s1.cand_id <> p.cand_id
+    JOIN sims s ON s.query_id = p.query_id AND s.ca = p.cand_id
+              AND s.cb = s1.cand_id) t
+  WHERE r = 1
+), s3 AS (
+  SELECT query_id, cand_id, rel, mmr_score FROM (
+    SELECT p.query_id, p.cand_id, p.rel,
+           {lam} * p.rel - {om} * greatest(sa.sim, sb.sim) AS mmr_score,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {lam} * p.rel - {om} * greatest(sa.sim, sb.sim) DESC,
+                      p.cand_id) AS r
+    FROM pool p
+    JOIN s1 ON s1.query_id = p.query_id AND s1.cand_id <> p.cand_id
+    JOIN s2 ON s2.query_id = p.query_id AND s2.cand_id <> p.cand_id
+    JOIN sims sa ON sa.query_id = p.query_id AND sa.ca = p.cand_id
+               AND sa.cb = s1.cand_id
+    JOIN sims sb ON sb.query_id = p.query_id AND sb.ca = p.cand_id
+               AND sb.cb = s2.cand_id) t
+  WHERE r = 1
+)
+SELECT query_id, position, cand_id, rel,
+       {rnd_sql('mmr_score', 6)} AS mmr_score
+FROM (
+  SELECT query_id, 1 AS position, cand_id, rel, mmr_score FROM s1
+  UNION ALL SELECT query_id, 2, cand_id, rel, mmr_score FROM s2
+  UNION ALL SELECT query_id, 3, cand_id, rel, mmr_score FROM s3
+)
+ORDER BY query_id, position
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    tags=("similarity", "ann", "rerank", "llm-pipeline"),
+    oracle=_mmr_oracle(),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking of an ANN candidate pool: greedily pick 3 of the
+    top-8 same-cell candidates maximizing λ·relevance − (1−λ)·max
+    similarity to already-picked (λ=0.7) — the standard diversity pass
+    between retrieval and a RAG context window.  The greedy loop is
+    UNROLLED (3 fixed steps of window-argmax + equi-joins on the
+    64-row-per-query sim table), so it distributes per query with no
+    driver iteration; the oracle replays the identical unroll as chained
+    CTEs.  Cosines round to 6dp BEFORE selection on both engines, making
+    every argmax tie-break deterministic cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    q = e.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    wp = W.partitionBy("query_id")
+    pool = (
+        e.join(F.broadcast(q), (F.col("label") == F.col("qlabel")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+                "rel"
+            ),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+        .withColumn(
+            "r", F.row_number().over(wp.orderBy(F.desc("rel"), "cand_id"))
+        )
+        .where(F.col("r") <= _POOL_K)
+        .drop("r")
+        .persist()
+    )
+    sims = (
+        pool.alias("a")
+        .join(
+            pool.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("ca"),
+            F.col("b.cand_id").alias("cb"),
+            cosine(
+                F.col("a.cv"), F.col("a.cn"), F.col("b.cv"), F.col("b.cn")
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    slim = pool.select("query_id", "cand_id", "rel")
+    lam, om = _LAMBDA, 1 - _LAMBDA
+
+    def argmax(df: DataFrame, score) -> DataFrame:
+        return (
+            df.withColumn("mmr_score", score)
+            .withColumn(
+                "r",
+                F.row_number().over(wp.orderBy(F.desc("mmr_score"), "cand_id")),
+            )
+            .where(F.col("r") == 1)
+            .select("query_id", "cand_id", "rel", "mmr_score")
+        )
+
+    s1 = argmax(slim, F.col("rel"))
+    p1 = s1.select("query_id", F.col("cand_id").alias("pick1"))
+    # sims row where ca = the candidate under consideration, cb = pick1
+    rest1 = (
+        slim.join(p1, "query_id")
+        .where(F.col("cand_id") != F.col("pick1"))
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("pick1"),
+                "sim",
+            ),
+            ["query_id", "cand_id", "pick1"],
+        )
+    )
+    s2 = argmax(rest1, lam * F.col("rel") - om * F.col("sim"))
+    p2 = s2.select("query_id", F.col("cand_id").alias("pick2"))
+    rest2 = (
+        slim.join(p1, "query_id")
+        .join(p2, "query_id")
+        .where(
+            (F.col("cand_id") != F.col("pick1"))
+            & (F.col("cand_id") != F.col("pick2"))
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("pick1"),
+                F.col("sim").alias("sim1"),
+            ),
+            ["query_id", "cand_id", "pick1"],
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ca").alias("cand_id"),
+                F.col("cb").alias("pick2"),
+                F.col("sim").alias("sim2"),
+            ),
+            ["query_id", "cand_id", "pick2"],
+        )
+    )
+    s3 = argmax(
+        rest2, lam * F.col("rel") - om * F.greatest(F.col("sim1"), F.col("sim2"))
+    )
+    out = (
+        s1.withColumn("position", F.lit(1))
+        .unionByName(s2.withColumn("position", F.lit(2)))
+        .unionByName(s3.withColumn("position", F.lit(3)))
+    )
+    return out.select(
+        "query_id",
+        "position",
+        "cand_id",
+        "rel",
+        rnd("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "position")
