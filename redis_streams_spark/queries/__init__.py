@@ -26,6 +26,7 @@ def _load_all() -> None:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         assoc,
         cdc,
         contamination,

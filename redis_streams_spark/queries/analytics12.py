@@ -1,0 +1,328 @@
+"""Round-8 analytics wave 3: batch audit of the streaming quantile
+sketch, a calendar-hierarchy rollup, and time-decay attribution.
+
+Reference basis: none (SURVEY §2.2 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_MS = "unix_millis(cast(ts as timestamp))"
+
+# mirror streaming/quantiles.py: 16 bins/decade over 1e-6..1e12
+_NPD = 16
+_N_BINS = _NPD * 18 + 1
+_LO = -6
+_QS = ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+
+
+def _sketch_audit_oracle() -> str:
+    idx_expr = (
+        f"least(greatest(ceil(log10(greatest(value, 1e-300)) * {_NPD})::BIGINT"
+        f" + {-_LO * _NPD}, 0), {_N_BINS - 1})"
+    )
+    rank_cols = ", ".join(
+        f"greatest(1, ceil({q} * n)::BIGINT) AS r_{nm}" for q, nm in _QS
+    )
+    exact_cols = ", ".join(
+        f"max(CASE WHEN v.rn = r.r_{nm} THEN v.value END) AS {nm}_exact"
+        for _, nm in _QS
+    )
+    est_cols = ", ".join(
+        f"""min(CASE WHEN h.cum >= r.r_{nm} THEN
+              CASE WHEN h.idx <= 0 THEN 1e-6
+                   ELSE power(10, (h.idx + {_LO * _NPD}) * 1.0 / {_NPD}) END
+            END) AS {nm}_est"""
+        for _, nm in _QS
+    )
+    ratio_cols = ", ".join(
+        f"{rnd_sql(f'e.{nm}_est / x.{nm}_exact', 6)} AS {nm}_ratio"
+        for _, nm in _QS
+    )
+    out_cols = ", ".join(
+        f"{rnd_sql(f'x.{nm}_exact', 4)} AS {nm}_exact, "
+        f"{rnd_sql(f'e.{nm}_est', 4)} AS {nm}_est"
+        for _, nm in _QS
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM events
+), nn AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), ranks AS (
+  SELECT event_type, n, {rank_cols} FROM nn
+), hist AS (
+  SELECT event_type, {idx_expr} AS idx, count(*) AS c
+  FROM events GROUP BY 1, 2
+), cumh AS (
+  SELECT event_type, idx,
+         sum(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+  FROM hist
+), exacts AS (
+  SELECT v.event_type, {exact_cols}
+  FROM vals v JOIN ranks r ON r.event_type = v.event_type
+  GROUP BY v.event_type
+), ests AS (
+  SELECT h.event_type, {est_cols}
+  FROM cumh h JOIN ranks r ON r.event_type = h.event_type
+  GROUP BY h.event_type
+)
+SELECT x.event_type, r.n::BIGINT AS n, {out_cols}, {ratio_cols}
+FROM exacts x
+JOIN ests e ON e.event_type = x.event_type
+JOIN ranks r ON r.event_type = x.event_type
+ORDER BY x.event_type
+"""
+
+
+@register(
+    "q_quantile_sketch_audit",
+    tags=("sketch", "quantile", "streaming-parity"),
+    oracle=_sketch_audit_oracle(),
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch audit of the streaming log-histogram quantile sketch
+    (streaming/quantiles.py): rebuild the IDENTICAL 16-bins-per-decade
+    histogram as a DataFrame aggregation, read p50/p95/p99 as the
+    bin upper edge at rank ceil(q·n), and compare against the exact
+    order statistics.  Every ratio must sit in [1, BASE≈1.155] — the
+    sketch's provable value-axis bound, here verified value-for-value
+    by the oracle rather than asserted in a unit test.  The histogram
+    path is the 100 TB shape (map-side combine onto ≤289 cells/group);
+    the exact column is the audit (per-type sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    idx = F.least(
+        F.greatest(
+            F.ceil(F.log10(F.greatest(F.col("value"), F.lit(1e-300))) * _NPD)
+            .cast("long")
+            + (-_LO * _NPD),
+            F.lit(0),
+        ),
+        F.lit(_N_BINS - 1),
+    )
+    wt = W.partitionBy("event_type")
+    vals = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("rn"),
+    )
+    ranks = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    for q, nm in _QS:
+        ranks = ranks.withColumn(
+            f"r_{nm}", F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        )
+    hist = ev.groupBy("event_type", idx.alias("idx")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cumh = hist.withColumn("cum", F.sum("c").over(wt.orderBy("idx")))
+    edge = F.when(F.col("idx") <= 0, 1e-6).otherwise(
+        F.pow(F.lit(10.0), (F.col("idx") + _LO * _NPD) * 1.0 / _NPD)
+    )
+    exacts = (
+        vals.join(F.broadcast(ranks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("rn") == F.col(f"r_{nm}"), F.col("value"))
+                ).alias(f"{nm}_exact")
+                for _, nm in _QS
+            ]
+        )
+    )
+    ests = (
+        cumh.join(F.broadcast(ranks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") >= F.col(f"r_{nm}"), edge)
+                ).alias(f"{nm}_est")
+                for _, nm in _QS
+            ]
+        )
+    )
+    out = exacts.join(ests, "event_type").join(
+        F.broadcast(ranks.select("event_type", "n")), "event_type"
+    )
+    cols = ["event_type", F.col("n").cast("long").alias("n")]
+    for _, nm in _QS:
+        cols += [
+            rnd(F.col(f"{nm}_exact"), 4).alias(f"{nm}_exact"),
+            rnd(F.col(f"{nm}_est"), 4).alias(f"{nm}_est"),
+        ]
+    for _, nm in _QS:
+        cols.append(
+            rnd(F.col(f"{nm}_est") / F.col(f"{nm}_exact"), 6).alias(f"{nm}_ratio")
+        )
+    return out.select(*cols).orderBy("event_type")
+
+
+@register(
+    "q_time_rollup",
+    tags=("rollup", "calendar", "grouping"),
+    oracle=f"""
+WITH base AS (
+  SELECT epoch_ms(date_trunc('month', ts)) AS month_ms,
+         ((epoch_ms(ts) // 86400000) // 7) * 7 * 86400000 AS week_ms,
+         (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         value
+  FROM events
+)
+SELECT CASE WHEN day_ms IS NOT NULL THEN 'day'
+            WHEN week_ms IS NOT NULL THEN 'week'
+            WHEN month_ms IS NOT NULL THEN 'month'
+            ELSE 'total' END AS level,
+       coalesce(day_ms, week_ms, month_ms, -1) AS period_start_ms,
+       count(*)::BIGINT AS n_events,
+       {rnd_sql('sum(value)', 2)} AS sum_value
+FROM base
+GROUP BY ROLLUP (month_ms, week_ms, day_ms)
+ORDER BY level, period_start_ms
+""",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (day ⊂ week ⊂ month ⊂ total) in ONE
+    aggregation: Spark's rollup() emits all four grains with partial
+    aggregation shared across levels — vs four separate groupBys, the
+    scan and the map-side combine happen once.  Level is decoded from
+    the null pattern (the hierarchy key can never be null in the data,
+    so null ⇔ rolled-up; -1 sentinel keys the total row).  Same shape
+    as q_rollup_lineitem but over the event-time calendar hierarchy."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    day_idx = (F.expr(_MS) / F.lit(86400000)).cast("long")
+    base = ev.select(
+        F.unix_millis(F.date_trunc("month", ts)).alias("month_ms"),
+        ((day_idx / 7).cast("long") * 7 * 86400000).alias("week_ms"),
+        (day_idx * 86400000).alias("day_ms"),
+        "value",
+    )
+    level = (
+        F.when(F.col("day_ms").isNotNull(), "day")
+        .when(F.col("week_ms").isNotNull(), "week")
+        .when(F.col("month_ms").isNotNull(), "month")
+        .otherwise("total")
+    )
+    return (
+        base.rollup("month_ms", "week_ms", "day_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            level.alias("level"),
+            F.coalesce("day_ms", "week_ms", "month_ms", F.lit(-1)).alias(
+                "period_start_ms"
+            ),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("level", "period_start_ms")
+    )
+
+
+_TAU_MS = 7 * 86400000  # 7-day decay constant
+
+
+def _time_decay_oracle() -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS journey
+  FROM events
+), touches AS (
+  SELECT user_id, journey, event_type, ms FROM seq
+  WHERE event_type <> 'purchase'
+), convs AS (
+  SELECT user_id, journey, value, ms AS conv_ms FROM seq
+  WHERE event_type = 'purchase'
+), weighted AS (
+  SELECT t.event_type, c.value,
+         exp(-(c.conv_ms - t.ms) * 1.0 / {_TAU_MS}) AS w,
+         sum(exp(-(c.conv_ms - t.ms) * 1.0 / {_TAU_MS}))
+           OVER (PARTITION BY t.user_id, t.journey) AS w_sum
+  FROM touches t
+  JOIN convs c ON c.user_id = t.user_id AND c.journey = t.journey
+)
+SELECT event_type AS channel,
+       count(*)::BIGINT AS n_touches,
+       {rnd_sql('sum(value * w / w_sum)', 2)} AS attributed_value
+FROM weighted
+GROUP BY event_type
+ORDER BY channel
+"""
+
+
+@register(
+    "q_attribution_time_decay",
+    tags=("attribution", "funnel", "window"),
+    oracle=_time_decay_oracle(),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each touch in the journey
+    ending at the user's next purchase earns credit ∝ exp(-Δt/τ)
+    (τ = 7 days), normalized so every purchase distributes exactly its
+    value — recency-weighted, completing the attribution trio
+    (first/last: q_attribution; U-shaped: q_attribution_position).
+    Same journey construction: a running purchase count partitions each
+    user's stream; per-user windows + one journey-keyed join."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(_MS).alias("ms"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(wseq),
+                F.lit(0),
+            )
+            + 1
+        ).alias("journey"),
+    )
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id", "journey", "event_type", "ms"
+    )
+    convs = seq.where(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "value", F.col("ms").alias("conv_ms")
+    )
+    w = F.exp(-(F.col("conv_ms") - F.col("ms")) * 1.0 / _TAU_MS)
+    weighted = (
+        touches.join(convs, ["user_id", "journey"])
+        .withColumn("w", w)
+        .withColumn(
+            "w_sum", F.sum("w").over(W.partitionBy("user_id", "journey"))
+        )
+    )
+    return (
+        weighted.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            rnd(F.sum(F.col("value") * F.col("w") / F.col("w_sum")), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )

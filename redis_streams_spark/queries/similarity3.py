@@ -192,7 +192,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = s1.select("query_id", F.col("cand_id").alias("pick1"))
     # sims row where ca = the candidate under consideration, cb = pick1
     rest1 = (
-        slim.join(p1, "query_id")
+        slim.join(F.broadcast(p1), "query_id")
         .where(F.col("cand_id") != F.col("pick1"))
         .join(
             sims.select(
@@ -207,8 +207,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = argmax(rest1, lam * F.col("rel") - om * F.col("sim"))
     p2 = s2.select("query_id", F.col("cand_id").alias("pick2"))
     rest2 = (
-        slim.join(p1, "query_id")
-        .join(p2, "query_id")
+        slim.join(F.broadcast(p1), "query_id")
+        .join(F.broadcast(p2), "query_id")
         .where(
             (F.col("cand_id") != F.col("pick1"))
             & (F.col("cand_id") != F.col("pick2"))
@@ -247,3 +247,145 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         rnd("mmr_score", 6).alias("mmr_score"),
     ).orderBy("query_id", "position")
+
+
+_HAM_MOD = 83
+_RECALL_K = 5
+
+_SIG_SQL = """
+  list_reduce(list_transform(range(1, 33),
+      i -> CASE WHEN {v}[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END),
+      (a, b) -> a + b) AS lo,
+  list_reduce(list_transform(range(33, 65),
+      i -> CASE WHEN {v}[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END),
+      (a, b) -> a + b) AS hi
+"""
+
+
+def _hamming_recall_oracle() -> str:
+    k = _RECALL_K
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)),
+                          (a, b) -> a + b)) AS norm
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, {_SIG_SQL.format(v='v')}
+  FROM e
+), q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, e.norm AS qn, s.lo AS qlo, s.hi AS qhi
+  FROM e JOIN sig s ON s.vec_id = e.vec_id
+  WHERE e.vec_id % {_HAM_MOD} = 0
+), true_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos('q.qv', 'q.qn', 'e.v', 'e.norm')} DESC,
+                      e.vec_id) AS r
+    FROM q JOIN e ON e.vec_id <> q.query_id) t
+  WHERE r <= {k}
+), ham_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, s.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY bit_count(xor(q.qlo, s.lo)) + bit_count(xor(q.qhi, s.hi)),
+                      s.vec_id) AS r
+    FROM q JOIN sig s ON s.vec_id <> q.query_id) t
+  WHERE r <= {k}
+)
+SELECT t.query_id,
+       count(h.cand_id)::BIGINT AS n_overlap,
+       round(5e-10 + count(h.cand_id) * 1.0 / {k}, 6) AS recall_at_{k}
+FROM true_top t
+LEFT JOIN ham_top h ON h.query_id = t.query_id AND h.cand_id = t.cand_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register(
+    "sim_binary_hamming_recall",
+    tags=("similarity", "ann", "quantization"),
+    oracle=_hamming_recall_oracle(),
+)
+def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) embedding quantization audit: pack each vector's
+    sign pattern into two 32-bit halves, rank candidates by Hamming
+    distance, and measure recall@5 against exact float cosine — the
+    64x-memory-compression end of the quantization spectrum next to
+    q_embed_quantize's int8.  At 100 TB the signature table is 16 bytes
+    a row and the XOR+popcount ranking is integer-only; this query
+    reports exactly how much ranking quality that buys away.  Signature
+    packing, distances, and tie-breaks are integer arithmetic —
+    bit-identical across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+
+    def pack(lo_bit: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(lo_bit), F.lit(lo_bit + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(F.col("v"), (i + 1).cast("int")) > 0,
+                # shiftleft needs a literal shift amount; pow is exact
+                # for exponents <= 31 so the cast is loss-free
+                F.pow(F.lit(2.0), i - lo_bit).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    sig = e.select("vec_id", "v", "norm", pack(0).alias("lo"), pack(32).alias("hi"))
+    q = sig.where(F.col("vec_id") % _HAM_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    wq = W.partitionBy("query_id")
+    true_top = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                wq.orderBy(
+                    F.desc(
+                        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm"))
+                    ),
+                    "vec_id",
+                )
+            ),
+        )
+        .where(F.col("r") <= _RECALL_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    ham = F.expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)")
+    ham_top = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(wq.orderBy(ham, "vec_id")))
+        .where(F.col("r") <= _RECALL_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit"))
+    )
+    return (
+        true_top.join(ham_top, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            rnd(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / _RECALL_K, 6
+            ).alias(f"recall_at_{_RECALL_K}"),
+        )
+        .orderBy("query_id")
+    )

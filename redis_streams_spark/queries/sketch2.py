@@ -106,6 +106,9 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h")
     )
     types = ev.select("event_type").distinct()
+    # persist: the pair frame is referenced four times below (two sketch
+    # sides, two exact sides) and each reference would otherwise replay
+    # the full events scan + distinct behind it
     pairs = (
         types.alias("a")
         .join(
@@ -115,12 +118,14 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
         )
+        .persist()
     )
+    # union-of-equijoins, not one OR-join: an OR condition forces a
+    # nested-loop strategy; two hash joins on the type key stay linear
+    side_a = pairs.join(F.broadcast(sk), sk.event_type == F.col("ta"))
+    side_b = pairs.join(F.broadcast(sk), sk.event_type == F.col("tb"))
     flagged = (
-        pairs.join(
-            F.broadcast(sk),
-            (sk.event_type == F.col("ta")) | (sk.event_type == F.col("tb")),
-        )
+        side_a.unionByName(side_b)
         .groupBy("ta", "tb", "h")
         .agg(
             F.max(
@@ -139,11 +144,10 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"))
     )
     users = ev.select("event_type", "user_id").distinct()
+    ua = users.join(F.broadcast(pairs), users.event_type == F.col("ta"))
+    ub = users.join(F.broadcast(pairs), users.event_type == F.col("tb"))
     exact = (
-        pairs.join(
-            users,
-            (users.event_type == F.col("ta")) | (users.event_type == F.col("tb")),
-        )
+        ua.unionByName(ub)
         .groupBy("ta", "tb", "user_id")
         .agg(
             F.max(
