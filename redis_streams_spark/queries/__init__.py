@@ -43,6 +43,7 @@ def _load_all() -> None:
         llmprep,
         llmprep2,
         mixing,
+        modeleval,
         multimodal,
         nullsem,
         pipelines,

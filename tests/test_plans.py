@@ -191,6 +191,17 @@ _BNLJ_OK = {
     "q_autocorr",  # 1-row mean/denom + 3-row lag frames (broadcast scalars)
     "q_theil_sen",  # pairwise-slope inequality join over the ≤n_days daily aggregate
     "mix_epoch_allocation",  # 1-row totals/redistribution crossJoins (broadcast scalars)
+    # -- round 8 --
+    "q_kmv_jaccard",  # |types|² pair build over the 5-row type frame (persisted)
+    "q_bootstrap_ci",  # 1-row point-mean crossJoin (broadcast scalar)
+    "text_ppl_filter_curve",  # per-doc scores x broadcast 5-row threshold frame
+    "text_heaps_law",  # 1-row n_docs crossJoin (broadcast scalar)
+    "sim_mmr_rerank",  # pick-frame ≠-joins over broadcast 1-row-per-query picks
+    "sim_binary_hamming_recall",  # broadcast probe-set ≠-join (same as sim_bruteforce_topk)
+    "q_roc_auc",  # 1-row class-totals crossJoin (broadcast scalar)
+    "q_calibration_bins",  # 1-row min/max range crossJoin (broadcast scalar)
+    "q_pr_curve",  # broadcast 5-row cutoff frame + 1-row positives total
+    "q_zonemap_prune_audit",  # day-zones x broadcast 4-row predicate frame
     "q_kendall_tau",  # pairwise concordance join over the ≤n_days daily aggregate
     "q_mann_whitney",  # 1-row (N, tie-term) totals crossJoin (broadcast scalar)
     "q_ks_test",  # 1-row source-pair + totals crossJoins (broadcast scalars)
