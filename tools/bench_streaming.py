@@ -229,6 +229,25 @@ def main() -> None:
         N / (time.perf_counter() - t0)
     )
 
+    # -- KMV distinct sketch ----------------------------------------------
+    from redis_streams_spark.streaming.kmv import streaming_distinct
+
+    src_kv = open_stream(spark, root, "cdc", group="kmv-bench", batch_size=0)
+    typed_kv = project(src_kv, {"user": "string"})
+    kv = streaming_distinct(typed_kv, key_col="user", item_col="msgid", k=64)
+    t0 = time.perf_counter()
+    qk = (
+        kv.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck-kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qk.awaitTermination(300)
+    results["kmv_distinct_msgs_per_sec"] = round(
+        N / (time.perf_counter() - t0)
+    )
+
     # -- log-histogram quantile sketch ------------------------------------
     from redis_streams_spark.streaming.quantiles import streaming_quantiles
 
