@@ -59,6 +59,9 @@ def main() -> None:
     # (bucket-min -> member, Jaccard-verified) are linear in corpus size;
     # all-pairs enumeration is only needed when the PAIRS are the product
     # (dedup_minhash_lsh / dedup_threshold_curve), never for clustering.
+    # Semantics note: clustering is on VERIFIED edges (Jaccard >= 0.5) --
+    # the pre-round-8 version clustered raw band collisions, which could
+    # merge docs with low true similarity.
     pairs = minhash_lsh_star_edges(uniq, threshold=0.5)
     clusters = connected_components(pairs)  # (node, cluster_id=min reachable id)
     losers = clusters.where(F.col("node") != F.col("cluster_id")).select(

@@ -39,3 +39,13 @@ def h32(col: Column | str) -> Column:
 def h32_sql(expr: str) -> str:
     """DuckDB SQL snippet computing the same value as :func:`h32`."""
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def h32_py(s: str) -> int:
+    """Python twin of :func:`h32` (first 8 md5 hex digits as an unsigned
+    32-bit int).  The ONE Python-side copy of the cross-engine hash
+    contract — driver-side sketches and test recomputations import this
+    instead of re-implementing the md5 slice (review finding, r08)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)

@@ -542,6 +542,16 @@ def parse_jpeg(data: bytes) -> tuple[int, int, float]:
 
     if not comps or not scan:
         raise ValueError("invalid JPEG: missing SOF/SOS")
+    if len(scan) != len(comps):
+        # legal baseline streams may carry each component in its OWN
+        # scan (non-interleaved, ns=1 per SOS); this decoder only
+        # handles the single interleaved scan — decoding the first scan
+        # as if interleaved would fabricate zero chroma silently, so
+        # raise loudly instead (honesty contract, review finding r08)
+        raise NotImplementedError(
+            f"non-interleaved JPEG ({len(scan)} of {len(comps)} components "
+            "in the first scan): only single-scan baseline is supported"
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -88,8 +88,7 @@ def mean_md5_byte(text_col: Column) -> Column:
 
 
 def _fake_decode_row(text: str) -> tuple[int, int, int, float]:
-    def _h32(s: str) -> int:
-        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    from redis_streams_spark.functions.hashing import h32_py as _h32
 
     digest = hashlib.md5(text.encode("utf-8")).digest()
     width = 64 + _h32(text + ":w") % 960

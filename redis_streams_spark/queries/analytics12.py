@@ -173,56 +173,61 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "calendar", "grouping"),
     oracle=f"""
 WITH base AS (
-  SELECT epoch_ms(date_trunc('month', ts)) AS month_ms,
-         ((epoch_ms(ts) // 86400000) // 7) * 7 * 86400000 AS week_ms,
+  SELECT epoch_ms(date_trunc('year', ts)) AS year_ms,
+         epoch_ms(date_trunc('month', ts)) AS month_ms,
          (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
          value
   FROM events
 )
 SELECT CASE WHEN day_ms IS NOT NULL THEN 'day'
-            WHEN week_ms IS NOT NULL THEN 'week'
             WHEN month_ms IS NOT NULL THEN 'month'
+            WHEN year_ms IS NOT NULL THEN 'year'
             ELSE 'total' END AS level,
-       coalesce(day_ms, week_ms, month_ms, -1) AS period_start_ms,
+       coalesce(day_ms, month_ms, year_ms, -1) AS period_start_ms,
        count(*)::BIGINT AS n_events,
        {rnd_sql('sum(value)', 2)} AS sum_value
 FROM base
-GROUP BY ROLLUP (month_ms, week_ms, day_ms)
+GROUP BY ROLLUP (year_ms, month_ms, day_ms)
 ORDER BY level, period_start_ms
 """,
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-hierarchy ROLLUP (day ⊂ week ⊂ month ⊂ total) in ONE
+    """Calendar-hierarchy ROLLUP (day ⊂ month ⊂ year ⊂ total) in ONE
     aggregation: Spark's rollup() emits all four grains with partial
     aggregation shared across levels — vs four separate groupBys, the
     scan and the map-side combine happen once.  Level is decoded from
     the null pattern (the hierarchy key can never be null in the data,
-    so null ⇔ rolled-up; -1 sentinel keys the total row).  Same shape
-    as q_rollup_lineitem but over the event-time calendar hierarchy."""
+    so null ⇔ rolled-up; -1 sentinel keys the total row).  Weeks are
+    deliberately NOT a level: epoch/ISO weeks straddle calendar months,
+    so a (month, week, day) rollup would emit split week fragments —
+    only strictly nesting grains belong in one ROLLUP (review finding
+    r08; a week report is q_tumbling_daily's 7-day twin, grouped
+    independently).  Same shape as q_rollup_lineitem but over the
+    event-time calendar hierarchy."""
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     day_idx = (F.expr(_MS) / F.lit(86400000)).cast("long")
     base = ev.select(
+        F.unix_millis(F.date_trunc("year", ts)).alias("year_ms"),
         F.unix_millis(F.date_trunc("month", ts)).alias("month_ms"),
-        ((day_idx / 7).cast("long") * 7 * 86400000).alias("week_ms"),
         (day_idx * 86400000).alias("day_ms"),
         "value",
     )
     level = (
         F.when(F.col("day_ms").isNotNull(), "day")
-        .when(F.col("week_ms").isNotNull(), "week")
         .when(F.col("month_ms").isNotNull(), "month")
+        .when(F.col("year_ms").isNotNull(), "year")
         .otherwise("total")
     )
     return (
-        base.rollup("month_ms", "week_ms", "day_ms")
+        base.rollup("year_ms", "month_ms", "day_ms")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             rnd(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
             level.alias("level"),
-            F.coalesce("day_ms", "week_ms", "month_ms", F.lit(-1)).alias(
+            F.coalesce("day_ms", "month_ms", "year_ms", F.lit(-1)).alias(
                 "period_start_ms"
             ),
             "n_events",

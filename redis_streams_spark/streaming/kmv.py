@@ -32,11 +32,12 @@ them is left to callbacks).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from redis_streams_spark.functions.hashing import h32_py
 
 K_DEFAULT = 64
 _HASH_SPACE = float(1 << 32)
@@ -46,11 +47,6 @@ OUTPUT_SCHEMA = (
     "est_distinct double"
 )
 STATE_SCHEMA = "hashes array<bigint>, n_seen bigint"
-
-
-def h32_py(s: str) -> int:
-    """Python twin of functions/hashing.h32 (first 8 md5 hex digits)."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def kmv_merge(hashes: Iterable[int], new_hashes: Iterable[int], k: int) -> list[int]:
@@ -89,10 +85,13 @@ def streaming_distinct(
         else:
             hashes, n_seen = [], 0
         for pdf in pdfs:
+            # delivered-message counter BEFORE the null-item drop — the
+            # docstring's contract; otherwise n_seen under-reports
+            # exactly when data is dirty (review finding, r08)
+            n_seen += int(len(pdf))
             vals = pdf[item_col].dropna().astype(str)
             if not len(vals):
                 continue
-            n_seen += int(len(vals))
             # vectorized-ish: hash the batch's DISTINCT items only
             batch_hashes = [h32_py(v) for v in vals.unique()]
             hashes = kmv_merge(hashes, batch_hashes, k)

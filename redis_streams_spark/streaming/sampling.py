@@ -58,7 +58,9 @@ def _es_key(row_id: str, weight: float) -> float:
     JVM-side column produces identical doubles."""
     import math
 
-    h = int(hashlib.md5(row_id.encode()).hexdigest()[:8], 16)
+    from redis_streams_spark.functions.hashing import h32_py
+
+    h = h32_py(row_id)
     u = (h + 1) / _U32
     if weight <= 0:
         return 0.0

@@ -82,6 +82,20 @@ def test_jpeg_restart_markers(subsampling, gray, interval):
     assert mean == pytest.approx(float(img.mean()), abs=tol)
 
 
+def test_jpeg_non_interleaved_rejected():
+    """A 3-component stream whose first SOS carries only Y (legal
+    baseline, non-interleaved) must raise, not silently decode with
+    fabricated zero chroma."""
+    jb = bytearray(make_jpeg(8, 8, bytes(192)))
+    i = jb.find(b"\xff\xda")
+    # rewrite SOS: ns=3, comps (1,0x00),(2,0x11),(3,0x11) -> ns=1, comp 1
+    assert jb[i + 4] == 3
+    new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0])
+    jb[i : i + 2 + 12] = new_sos
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        parse_jpeg(bytes(jb))
+
+
 def test_jpeg_progressive_rejected():
     jb = bytearray(make_jpeg(8, 8, bytes(192)))
     i = jb.find(b"\xff\xc0")

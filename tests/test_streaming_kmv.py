@@ -7,8 +7,8 @@ from __future__ import annotations
 from redis_streams_spark.sources.stream_log import StreamLog
 from redis_streams_spark.streaming import Producer
 from redis_streams_spark.streaming.bridge import open_stream
+from redis_streams_spark.functions.hashing import h32_py
 from redis_streams_spark.streaming.kmv import (
-    h32_py,
     kmv_estimate,
     kmv_merge,
     streaming_distinct,

@@ -94,6 +94,11 @@ def main() -> None:
     # member, Jaccard-verified) are linear in corpus size; the round-7
     # all-pairs form made this stage 295 s of the 364 s composed 100×
     # run purely from C(clique,2) pair enumeration CC never needed.
+    # NOTE the switch changed semantics TWICE (review finding r08): the
+    # old code fed CC the raw candidate list (no is_dup filter — any
+    # band collision merged clusters); star edges both verify Jaccard ≥
+    # threshold AND span buckets with k-1 edges, so survivor counts
+    # shifted for verification reasons as well as enumeration ones.
     # connected_components iterates EAGERLY at call time (its
     # convergence loop runs counts), so the whole block is timed
     # manually — a timed() around only the anti-join would leave the CC
