@@ -84,6 +84,25 @@ def minhash_band_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     return band_rows_from_sets(shingle_sets(docs, n))
 
 
+def minhash_signatures(sets_: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31): the 32-perm minhash signature of each shingle
+    set — the step band_rows_from_sets bands up, exposed for operators
+    that re-band the SAME signatures differently (band-tuning curves,
+    signature-agreement audits)."""
+    sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
+    h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    perms = h.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"p{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ],
+    )
+    return perms.groupBy("doc_id").agg(
+        *[F.min(f"p{j}").alias(f"m{j}") for j in range(len(MINHASH_COEFFS))]
+    )
+
+
 def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
     """Band rows from a (doc_id, shingles) frame.  Shingle hashing and the
     (a*h+b) mod P permutations stay inside whole-stage codegen; the only
@@ -102,18 +121,7 @@ def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
       (doc_id, 32×long) rows — signature-sized, not document-sized — so
       it also scales fine.
     """
-    sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
-    h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
-    perms = h.select(
-        "doc_id",
-        *[
-            ((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"p{j}")
-            for j, (a, b) in enumerate(MINHASH_COEFFS)
-        ],
-    )
-    mins = perms.groupBy("doc_id").agg(
-        *[F.min(f"p{j}").alias(f"m{j}") for j in range(len(MINHASH_COEFFS))]
-    )
+    mins = minhash_signatures(sets_)
     # band key: xxhash64 directly over the band's signature longs.  Equal
     # hash ⇔ equal band signature (mod 64-bit collisions), which is all
     # the bucket join needs — the hash never appears in query output, so

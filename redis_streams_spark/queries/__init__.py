@@ -35,6 +35,7 @@ def _load_all() -> None:
         dedup2,
         dedup3,
         dedup4,
+        dedup5,
         embedmath,
         formats,
         frontier,

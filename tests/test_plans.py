@@ -202,6 +202,8 @@ _BNLJ_OK = {
     "q_calibration_bins",  # 1-row min/max range crossJoin (broadcast scalar)
     "q_pr_curve",  # broadcast 5-row cutoff frame + 1-row positives total
     "q_zonemap_prune_audit",  # day-zones x broadcast 4-row predicate frame
+    "q_psi_drift",  # 1-row day-range crossJoin (broadcast scalar)
+    "dedup_tier_summary",  # 1-row tier-count crossJoins (broadcast scalars)
     "q_kendall_tau",  # pairwise concordance join over the ≤n_days daily aggregate
     "q_mann_whitney",  # 1-row (N, tie-term) totals crossJoin (broadcast scalar)
     "q_ks_test",  # 1-row source-pair + totals crossJoins (broadcast scalars)
