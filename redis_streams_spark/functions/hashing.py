@@ -14,6 +14,7 @@ SQL embed the same literals.
 
 from __future__ import annotations
 
+import hashlib
 import random
 
 from pyspark.sql import Column
@@ -46,6 +47,4 @@ def h32_py(s: str) -> int:
     32-bit int).  The ONE Python-side copy of the cross-engine hash
     contract — driver-side sketches and test recomputations import this
     instead of re-implementing the md5 slice (review finding, r08)."""
-    import hashlib
-
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)

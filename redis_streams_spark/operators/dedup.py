@@ -148,6 +148,32 @@ def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
+    """Distinct (a_id < b_id) doc pairs sharing any (band_idx, band_hash)
+    bucket — THE candidate self-join, extracted so the pair queries, the
+    band-tuning curve, and the estimator audit share one copy of the
+    predicate (review finding, r08)."""
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def exact_jaccard_cols() -> tuple[F.Column, F.Column]:
+    """(intersection size, jaccard) over shingle columns named sa/sb —
+    the one copy of the inter/union/greatest clamp arithmetic."""
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return inter, inter * 1.0 / F.greatest(union, F.lit(1))
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> DataFrame:
     """Candidate pairs via LSH band-bucket self-join, then exact Jaccard
     verification on the shingle sets.  Returns every candidate with its
@@ -164,22 +190,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
     # checkpointed intermediate table)
     sets_ = shingle_sets(docs, n).persist()
     bands = band_rows_from_sets(sets_)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cands = lsh_candidate_pairs(bands)
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
     joined = cands.join(sa, "a_id").join(sb, "b_id")
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    inter, jaccard = exact_jaccard_cols()
     # NO presentation sort: the pair output is C(clique,2) rows per
     # clique at real duplicate density, and globally range-sorting 43M
     # result rows buys nothing the order-insensitive correctness gate
@@ -192,7 +207,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
         "a_id",
         "b_id",
         inter.cast("long").alias("n_common"),
-        rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        rnd(jaccard, 6).alias("jaccard"),
     ).withColumn("is_dup", F.col("jaccard") >= threshold)
 
 
@@ -240,11 +255,8 @@ def minhash_lsh_star_edges(
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
     joined = star.join(sa, "a_id").join(sb, "b_id")
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    return joined.where(
-        inter * 1.0 / F.greatest(union, F.lit(1)) >= threshold
-    ).select("a_id", "b_id")
+    _, jaccard = exact_jaccard_cols()
+    return joined.where(jaccard >= threshold).select("a_id", "b_id")
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:

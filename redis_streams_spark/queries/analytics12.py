@@ -10,24 +10,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from redis_streams_spark.functions.binning import (
+    LO_EXP as _LO,
+    N_BINS as _N_BINS,
+    N_PER_DECADE as _NPD,
+    log_bin_index_col,
+    log_bin_index_sql,
+)
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 _MS = "unix_millis(cast(ts as timestamp))"
 
-# mirror streaming/quantiles.py: 16 bins/decade over 1e-6..1e12
-_NPD = 16
-_N_BINS = _NPD * 18 + 1
-_LO = -6
+# bin grid shared via functions/binning (one cross-engine definition)
 _QS = ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
 
 
 def _sketch_audit_oracle() -> str:
-    idx_expr = (
-        f"least(greatest(ceil(log10(greatest(value, 1e-300)) * {_NPD})::BIGINT"
-        f" + {-_LO * _NPD}, 0), {_N_BINS - 1})"
-    )
+    idx_expr = log_bin_index_sql("value")
     rank_cols = ", ".join(
         f"greatest(1, ceil({q} * n)::BIGINT) AS r_{nm}" for q, nm in _QS
     )
@@ -101,15 +102,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the 100 TB shape (map-side combine onto ≤289 cells/group);
     the exact column is the audit (per-type sort)."""
     ev = load_table(spark, sf_dir, "events")
-    idx = F.least(
-        F.greatest(
-            F.ceil(F.log10(F.greatest(F.col("value"), F.lit(1e-300))) * _NPD)
-            .cast("long")
-            + (-_LO * _NPD),
-            F.lit(0),
-        ),
-        F.lit(_N_BINS - 1),
-    )
+    idx = log_bin_index_col(F.col("value"))
     wt = W.partitionBy("event_type")
     vals = ev.select(
         "event_type",

@@ -10,12 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from redis_streams_spark.functions.hashing import (
-    MINHASH_COEFFS,
-    h32_sql,
-)
+from redis_streams_spark.functions.hashing import MINHASH_COEFFS
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.functions.textfns import word_shingles_sql, words_sql
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.queries.dedup import minhash_bands_cte
 from redis_streams_spark.session import load_table
@@ -40,8 +36,11 @@ def _config_bands_sql(bands: int, rows: int) -> str:
 
 
 def _band_tuning_oracle() -> str:
-    per_config = []
+    ctes, per_config = [], []
     for bands, rows in _CONFIGS:
+        ctes.append(
+            f"cfg{bands} AS MATERIALIZED (\n{_config_bands_sql(bands, rows)}\n)"
+        )
         per_config.append(
             f"""
 SELECT {bands} AS bands, {rows} AS rows_per_band,
@@ -56,8 +55,8 @@ FROM (
            AS jac
   FROM (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM ({_config_bands_sql(bands, rows)}) a
-    JOIN ({_config_bands_sql(bands, rows)}) b
+    FROM cfg{bands} a
+    JOIN cfg{bands} b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
   ) c
@@ -65,9 +64,11 @@ FROM (
   JOIN sh sb ON sb.doc_id = c.b_id
 )"""
         )
+    cte_block = ",\n".join(ctes)
     unions = "\nUNION ALL\n".join(per_config)
     return f"""
-WITH {minhash_bands_cte()}
+WITH {minhash_bands_cte()},
+{cte_block}
 SELECT * FROM (
 {unions}
 )
@@ -89,6 +90,8 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates.  The signature build runs ONCE (persisted); each config
     adds one band-keyed self-join over signature-sized rows."""
     from redis_streams_spark.operators.dedup import (
+        exact_jaccard_cols,
+        lsh_candidate_pairs,
         minhash_signatures,
         shingle_sets,
     )
@@ -98,9 +101,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sets_).persist()
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    jac = inter * 1.0 / F.greatest(union, F.lit(1))
+    _, jac = exact_jaccard_cols()
 
     outs = []
     for bands, rows in _CONFIGS:
@@ -115,19 +116,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         brows = sigs.select(
             "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
         )
-        a, b = brows.alias("a"), brows.alias("b")
-        cands = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-            )
-            .distinct()
-        )
+        cands = lsh_candidate_pairs(brows)
         verified = cands.join(sa, "a_id").join(sb, "b_id").select(
             (jac >= _JACC_T).cast("int").alias("ok")
         )
@@ -195,6 +184,8 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shingle verify join over the (linear) candidate list."""
     from redis_streams_spark.operators.dedup import (
         band_rows_from_sets,
+        exact_jaccard_cols,
+        lsh_candidate_pairs,
         minhash_signatures,
         shingle_sets,
     )
@@ -203,17 +194,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_ = shingle_sets(docs, 3).persist()
     sigs = minhash_signatures(sets_).persist()
     brows = band_rows_from_sets(sets_)
-    a, b = brows.alias("a"), brows.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cands = lsh_candidate_pairs(brows)
     siga = sigs.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"m{j}").alias(f"am{j}") for j in range(_NPERM)],
@@ -227,8 +208,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = sum(
         (F.col(f"am{j}") == F.col(f"bm{j}")).cast("int") for j in range(_NPERM)
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    _, exact_jac = exact_jaccard_cols()
     scored = (
         cands.join(siga, "a_id")
         .join(sigb, "b_id")
@@ -236,7 +216,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b_id")
         .select(
             (agree * 1.0 / _NPERM).alias("est_jac"),
-            (inter * 1.0 / F.greatest(union, F.lit(1))).alias("exact_jac"),
+            exact_jac.alias("exact_jac"),
         )
     )
     err = F.abs(F.col("est_jac") - F.col("exact_jac"))
@@ -250,18 +230,10 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PSI over the shared cross-engine log-histogram bins (same bin math as
-# q_quantile_sketch_audit / streaming quantiles: 16 bins/decade)
-_NPD = 16
-_N_BINS = _NPD * 18 + 1
-_LO = -6
-
-
 def _psi_oracle() -> str:
-    idx_expr = (
-        f"least(greatest(ceil(log10(greatest(value, 1e-300)) * {_NPD})::BIGINT"
-        f" + {-_LO * _NPD}, 0), {_N_BINS - 1})"
-    )
+    from redis_streams_spark.functions.binning import log_bin_index_sql
+
+    idx_expr = log_bin_index_sql("value")
     return f"""
 WITH days AS (
   SELECT min(epoch_ms(ts) // 86400000) AS d0,
@@ -320,15 +292,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ev.agg(
         F.min(day).alias("d0"), F.max(day).alias("d1")
     )
-    idx = F.least(
-        F.greatest(
-            F.ceil(F.log10(F.greatest(F.col("value"), F.lit(1e-300))) * _NPD)
-            .cast("long")
-            + (-_LO * _NPD),
-            F.lit(0),
-        ),
-        F.lit(_N_BINS - 1),
-    )
+    from redis_streams_spark.functions.binning import log_bin_index_col
+
+    idx = log_bin_index_col(F.col("value"))
     halves = ev.crossJoin(F.broadcast(days)).select(
         "event_type",
         F.when(day < ((F.col("d0") + F.col("d1") + 1) / 2).cast("long"), 0)
@@ -393,9 +359,9 @@ mh_pairs AS (
      AND a.doc_id < b.doc_id) c
   JOIN sh sa ON sa.doc_id = c.a_id
   JOIN sh sb ON sb.doc_id = c.b_id
-  WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
-        greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1)
-        >= {_JACC_T}
+  WHERE round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 /
+        greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+        6) >= {_JACC_T}
 ),
 {simhash_core.lstrip()},
 sh_bytes AS (

@@ -31,11 +31,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-N_PER_DECADE = 16
-DECADES = 18  # 1e-6 .. 1e12
-N_BINS = N_PER_DECADE * DECADES + 1  # +1 underflow bin at index 0
+from redis_streams_spark.functions.binning import (  # noqa: E402
+    DECADES,
+    LO_EXP as _LO_EXP,
+    N_BINS,
+    N_PER_DECADE,
+)
+
 BASE = 10.0 ** (1.0 / N_PER_DECADE)
-_LO_EXP = -6  # smallest bin edge is 10^-6
 
 OUTPUT_SCHEMA = (
     "key string, n_seen bigint, p50 double, p90 double, p99 double, "

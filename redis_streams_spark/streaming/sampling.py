@@ -31,7 +31,6 @@ stream without ever storing the stream.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
