@@ -324,3 +324,49 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q_fano_burstiness",
+    tags=("timeseries", "stats", "monitoring"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_days,
+       {rnd_sql('avg(n)', 4)} AS mean_daily,
+       {rnd_sql('var_pop(n)', 4)} AS var_daily,
+       {rnd_sql('var_pop(n) / avg(n)', 6)} AS fano_factor,
+       {rnd_sql('var_pop(v) / (avg(v) * avg(v))', 6)} AS cv2_value
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness diagnostics per event type: the Fano factor
+    (Var/mean of daily counts — 1 for a Poisson arrival process, >1
+    overdispersed/bursty, <1 regular) and the squared coefficient of
+    variation of daily value sums.  The pair that decides whether
+    rate-based capacity planning (q_scaler_decision) can assume Poisson
+    arrivals.  Pure aggregate-of-the-daily-aggregate — corpus size only
+    changes the first scan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.expr(_MS) / F.lit(86400000)).cast("long")
+    daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            rnd(F.avg("n"), 4).alias("mean_daily"),
+            rnd(F.var_pop("n"), 4).alias("var_daily"),
+            rnd(F.var_pop("n") / F.avg("n"), 6).alias("fano_factor"),
+            rnd(F.var_pop("v") / (F.avg("v") * F.avg("v")), 6).alias("cv2_value"),
+        )
+        .orderBy("event_type")
+    )

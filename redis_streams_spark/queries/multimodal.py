@@ -202,3 +202,63 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "mm_jpeg_decode",
+    tags=("multimodal", "codec", "jpeg"),
+    oracle="""
+SELECT doc_id,
+       'image' AS modality,
+       (8 + length(text) % 9)::BIGINT AS width,
+       (8 + length(text) % 7)::BIGINT AS height,
+       1::BIGINT AS n_frames
+FROM documents
+ORDER BY doc_id
+""",
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode through the driver gate: each document's text
+    bytes are tiled into a grayscale raster of dimensions derived from
+    its character length (w = 8 + n%9, h = 8 + n%7), encoded as an
+    actual baseline JPEG (operators/jpeg.py), and decoded back through
+    the production real-codec mapInPandas path.  The oracle predicts the
+    decoded width/height/modality purely from length(text) — so a green
+    row proves the encoder→bitstream→Huffman/IDCT decoder round trip
+    recovered the true dimensions for every document, not just the test
+    fixtures.  (Pixel means are decode-exact only to rounding, hence not
+    hash-compared; test_jpeg.py covers them with tolerances.)  All work
+    is per-row inside Arrow batches — map-only at any scale."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from redis_streams_spark.operators.jpeg import make_jpeg
+    from redis_streams_spark.operators.multimodal import _real_decode_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "modality": [], "width": [], "height": [],
+                   "n_frames": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                w, h = 8 + n % 9, 8 + n % 7
+                raw = text.encode("utf-8") or b"\x00"  # empty text → black
+                need = w * h
+                px = (raw * (need // len(raw) + 1))[:need]
+                payload = make_jpeg(w, h, px, gray=True)
+                dw, dh, frames, _mean = _real_decode_payload(payload)
+                out["doc_id"].append(doc_id)
+                out["modality"].append("image")
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["n_frames"].append(frames)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        build_and_decode,
+        schema="doc_id bigint, modality string, width bigint, height bigint,"
+        " n_frames bigint",
+    ).orderBy("doc_id")

@@ -223,6 +223,7 @@ _PYTHON_OK = {
     "mm_decode_features",
     "sim_bruteforce_np",  # declared vectorized path: BLAS matmul in mapInPandas
     "sim_recall_report",  # audits the np path, so its plan contains MapInPandas
+    "mm_jpeg_decode",  # real JPEG encode+decode in mapInPandas (the point)
 }
 
 
