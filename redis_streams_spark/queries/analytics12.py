@@ -370,3 +370,139 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ADVISOR_TARGET_BYTES = 128 * 1024 * 1024  # shuffle-partition sizing target
+_BROADCAST_LIMIT = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold
+
+
+def _advisor_oracle() -> str:
+    # per-table estimated in-memory bytes from value-based row footprints
+    tables = """
+SELECT 'events' AS table_name, count(*) AS n_rows,
+       sum(8 + 8 + 8 + octet_length(encode(event_type))
+           + octet_length(encode(props)) + 8)::BIGINT AS est_bytes
+FROM events
+UNION ALL
+SELECT 'lineitem', count(*),
+       sum(76 + octet_length(encode(l_returnflag))
+           + octet_length(encode(l_linestatus)))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'documents', count(*),
+       sum(8 + octet_length(encode(text))
+           + octet_length(encode(source)) + 8)::BIGINT
+FROM documents
+"""
+    return f"""
+WITH t AS ({tables})
+SELECT table_name, n_rows::BIGINT AS n_rows, est_bytes,
+       greatest(1, ceil(est_bytes * 1.0 / {_ADVISOR_TARGET_BYTES}))::BIGINT
+         AS rec_shuffle_partitions,
+       est_bytes <= {_BROADCAST_LIMIT} AS broadcastable
+FROM t
+ORDER BY table_name
+"""
+
+
+@register(
+    "q_partition_advisor",
+    tags=("layout", "planning", "tuning"),
+    oracle=_advisor_oracle(),
+)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/broadcast sizing advisor: per table, row count, estimated
+    in-memory bytes (fixed-width columns + actual string byte lengths),
+    the recommended shuffle-partition count at a 128 MB target, and
+    whether the table fits under the 10 MB autoBroadcastJoinThreshold —
+    the two knobs the 100 TB posture section says to size from data, as
+    a query instead of folklore.  One aggregate per table; the string
+    octet lengths ride the same scan."""
+
+    def table_stats(name: str, fixed: int, str_cols: list[str]) -> DataFrame:
+        t = load_table(spark, sf_dir, name)
+        size = F.lit(fixed)
+        for c in str_cols:
+            size = size + F.octet_length(F.encode(F.col(c), "UTF-8"))
+        return t.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(size).alias("est_bytes"),
+        )
+
+    stats = (
+        table_stats("events", 8 + 8 + 8 + 8, ["event_type", "props"])
+        .unionByName(
+            # 3 keys + linenumber(4) + 4 doubles + shipdate = 76 fixed bytes
+            table_stats("lineitem", 76, ["l_returnflag", "l_linestatus"])
+        )
+        .unionByName(table_stats("documents", 8 + 8, ["text", "source"]))
+    )
+    return stats.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("est_bytes") * 1.0 / _ADVISOR_TARGET_BYTES),
+        )
+        .cast("long")
+        .alias("rec_shuffle_partitions"),
+        (F.col("est_bytes") <= _BROADCAST_LIMIT).alias("broadcastable"),
+    ).orderBy("table_name")
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "q_neyman_allocation",
+    tags=("sampling", "stats", "design"),
+    oracle=f"""
+WITH strata AS (
+  SELECT event_type, count(*) AS n_h, stddev_pop(value) AS s_h
+  FROM events GROUP BY event_type
+), w AS (
+  SELECT event_type, n_h, s_h,
+         n_h * s_h / sum(n_h * s_h) OVER () AS share
+  FROM strata
+)
+SELECT event_type,
+       n_h::BIGINT AS stratum_size,
+       {rnd_sql('s_h', 6)} AS stratum_stddev,
+       {rnd_sql('share', 6)} AS neyman_share,
+       least(floor({_NEYMAN_BUDGET} * share)::BIGINT, n_h) AS n_alloc,
+       {rnd_sql(f'least(floor({_NEYMAN_BUDGET} * share), n_h) * 1.0 / n_h', 6)}
+         AS sampling_rate
+FROM w
+ORDER BY event_type
+""",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: a 1000-row budget
+    split across event types proportionally to N_h·S_h (stratum size x
+    stddev) — the allocation that minimizes the estimator variance,
+    vs q_stratified_sample's equal-rate design.  floor + cap-at-stratum
+    keeps allocations integral and feasible; the whole design is one
+    aggregate + a window over |strata| rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"), F.stddev_pop("value").alias("s_h")
+    )
+    share = (F.col("n_h") * F.col("s_h")) / F.sum(
+        F.col("n_h") * F.col("s_h")
+    ).over(W.partitionBy())
+    w = strata.withColumn("share", share)
+    n_alloc = F.least(
+        F.floor(_NEYMAN_BUDGET * F.col("share")).cast("long"), F.col("n_h")
+    )
+    return w.select(
+        "event_type",
+        F.col("n_h").alias("stratum_size"),
+        rnd(F.col("s_h"), 6).alias("stratum_stddev"),
+        rnd(F.col("share"), 6).alias("neyman_share"),
+        n_alloc.alias("n_alloc"),
+        rnd(n_alloc * 1.0 / F.col("n_h"), 6).alias("sampling_rate"),
+    ).orderBy("event_type")

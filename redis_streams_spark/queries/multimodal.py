@@ -257,8 +257,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_frames"].append(frames)
             yield pd.DataFrame(out)
 
+    # no presentation sort: per-doc output (r08 discipline)
     return docs.mapInPandas(
         build_and_decode,
         schema="doc_id bigint, modality string, width bigint, height bigint,"
         " n_frames bigint",
-    ).orderBy("doc_id")
+    )
