@@ -299,9 +299,12 @@ def parse_png(b: bytes) -> tuple[int, int, float]:
 
 def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
     """Dependency-free real decode: BMP / PPM / PNG / baseline JPEG
-    parse (single frame).  Video (MP4) needs ffmpeg — absent here, so it
-    raises a clearly-marked NotImplementedError instead of fake numbers;
-    progressive JPEG raises the same from inside ``parse_jpeg``."""
+    raster parse (single frame) and ISO-BMFF (MP4) container metadata
+    (operators/mp4.py: mvhd duration, tkhd dims, stts frame count — the
+    box tree is real; frame DECODE still needs ffmpeg and stays out of
+    scope).  Unknown formats raise a clearly-marked NotImplementedError
+    instead of fake numbers; progressive JPEG raises the same from
+    inside ``parse_jpeg``."""
     if payload[:2] == b"BM":
         w, h, mean = parse_bmp(payload)
     elif payload[:2] == b"P6":
@@ -312,12 +315,18 @@ def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
         from redis_streams_spark.operators.jpeg import parse_jpeg
 
         w, h, mean = parse_jpeg(payload)
+    elif payload[4:8] == b"ftyp":
+        from redis_streams_spark.operators.mp4 import parse_mp4
+
+        w, h, n_frames, _dur, mean = parse_mp4(payload)
+        return w, h, n_frames, mean
     else:
         raise NotImplementedError(
-            "video codecs (ffmpeg) are not available in this environment; "
-            "supported real formats here are BMP (24-bit uncompressed), "
-            "PPM P6, PNG (8-bit, non-interlaced), and baseline JPEG "
-            "(operators/jpeg.py — progressive/arithmetic raise)"
+            "unrecognized media container; supported real formats here "
+            "are BMP (24-bit uncompressed), PPM P6, PNG (8-bit, "
+            "non-interlaced), baseline JPEG (operators/jpeg.py — "
+            "progressive/arithmetic raise), and MP4 box metadata "
+            "(operators/mp4.py — frame decode needs ffmpeg, absent here)"
         )
     return w, h, 1, mean
 
@@ -352,7 +361,7 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
                             "image"
                             if p[:2] in (b"BM", b"P6", b"\xff\xd8")
                             or p[:8] == _PNG_SIG
-                            else "unknown"
+                            else ("video" if p[4:8] == b"ftyp" else "unknown")
                             for p in payloads
                         ],
                         "byte_len": [len(p) for p in payloads],

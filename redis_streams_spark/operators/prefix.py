@@ -1,0 +1,153 @@
+"""Bucketed two-phase prefix sums: exact global cumulative sums with NO
+empty-partition-spec window anywhere in the plan.
+
+The classic way to write ``sum(x) OVER (ORDER BY k)`` puts every row in
+one task.  Guarding it with "the input is an aggregate" (the fleet plan
+gate's rule) is necessary but not sufficient: a histogram keyed by a
+CONTINUOUS column grows with corpus size (events.value has ~18% distinct
+values at sf0.1), so the single window task grows too.
+
+This helper computes the same cumulative sums in two parallel phases:
+
+1. bucket rows by ``floor(order_col / width)`` — a monotone function of
+   the sort key, so bucket-major order IS the global order — and
+   cumulate WITHIN each bucket (a partitioned window, one task per
+   bucket, all parallel);
+2. compute per-bucket totals (a tiny aggregate, one row per bucket,
+   bounded by value-range/width, NOT by corpus size) and derive each
+   bucket's exclusive prefix offset with a broadcast triangle self-join
+   over that tiny frame — deliberately not a window, so the final plan
+   contains zero empty-partition Window operators and the fleet gate can
+   demand their absence structurally.
+
+Exactness is preserved: offset + local cumsum == global cumsum, term for
+term, no approximation.  The only tunable is ``width``; the bucket count
+is range/width and each bucket task holds (distinct values in bucket)
+rows, both independent of how the corpus scales for a fixed value
+domain.
+
+Used by the model-eval family (q_roc_auc, q_pr_curve) and the rank/ECDF
+statistics family (q_mann_whitney, q_ks_test, q_wasserstein_1d).  The
+rank+revenue variant with bucket-level windows lives in q_pareto_gini
+(queries/analytics3.py); this module is the stricter no-global-window
+form.
+
+Reference basis: none (SURVEY §2.2 extension surface; the reference
+delegates all computation to user callbacks).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_cumsum", "bucketed_lead"]
+
+_BK = "__pfx_bucket"
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    specs: Sequence[tuple[str, str, bool]],
+    width: float,
+    descending: bool = False,
+) -> DataFrame:
+    """Append exact global cumulative sums to ``df`` without any
+    empty-partition window.
+
+    ``df`` must have one row per distinct ``order_col`` value (a
+    histogram frame — group first), with non-null ``order_col``.
+    ``specs`` is a sequence of ``(src_col, out_name, inclusive)``:
+    each adds ``out_name`` = cumulative sum of ``src_col`` over rows
+    ordered by ``order_col`` (descending if ``descending``), including
+    the current row iff ``inclusive``.  Exclusive sums coalesce to 0 at
+    the first row.  All other columns pass through unchanged.
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(width)).cast("long")
+    b = df.withColumn(_BK, bucket)
+
+    srcs = sorted({src for src, _, _ in specs})
+    # Phase 2a: per-bucket totals — one row per occupied bucket,
+    # cardinality bounded by value-range/width.
+    btot = b.groupBy(_BK).agg(
+        *[F.sum(s).alias(f"__bt_{s}") for s in srcs]
+    )
+    # Phase 2b: exclusive bucket offsets via a broadcast triangle join
+    # over the tiny bucket frame (strictly-earlier buckets in the global
+    # order).  O(buckets^2) pairs on a bounded frame; zero windows.
+    rhs = btot.select(
+        F.col(_BK).alias("__pfx_bk2"),
+        *[F.col(f"__bt_{s}").alias(f"__bt2_{s}") for s in srcs],
+    )
+    earlier = (
+        F.col("__pfx_bk2") > F.col(_BK)
+        if descending
+        else F.col("__pfx_bk2") < F.col(_BK)
+    )
+    off = (
+        btot.join(F.broadcast(rhs), earlier, "left")
+        .groupBy(_BK)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__bt2_{s}"), F.lit(0)).alias(f"__off_{s}")
+                for s in srcs
+            ]
+        )
+    )
+
+    # Phase 1: within-bucket cumulative sums — partitioned window, one
+    # parallel task per bucket.
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    wloc = W.partitionBy(_BK).orderBy(order)
+    wincl = wloc.rowsBetween(W.unboundedPreceding, 0)
+    wexcl = wloc.rowsBetween(W.unboundedPreceding, -1)
+
+    out = b.join(F.broadcast(off), _BK)
+    for src, name, inclusive in specs:
+        local = (
+            F.sum(src).over(wincl)
+            if inclusive
+            else F.coalesce(F.sum(src).over(wexcl), F.lit(0))
+        )
+        out = out.withColumn(name, F.col(f"__off_{src}") + local)
+    return out.drop(_BK, *[f"__off_{s}" for s in srcs])
+
+
+def bucketed_lead(
+    df: DataFrame, order_col: str, out_name: str, width: float
+) -> DataFrame:
+    """Append the NEXT ``order_col`` value in ascending global order
+    (``lead(order_col) OVER (ORDER BY order_col)``) without any
+    empty-partition window: lead within each floor(order_col/width)
+    bucket, and for each bucket's last row take the minimum value of any
+    later occupied bucket (a broadcast triangle join over the tiny
+    bucket-min frame).  The globally last row gets NULL, matching
+    lead().  Same one-row-per-distinct-value contract as
+    :func:`bucketed_cumsum`.
+    """
+    b = df.withColumn(
+        _BK, F.floor(F.col(order_col) / F.lit(width)).cast("long")
+    )
+    bmin = b.groupBy(_BK).agg(F.min(order_col).alias("__pfx_bmin"))
+    rhs = bmin.select(
+        F.col(_BK).alias("__pfx_bk2"), F.col("__pfx_bmin").alias("__pfx_bmin2")
+    )
+    nxt = (
+        bmin.join(F.broadcast(rhs), F.col("__pfx_bk2") > F.col(_BK), "left")
+        .groupBy(_BK)
+        .agg(F.min("__pfx_bmin2").alias("__pfx_next"))
+    )
+    wloc = W.partitionBy(_BK).orderBy(order_col)
+    out = (
+        b.join(F.broadcast(nxt), _BK)
+        .withColumn(
+            out_name,
+            F.coalesce(F.lead(order_col).over(wloc), F.col("__pfx_next")),
+        )
+        .drop(_BK, "__pfx_next")
+    )
+    return out

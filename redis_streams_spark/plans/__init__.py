@@ -91,3 +91,40 @@ def unguarded_global_windows(df: DataFrame) -> list[str]:
         if node.partitionSpec().isEmpty() and not _is_bounded(node):
             out.append(node.simpleString(120))
     return out
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """EVERY Window node with an empty partition spec, bounded input or
+    not — the strict form for queries rewritten on the bucketed
+    two-phase prefix sum (operators/prefix.py), whose whole point is
+    that no single-task window exists in the plan at all.  The
+    aggregate-guard of :func:`unguarded_global_windows` is necessary but
+    not sufficient when the aggregate's key is a CONTINUOUS column
+    (distinct-score cardinality grows with corpus size — round-8 verdict
+    finding on q_roc_auc/q_pr_curve)."""
+    out: list[str] = []
+    root = df._jdf.queryExecution().optimizedPlan()
+    for node in _iter_logical_nodes(root):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            out.append(node.simpleString(120))
+    return out
+
+
+def global_sorts(df: DataFrame) -> list[str]:
+    """Global Sort nodes in the optimized logical plan (``global=true``
+    — the ones that become a rangepartitioning exchange).  Used by the
+    trailing-sort gate: per-row-output queries must not end in a
+    presentation sort, because the driver's oracle compare is
+    order-insensitive and a range shuffle of per-row output is pure cost
+    at 100 TB."""
+    out: list[str] = []
+    root = df._jdf.queryExecution().optimizedPlan()
+    for node in _iter_logical_nodes(root):
+        if node.getClass().getSimpleName() == "Sort" and getattr(
+            node, "global"
+        )():
+            out.append(node.simpleString(120))
+    return out

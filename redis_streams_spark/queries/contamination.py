@@ -112,7 +112,6 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (n_hit * 1.0 / F.col("n_grams") >= _DECON_THRESHOLD)
             ).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -177,7 +176,6 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(no_email, F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
             F.regexp_replace(no_email, _LONGNUM_RE, "[NUM]").alias("scrubbed"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -266,5 +264,4 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "repetitive"
             ),
         )
-        .orderBy("doc_id")
     )

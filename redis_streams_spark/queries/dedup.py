@@ -160,7 +160,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash over term frequencies (bit-exact on
     both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_docs(docs).orderBy("doc_id")
+    return simhash_docs(docs)
 
 
 @register(
@@ -285,7 +285,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -317,7 +316,6 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -386,7 +384,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    )
 
 
 _BATCH_PRED = "doc_id % 10 = 7"
@@ -574,5 +572,4 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= 1)
         .select("a_key", "b_key", "dist")
-        .orderBy("a_key", "b_key")
     )

@@ -154,7 +154,6 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dup_token_fraction"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -196,7 +195,6 @@ def mix_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
             rnd(F.lit(1.0) / F.col("group_size"), 6).alias("sample_weight"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -255,5 +253,4 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novelty_frac"),
         )
-        .orderBy("doc_id")
     )

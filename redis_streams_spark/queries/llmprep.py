@@ -80,7 +80,6 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spans_boundary"
             ),
         )
-        .orderBy("source", "doc_id")
     )
 
 
@@ -138,7 +137,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .drop("rn")
-        .orderBy("doc_id", F.desc("tfidf"), "term")
     )
 
 
@@ -226,7 +224,6 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("mean_abs_err"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -354,7 +351,6 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("w"), start + 1, end - start), " "
             ).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -448,5 +444,4 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_chunk_fraction"
             ),
         )
-        .orderBy("doc_id")
     )

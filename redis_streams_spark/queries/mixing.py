@@ -61,7 +61,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(_TARGET_PER_SOURCE) * F.lit(_2_32)
         )
         .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -273,7 +272,6 @@ def q_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _CLASS_CAP)
         .drop("rn")
-        .orderBy("doc_id")
     )
 
 
@@ -339,7 +337,6 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("off") + F.col("rn") - 1).alias("sample_idx")
         )
         .where(F.col("sample_idx") % _SYS_K == 0)
-        .orderBy("doc_id")
     )
 
 
@@ -426,5 +423,4 @@ def mix_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             # distributed averages differ by an ulp across engines
             (rnd(F.avg(lr), 6) >= 0).alias("keep"),
         )
-        .orderBy("doc_id")
     )

@@ -14,15 +14,19 @@ Reference basis: none (SURVEY §2.2 extension surface).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.operators.prefix import bucketed_cumsum
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 _N_CAL_BINS = 10
 _PR_KS = (100, 500, 1000, 5000, 20000)
+# Prefix-sum bucket width over the score axis (events.value spans
+# ~0-560, so ~70 buckets; per-bucket work is |distinct scores in
+# bucket|, independent of corpus row count for a fixed score domain).
+_SCORE_BUCKET = 8.0
 
 _LABELED = """
 labeled AS (
@@ -60,10 +64,13 @@ GROUP BY t.n_pos, t.n_neg
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC via the rank-sum identity: AUC = P(score_pos > score_neg)
     + ½P(tie), computed from per-DISTINCT-SCORE positive/negative counts
-    and a cumulative window over the score-cardinality frame — the same
-    histogram-rank design as q_mann_whitney (AUC = U/(n₁n₀)), so no
-    global per-row sort exists at any scale (the window runs over
-    distinct scores, bounded by score cardinality, not corpus size)."""
+    (the histogram-rank design of q_mann_whitney: AUC = U/(n₁n₀)).  The
+    below-score negative count is an exact bucketed two-phase prefix sum
+    (operators/prefix.py): scores bucket by floor(score/width), cumulate
+    within buckets in parallel, add broadcast bucket-level offsets — the
+    plan contains NO empty-partition window, so the single-task frame a
+    continuous score column would otherwise grow with corpus size never
+    exists."""
     ev = load_table(spark, sf_dir, "events")
     labeled = ev.select(
         F.col("value").alias("score"),
@@ -73,14 +80,9 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").alias("pos"),
         (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
     )
-    wcum = (
-        W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum = by_score.select(
-        "pos",
-        "neg",
-        F.coalesce(F.sum("neg").over(wcum), F.lit(0)).alias("neg_below"),
-    )
+    cum = bucketed_cumsum(
+        by_score, "score", [("neg", "neg_below", False)], _SCORE_BUCKET
+    ).select("pos", "neg", "neg_below")
     tot = by_score.agg(
         F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg")
     )
@@ -200,9 +202,11 @@ ORDER BY k
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall at k cutoffs WITHOUT a global per-row sort: the
     same distinct-score histogram frame as q_roc_auc, cumulated from the
-    top; a cutoff landing inside a tie run apportions that run's
-    positives FRACTIONALLY (the standard interpolated P/R, and the only
-    tie semantics that is deterministic without ordering equal scores).
+    top via the bucketed two-phase prefix sum (operators/prefix.py,
+    descending — no empty-partition window in the plan); a cutoff
+    landing inside a tie run apportions that run's positives
+    FRACTIONALLY (the standard interpolated P/R, and the only tie
+    semantics that is deterministic without ordering equal scores).
     Cutoffs beyond the corpus clamp to n (eff_k).  The only joins are a
     5-row cutoff frame against the score-cardinality cumulative table."""
     ev = load_table(spark, sf_dir, "events")
@@ -213,18 +217,17 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = labeled.groupBy("score").agg(
         F.sum("label").alias("pos"), F.count(F.lit(1)).alias("cnt")
     )
-    wdesc = W.orderBy(F.desc("score"))
-    wexcl = wdesc.rowsBetween(W.unboundedPreceding, -1)
-    cum = by_score.select(
+    cum = bucketed_cumsum(
+        by_score,
         "score",
-        "pos",
-        "cnt",
-        F.sum("cnt").over(wdesc.rowsBetween(W.unboundedPreceding, 0)).alias(
-            "cnt_incl"
-        ),
-        F.coalesce(F.sum("cnt").over(wexcl), F.lit(0)).alias("cnt_excl"),
-        F.coalesce(F.sum("pos").over(wexcl), F.lit(0)).alias("pos_excl"),
-    )
+        [
+            ("cnt", "cnt_incl", True),
+            ("cnt", "cnt_excl", False),
+            ("pos", "pos_excl", False),
+        ],
+        _SCORE_BUCKET,
+        descending=True,
+    ).select("score", "pos", "cnt", "cnt_incl", "cnt_excl", "pos_excl")
     tot = labeled.agg(F.sum("label").alias("n_pos"), F.count(F.lit(1)).alias("n"))
     ks = ev.sparkSession.createDataFrame([(k,) for k in _PR_KS], "k LONG")
     eff_k = F.least(F.col("k"), F.col("n"))
@@ -232,9 +235,11 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt"
     )
     return (
-        ks.crossJoin(F.broadcast(tot))
-        .join(
-            cum,
+        cum.join(
+            # broadcast the 5-row cutoff×totals frame explicitly — the
+            # inequality join must be a BNLJ with the tiny side as build,
+            # never a cartesian over the histogram
+            F.broadcast(ks.crossJoin(F.broadcast(tot))),
             (F.col("cnt_excl") < eff_k) & (eff_k <= F.col("cnt_incl")),
         )
         .select(

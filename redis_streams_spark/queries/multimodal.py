@@ -95,7 +95,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake decode; the oracle recomputes the same features in
     SQL, verifying the pandas plumbing value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_features(docs).orderBy("doc_id")
+    return decode_features(docs)
 
 
 @register(
@@ -149,7 +149,7 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             frame_sample_indices(F.col("n_frames")).cast("array<string>"), ","
         ).alias("frame_idx"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -262,4 +262,70 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_and_decode,
         schema="doc_id bigint, modality string, width bigint, height bigint,"
         " n_frames bigint",
+    )
+
+
+@register(
+    "mm_mp4_meta",
+    tags=("multimodal", "codec", "video", "mp4"),
+    oracle="""
+SELECT doc_id,
+       'video' AS modality,
+       (160 + length(text) % 480)::BIGINT AS width,
+       (120 + length(text) % 360)::BIGINT AS height,
+       (1 + length(text) % 120)::BIGINT AS n_frames,
+       round((1 + length(text) % 120) * 40 / 1000.0, 3) AS duration_sec
+FROM documents
+ORDER BY doc_id
+""",
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) metadata through the driver gate — the video
+    analog of mm_jpeg_decode: each document gets a container with
+    dimensions/frame-count derived from its character length
+    (w = 160 + n%480, h = 120 + n%360, frames = 1 + n%120 at 25 fps),
+    serialized as an actual box tree (operators/mp4.py make_mp4: ftyp +
+    moov(mvhd/tkhd/stts) + mdat holding the text bytes) and parsed back
+    by the production parser (the same one decode_features'
+    real-codec path dispatches to on the ftyp magic).  The oracle
+    predicts every output column purely from length(text), so a green
+    row proves the writer→box-framing→parser round trip recovered the
+    true mvhd duration, tkhd 16.16 dimensions, and stts sample count for
+    every document.  Map-only inside Arrow batches at any scale."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from redis_streams_spark.operators.mp4 import make_mp4, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "modality": [], "width": [], "height": [],
+                   "n_frames": [], "duration_sec": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                frames = 1 + n % 120
+                payload = make_mp4(
+                    width=160 + n % 480,
+                    height=120 + n % 360,
+                    n_frames=frames,
+                    duration_ms=frames * 40,
+                    mdat=text.encode("utf-8"),
+                )
+                w, h, nf, dur, _mean = parse_mp4(payload)
+                out["doc_id"].append(doc_id)
+                out["modality"].append("video")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["duration_sec"].append(dur)
+            yield pd.DataFrame(out)
+
+    # no presentation sort: per-doc output (r09 discipline)
+    return docs.mapInPandas(
+        build_and_parse,
+        schema="doc_id bigint, modality string, width bigint, height bigint,"
+        " n_frames bigint, duration_sec double",
     )

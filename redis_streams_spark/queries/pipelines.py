@@ -97,7 +97,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay joinable."""
     return _cleaned(spark, sf_dir).select(
         "doc_id", "lang", "n_words", "content_hash"
-    ).orderBy("doc_id")
+    )
 
 
 @register(

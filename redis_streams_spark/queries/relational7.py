@@ -80,14 +80,14 @@ def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("event-time", "session", "builtin"),
     oracle=f"""
 WITH marked AS (
-  SELECT user_id, epoch_ms(ts) AS ms, value,
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {_GAP_MS}
               OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ms, value,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ms
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ms, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )

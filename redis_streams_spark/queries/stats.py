@@ -23,11 +23,15 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.operators.prefix import bucketed_cumsum, bucketed_lead
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 _MS = "unix_millis(cast(ts as timestamp))"
 _DAY_MS = 86_400_000
+# Prefix-sum bucket width over the document-length axis (n_chars spans
+# ~44-577 → ~35 buckets; see operators/prefix.py for the shape).
+_VAL_BUCKET = 16.0
 
 # Daily 2-series frame: revenue + event count per day.
 _DAILY2_SQL = f"""
@@ -190,20 +194,23 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution differ from the rest of the corpus" — the
     distribution-shift alarm quality pipelines run per ingest batch.
 
-    Scale shape: ranks come from the histogram-rank identity — a
-    cumulative count over the DISTINCT-VALUE frame (global window above
-    an aggregate, ≤ |distinct lengths| rows) gives every value its
-    average rank without any per-row global sort; per-source rank sums
-    are then an equi-join on value against the broadcast rank table."""
+    Scale shape: ranks come from the histogram-rank identity — the
+    cumulative count over the DISTINCT-VALUE frame is an exact bucketed
+    two-phase prefix sum (operators/prefix.py: within-bucket windows +
+    broadcast bucket offsets, no empty-partition window anywhere), so
+    no single task ever holds the whole histogram even when value
+    cardinality grows with the corpus; per-source rank sums are then an
+    equi-join on value against the broadcast rank table."""
     docs = load_table(spark, sf_dir, "documents")
     g = docs.groupBy(F.col("n_chars").alias("val")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
-    r = g.select(
+    r = bucketed_cumsum(
+        g, "val", [("cnt", "cum_cnt", True)], _VAL_BUCKET
+    ).select(
         "val",
         (
-            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+            F.col("cum_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
         ).alias("avg_rank"),
     )
     t = g.agg(
@@ -292,13 +299,17 @@ def _ecdf_frames(spark: SparkSession, sf_dir: str):
         )
     )
     n = d.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
-    e = d.crossJoin(F.broadcast(n)).select(
+    # Exact bucketed prefix sums (operators/prefix.py) — the ECDF
+    # cumulation never runs in a single empty-partition window task.
+    cum = bucketed_cumsum(
+        d, "val", [("c1", "cc1", True), ("c2", "cc2", True)], _VAL_BUCKET
+    )
+    e = cum.crossJoin(F.broadcast(n)).select(
         "val",
         "n1",
         "n2",
-        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
-        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        (F.col("cc1") / F.col("n1")).alias("f1"),
+        (F.col("cc2") / F.col("n2")).alias("f2"),
     )
     return ss, e
 
@@ -368,13 +379,19 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude-aware complement to KS's max-gap (KS says IF the
     distributions differ, W1 says by HOW MUCH in value units).
 
-    Scale shape: identical bounded-histogram frame as q_ks_test, plus
-    one lead() over the distinct-value grid."""
+    Scale shape: identical bucketed-prefix-sum frame as q_ks_test; the
+    value-grid lead() is the bucketed form too (operators/prefix.py
+    bucketed_lead: within-bucket lead + next-occupied-bucket minima), so
+    the plan has no empty-partition window at all."""
     ss, e = _ecdf_frames(spark, sf_dir)
-    gaps = e.select(
-        F.abs(F.col("f1") - F.col("f2")).alias("diff"),
-        (F.lead("val").over(W.orderBy("val")) - F.col("val")).alias("gap"),
-    ).where(F.col("gap").isNotNull())
+    gaps = (
+        bucketed_lead(e, "val", "next_val", _VAL_BUCKET)
+        .select(
+            F.abs(F.col("f1") - F.col("f2")).alias("diff"),
+            (F.col("next_val") - F.col("val")).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
     return gaps.agg(rnd(F.sum(F.col("diff") * F.col("gap")), 4).alias("w1_distance")).crossJoin(
         F.broadcast(ss)
     ).select(

@@ -185,7 +185,6 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("score_es") >= F.col("score_fr"), "es")
             .otherwise("fr"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -230,7 +229,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _FP_PRIME
             ).alias("fingerprint"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -326,7 +324,6 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_grams",
             rnd(F.col("dup_grams") * 1.0 / F.col("n_grams"), 6).alias("dup_fraction"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -391,7 +388,6 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.when(F.col("rnk") <= _LM_VOCAB_K, 0.0).otherwise(1.0)), 6
             ).alias("oov_rate"),
         )
-        .orderBy("doc_id")
     )
 
 

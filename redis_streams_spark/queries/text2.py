@@ -71,7 +71,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nd") > 1, rnd(h / F.log2(F.col("nd").cast("double")), 4))
         .otherwise(0.0)
         .alias("norm_entropy"),
-    ).orderBy("doc_id")
+    )
 
 
 _ZIPF_TOP = 100

@@ -239,7 +239,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_viol.alias("n_violations"),
         (n_viol == 0).alias("keep"),
         violations.alias("violations"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -361,5 +361,4 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 6
             ).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )

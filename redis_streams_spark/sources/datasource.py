@@ -44,10 +44,10 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -110,6 +110,70 @@ class RangePartition(InputPartition):
 class StagedCommit(WriterCommitMessage):
     staging_path: str
     n_rows: int
+
+
+def _content_jsons(batch) -> list[str]:
+    """Serialize one Arrow RecordBatch of sink input to content-JSON
+    lines (the staged format, byte-identical to what append_many would
+    write as each message's ``content`` object).  A ``content`` map
+    column passes through; any other schema is serialized field→string
+    (the reference's flat str|int|float payload, producer.py:37).
+    Columnar ``to_pylist`` + one json.dumps per row replaces the r08
+    per-Row ``asDict(recursive=True)`` hot path."""
+    import pyarrow as pa
+
+    names = list(batch.schema.names)
+    if "content" in names and pa.types.is_map(
+        batch.schema.field("content").type
+    ):
+        col = batch.column(names.index("content"))
+        return [
+            json.dumps({k: str(v) for k, v in pairs})
+            for pairs in col.to_pylist()
+        ]
+    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+    return [
+        json.dumps({n: str(v) for n, v in zip(names, vals)})
+        for vals in zip(*cols)
+    ]
+
+
+def _stage_batches(root: str, stream: str, iterator) -> StagedCommit:
+    """Task-side staging: serialize every RecordBatch to content-JSON
+    lines in one staging file (buffered, one write per batch)."""
+    staging_dir = os.path.join(root, stream, "staging")
+    os.makedirs(staging_dir, exist_ok=True)
+    path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(path, "w") as f:
+        for batch in iterator:
+            lines = _content_jsons(batch)
+            if lines:
+                f.write("\n".join(lines) + "\n")
+                n += len(lines)
+    return StagedCommit(staging_path=path, n_rows=n)
+
+
+def _append_staged(log, messages, maxlen: int | None) -> int:
+    """Driver-side commit: concatenate staged content-JSON lines and
+    append them in ONE batch.  The file backend splices the lines
+    byte-for-byte (``append_many_serialized`` — zero per-message
+    parse/re-serialize); network backends fall back to parsed
+    ``append_many``.  Returns the number of rows appended."""
+    lines: list[str] = []
+    for msg in messages:
+        if msg is None:
+            continue
+        with open(msg.staging_path) as f:
+            lines.extend(ln.rstrip("\n") for ln in f if ln.strip())
+        os.remove(msg.staging_path)
+    if not lines:
+        return 0
+    if hasattr(log, "append_many_serialized"):
+        log.append_many_serialized(lines, maxlen=maxlen)
+    else:
+        log.append_many([json.loads(ln) for ln in lines], maxlen=maxlen)
+    return len(lines)
 
 
 def _opts(options) -> tuple[str, str, str, int, str | None]:
@@ -217,33 +281,25 @@ class RedisLogStreamReader(DataSourceStreamReader):
         pass
 
 
-class RedisLogStreamWriter(DataSourceStreamWriter):
+class RedisLogStreamWriter(DataSourceStreamArrowWriter):
     """Sink: every input row becomes one appended message.
 
     Rows with a ``content`` map column pass through; any other schema is
     serialized field→string (the reference's flat str|int|float payload,
-    producer.py:37).  Two-phase: tasks stage, driver commit appends +
-    trims; a batch marker makes replayed commits no-ops (idempotent).
-    """
+    producer.py:37).  Two-phase: tasks stage Arrow batches as
+    content-JSON lines, driver commit splices them into the log in one
+    batch append + trim; a batch marker makes replayed commits no-ops
+    (idempotent).  Arrow transfer + serialized splice is the write-path
+    mirror of the r08 read-path rebuild (one epoch = one lock acquire,
+    one buffered write, one meta write — vs the reference's one XADD
+    round trip per message, producer.py:44-49)."""
 
     def __init__(self, options):
         self.root, self.stream, _, _, self.url = _opts(options)
         self.maxlen = int(options["maxlen"]) if "maxlen" in options else None
 
     def write(self, iterator) -> StagedCommit:
-        staging_dir = os.path.join(self.root, self.stream, "staging")
-        os.makedirs(staging_dir, exist_ok=True)
-        path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                d = row.asDict(recursive=True)
-                content = d["content"] if set(d) == {"content"} or (
-                    "content" in d and isinstance(d["content"], dict)
-                ) else d
-                f.write(json.dumps({k: str(v) for k, v in content.items()}) + "\n")
-                n += 1
-        return StagedCommit(staging_path=path, n_rows=n)
+        return _stage_batches(self.root, self.stream, iterator)
 
     def _marker(self, batch_id: int) -> str:
         commits = os.path.join(self.root, self.stream, "commits")
@@ -258,20 +314,8 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
                     os.remove(msg.staging_path)
             return
         log = connect_log(self.root, self.stream, url=self.url)
-        # one append_many for the whole epoch: a single stream_lock
-        # acquire + meta write instead of one per message (the reference
-        # pays one XADD round trip per message, producer.py:44-49 — batch
-        # amortization is the entire point of the sink)
-        rows: list[dict] = []
-        for msg in messages:
-            if msg is None:
-                continue
-            with open(msg.staging_path) as f:
-                rows.extend(json.loads(line) for line in f)
-            os.remove(msg.staging_path)
-        if rows:
-            log.append_many(rows, maxlen=self.maxlen)
-        elif self.maxlen is not None:
+        appended = _append_staged(log, messages, self.maxlen)
+        if not appended and self.maxlen is not None:
             # empty epoch still re-enforces retention (another writer may
             # have grown the stream past maxlen since the last batch)
             log.trim(self.maxlen)
@@ -284,9 +328,9 @@ class RedisLogStreamWriter(DataSourceStreamWriter):
                 os.remove(msg.staging_path)
 
 
-class RedisLogBatchWriter(DataSourceWriter):
+class RedisLogBatchWriter(DataSourceArrowWriter):
     """Batch sink: ``df.write.format("redislog")`` appends every row as a
-    message (overwrite mode resets the stream first).  Same staged
+    message (overwrite mode resets the stream first).  Same Arrow-staged
     two-phase commit as the stream writer, minus epoch markers (a batch
     job commits once)."""
 
@@ -296,34 +340,13 @@ class RedisLogBatchWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> StagedCommit:
-        staging_dir = os.path.join(self.root, self.stream, "staging")
-        os.makedirs(staging_dir, exist_ok=True)
-        path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                d = row.asDict(recursive=True)
-                content = (
-                    d["content"]
-                    if "content" in d and isinstance(d["content"], dict)
-                    else d
-                )
-                f.write(json.dumps({k: str(v) for k, v in content.items()}) + "\n")
-                n += 1
-        return StagedCommit(staging_path=path, n_rows=n)
+        return _stage_batches(self.root, self.stream, iterator)
 
     def commit(self, messages) -> None:
         log = connect_log(self.root, self.stream, url=self.url)
         if self.overwrite:
             log.delete()
-        rows: list[dict] = []
-        for msg in messages:
-            if msg is None:
-                continue
-            with open(msg.staging_path) as f:
-                rows.extend(json.loads(line) for line in f)
-            os.remove(msg.staging_path)
-        log.append_many(rows, maxlen=self.maxlen)
+        _append_staged(log, messages, self.maxlen)
 
     def abort(self, messages) -> None:
         for msg in messages:

@@ -188,6 +188,42 @@ class StreamLog:
                 self._trim_locked(maxlen)
         return ids
 
+    def append_many_serialized(
+        self, payloads: list[str], maxlen: int | None = None
+    ) -> list[str]:
+        """Batch append of PRE-SERIALIZED content objects: each element
+        is the JSON text of a ``{str: str}`` content dict (exactly what
+        ``json.dumps`` inside :meth:`append_many` would produce).  The
+        log line is spliced with string formatting — no per-message
+        parse/re-serialize on the hot sink path (round-9: the Spark sink
+        stages content JSON once at task side and the commit appends it
+        byte-for-byte; the read path does the only json.loads).  One
+        buffered write + one meta write for the whole batch."""
+        if not payloads:
+            return []
+        with self.stream_lock():
+            m = self._meta()
+            ms = int(time.time() * 1000)
+            seq = m["last_seq"] + 1 if ms == m["last_ms"] else 0
+            ids: list[str] = []
+            buf: list[str] = []
+            for payload in payloads:
+                msgid = f"{ms}-{seq:06d}"
+                ids.append(msgid)
+                buf.append(
+                    '{"msgid": "' + msgid + '", "content": ' + payload + "}\n"
+                )
+                seq += 1
+            with open(self.log_path, "a") as f:
+                f.write("".join(buf))
+            m.update(
+                appended=m["appended"] + len(payloads), last_ms=ms, last_seq=seq - 1
+            )
+            _atomic_write(self.meta_path, m)
+            if maxlen is not None and self.xlen() > maxlen:
+                self._trim_locked(maxlen)
+        return ids
+
     def read_slice(self, start_pos: int, end_pos: int) -> list[tuple[int, str, dict]]:
         """Messages with position in [start_pos, end_pos) as
         (pos, msgid, content).  Positions below first_pos are gone

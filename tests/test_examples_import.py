@@ -19,6 +19,8 @@ EXAMPLES = [
     "event_analytics",
     "growth_quality_audit",
     "drift_monitor",
+    "retrieval_quality_session",
+    "dedup_tuning",
 ]
 
 

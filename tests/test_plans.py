@@ -260,10 +260,10 @@ def test_all_query_plans_clean(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
-def test_text_chunks_single_generate_no_exchange_before_sort(spark, sf_dir):
-    """Chunking must run in the scan-stage projection: exactly one
-    Generate (the sequence explode), no Python, and the only Exchange is
-    the presentation orderBy's range partitioning."""
+def test_text_chunks_single_generate_no_exchange(spark, sf_dir):
+    """Chunking must run entirely in the scan-stage projection: exactly
+    one Generate (the sequence explode), no Python, and — since the r09
+    presentation-sort sweep — no Exchange at all (chunking is map-only)."""
     import re
 
     df = _df(spark, sf_dir, "text_chunks")
@@ -272,8 +272,7 @@ def test_text_chunks_single_generate_no_exchange_before_sort(spark, sf_dir):
     # detail section — count node headers, not substrings
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
     assert "Python" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
-    assert "rangepartitioning" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
 
 
 def test_shard_manifest_single_agg_shuffle(spark, sf_dir):
@@ -310,6 +309,93 @@ def test_join_hints_take_effect(spark, sf_dir):
     plan = plan_str(df)
     for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert node in plan, f"{node} missing — hint ignored"
+
+
+# Queries whose output is one row per input row (per document, customer,
+# vector, chunk, or candidate pair — cardinality scales with the corpus).
+# These must NOT end in a presentation sort: the driver's oracle compare
+# is order-insensitive, and a rangepartitioning exchange over per-row
+# output is pure cost at 100 TB (proven on dedup_minhash_lsh -36%,
+# text_stats -53%, q_asof_join -28% when their sorts were stripped).
+# Add every new per-row-output registration here.
+_PER_ROW_OUTPUT = {
+    "text_langid",
+    "text_fingerprint",
+    "text_dup_ngram_fraction",
+    "text_unigram_lm",
+    "text_entropy",
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "text_simhash",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_clusters_lsh",
+    "dedup_fuzzy_names",
+    "text_dup_spans",
+    "mix_dedup_weighting",
+    "text_ngram_novelty",
+    "q_stratified_sample",
+    "q_class_cap",
+    "q_systematic_sample",
+    "mix_importance_resample",
+    "q_seq_packing",
+    "text_tfidf",
+    "q_embed_quantize",
+    "text_chunks",
+    "dedup_chunks",
+    "pipeline_corpus_clean",
+    "mm_decode_features",
+    "mm_resize_sample",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_repetition",
+    # swept in round 8 (bench-visible):
+    "text_stats",
+    "q_asof_join",
+    "q_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+}
+
+
+def test_no_trailing_sort_on_per_row_outputs(spark, sf_dir):
+    """Structural form of the round-8/9 presentation-sort sweep: a
+    per-row-output query must contain no global Sort at all, so a
+    regression (someone re-adds `.orderBy("doc_id")` for readability)
+    fails here instead of costing a range shuffle at scale."""
+    from redis_streams_spark.plans import global_sorts
+
+    problems = []
+    for name in sorted(_PER_ROW_OUTPUT):
+        hits = global_sorts(all_queries()[name].fn(spark, sf_dir))
+        if hits:
+            problems.append(f"{name}: {hits}")
+    assert not problems, "\n".join(problems)
+
+
+# Queries rewritten on the bucketed two-phase prefix sum
+# (operators/prefix.py): their plans must contain ZERO empty-partition
+# windows — stronger than the aggregate-guard below, which is necessary
+# but not sufficient when the aggregate's key is a continuous column
+# whose distinct cardinality grows with the corpus (round-8 verdict).
+_PREFIX_SUM_QUERIES = {
+    "q_roc_auc",
+    "q_pr_curve",
+    "q_mann_whitney",
+    "q_ks_test",
+    "q_wasserstein_1d",
+}
+
+
+def test_prefix_sum_queries_no_global_window_at_all(spark, sf_dir):
+    from redis_streams_spark.plans import global_windows
+
+    problems = []
+    for name in sorted(_PREFIX_SUM_QUERIES):
+        hits = global_windows(all_queries()[name].fn(spark, sf_dir))
+        if hits:
+            problems.append(f"{name}: {hits}")
+    assert not problems, "\n".join(problems)
 
 
 # Unpartitioned windows acceptable over NON-aggregate but structurally
