@@ -478,6 +478,11 @@ def parse_jpeg(data: bytes) -> tuple[int, int, float]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (r08-advice fix; previously a legal
+        # fill byte was read as the marker and desynced the parse)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

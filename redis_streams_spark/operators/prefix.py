@@ -55,31 +55,40 @@ def bucketed_cumsum(
     specs: Sequence[tuple[str, str, bool]],
     width: float,
     descending: bool = False,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Append exact global cumulative sums to ``df`` without any
+    """Append exact cumulative sums to ``df`` without any
     empty-partition window.
 
-    ``df`` must have one row per distinct ``order_col`` value (a
-    histogram frame — group first), with non-null ``order_col``.
-    ``specs`` is a sequence of ``(src_col, out_name, inclusive)``:
-    each adds ``out_name`` = cumulative sum of ``src_col`` over rows
-    ordered by ``order_col`` (descending if ``descending``), including
-    the current row iff ``inclusive``.  Exclusive sums coalesce to 0 at
-    the first row.  All other columns pass through unchanged.
+    ``df`` must have one row per distinct (``partition_cols``,
+    ``order_col``) value (a histogram frame — group first), with
+    non-null ``order_col``.  ``specs`` is a sequence of ``(src_col,
+    out_name, inclusive)``: each adds ``out_name`` = cumulative sum of
+    ``src_col`` over rows ordered by ``order_col`` (descending if
+    ``descending``), including the current row iff ``inclusive``.
+    Exclusive sums coalesce to 0 at the first row.  With
+    ``partition_cols`` the cumulation restarts per partition (per-group
+    running totals — e.g. per-source exact quantiles) and every helper
+    frame is keyed by the partition too, so a single skewed group still
+    splits across its value buckets instead of one window task.  All
+    other columns pass through unchanged.
     """
+    pcols = list(partition_cols)
     bucket = F.floor(F.col(order_col) / F.lit(width)).cast("long")
     b = df.withColumn(_BK, bucket)
 
     srcs = sorted({src for src, _, _ in specs})
-    # Phase 2a: per-bucket totals — one row per occupied bucket,
-    # cardinality bounded by value-range/width.
-    btot = b.groupBy(_BK).agg(
+    # Phase 2a: per-(partition, bucket) totals — one row per occupied
+    # bucket, cardinality bounded by |partitions| * value-range/width.
+    btot = b.groupBy(*pcols, _BK).agg(
         *[F.sum(s).alias(f"__bt_{s}") for s in srcs]
     )
     # Phase 2b: exclusive bucket offsets via a broadcast triangle join
-    # over the tiny bucket frame (strictly-earlier buckets in the global
-    # order).  O(buckets^2) pairs on a bounded frame; zero windows.
+    # over the tiny bucket frame (same partition, strictly-earlier
+    # bucket in the global order).  O(buckets^2) pairs per partition on
+    # a bounded frame; zero windows.
     rhs = btot.select(
+        *[F.col(c).alias(f"__pfx_p_{c}") for c in pcols],
         F.col(_BK).alias("__pfx_bk2"),
         *[F.col(f"__bt_{s}").alias(f"__bt2_{s}") for s in srcs],
     )
@@ -88,9 +97,11 @@ def bucketed_cumsum(
         if descending
         else F.col("__pfx_bk2") < F.col(_BK)
     )
+    for c in pcols:
+        earlier = earlier & (F.col(f"__pfx_p_{c}") == F.col(c))
     off = (
         btot.join(F.broadcast(rhs), earlier, "left")
-        .groupBy(_BK)
+        .groupBy(*pcols, _BK)
         .agg(
             *[
                 F.coalesce(F.sum(f"__bt2_{s}"), F.lit(0)).alias(f"__off_{s}")
@@ -100,13 +111,13 @@ def bucketed_cumsum(
     )
 
     # Phase 1: within-bucket cumulative sums — partitioned window, one
-    # parallel task per bucket.
+    # parallel task per (partition, bucket).
     order = F.desc(order_col) if descending else F.asc(order_col)
-    wloc = W.partitionBy(_BK).orderBy(order)
+    wloc = W.partitionBy(*pcols, _BK).orderBy(order)
     wincl = wloc.rowsBetween(W.unboundedPreceding, 0)
     wexcl = wloc.rowsBetween(W.unboundedPreceding, -1)
 
-    out = b.join(F.broadcast(off), _BK)
+    out = b.join(F.broadcast(off), [*pcols, _BK])
     for src, name, inclusive in specs:
         local = (
             F.sum(src).over(wincl)

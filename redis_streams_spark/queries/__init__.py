@@ -45,8 +45,10 @@ def _load_all() -> None:
         llmprep2,
         mixing,
         modeleval,
+        modeleval2,
         multimodal,
         nullsem,
+        orderstats,
         pipelines,
         profile2,
         pyudf,
@@ -73,6 +75,7 @@ def _load_all() -> None:
         text4,
         text5,
         text6,
+        text7,
         timeseries,
         timeseries2,
         timeseries3,

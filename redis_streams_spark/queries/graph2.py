@@ -66,9 +66,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
     for _ in range(_ROUNDS):
-        # persist: each round's degree aggregates and the next round both
-        # consume this edge set; without it the whole peel chain re-runs
-        edges = edges.persist()
+        # no persist: the whole peel is ONE final plan, so ReuseExchange
+        # dedups each round's edge shuffle across its three consumers
+        # (measured 2x faster than per-round persist at sf0.01, and the
+        # r08-advice cache leak — three pinned edge sets per invocation —
+        # disappears outright)
         keep_s = (
             edges.groupBy("s").agg(F.count(F.lit(1)).alias("d")).where(F.col("d") >= _K)
         )

@@ -139,7 +139,13 @@ idx AS (
   FROM bucketed GROUP BY event_type, bucket
 ), scored AS (
   SELECT b.event_type, b.day, b.v, b.bucket,
-         abs((p.ax - q.ax) * (b.v - p.ay) - (p.ax - b.r) * (q.ay - p.ay))
+         -- round-before-argmax (rounding.py convention, like
+         -- sim_mmr_rerank's cosines): the anchors are cross-engine
+         -- float averages, so a near-tie in raw area could argmax
+         -- differently under Spark vs DuckDB summation order
+         {rnd_sql(
+             'abs((p.ax - q.ax) * (b.v - p.ay)'
+             ' - (p.ax - b.r) * (q.ay - p.ay))', 6)}
            AS area
   FROM bucketed b
   JOIN anchors p ON p.event_type = b.event_type AND p.bucket = b.bucket - 1
@@ -231,9 +237,15 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "v",
             "bucket",
-            F.abs(
-                (F.col("pax") - F.col("qax")) * (F.col("v") - F.col("pay"))
-                - (F.col("pax") - F.col("r")) * (F.col("qay") - F.col("pay"))
+            # round-before-argmax (matches the oracle's 6dp rounding;
+            # see the oracle comment)
+            rnd(
+                F.abs(
+                    (F.col("pax") - F.col("qax")) * (F.col("v") - F.col("pay"))
+                    - (F.col("pax") - F.col("r"))
+                    * (F.col("qay") - F.col("pay"))
+                ),
+                6,
             ).alias("area"),
         )
     )

@@ -133,3 +133,14 @@ def test_jpeg_decode_over_spark(spark):
         assert (r.width, r.height, r.n_frames) == (w, h, 1)
         assert r.modality == "image"
         assert r.mean_byte == pytest.approx(mean, abs=1.0)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker code —
+    the parser must skip them (r08-advice fix)."""
+    px = bytes([90]) * (16 * 16)
+    jb = make_jpeg(16, 16, px, gray=True)
+    # splice two fill bytes before the DQT marker (first 0xFF after SOI)
+    dqt = jb.index(b"\xff\xdb")
+    padded = jb[:dqt] + b"\xff\xff" + jb[dqt:]
+    assert parse_jpeg(padded) == parse_jpeg(jb)

@@ -213,6 +213,18 @@ _BNLJ_OK = {
     "q_cohens_d",  # 1-row source-pair/moment crossJoins (broadcast scalars)
     "q_var_cvar",  # 1-row VaR percentile crossJoin (broadcast scalar)
     "q_mix_drift",  # |days| x |types| dense-grid crossJoin (tiny aggregates)
+    # -- round 9 --
+    "q_exact_quantiles_hist",  # histogram x broadcast 5-row threshold frame
+    "q_weighted_median_price",  # histogram x broadcast 3-row threshold frame
+    "q_trimmed_winsor_mean",  # 1-row (n, k) totals crossJoin (broadcast scalar)
+    "q_equi_depth_hist",  # 1-row corpus-count crossJoin (broadcast scalar)
+    "q_log_loss",  # 1-row min/max range crossJoin (broadcast scalar)
+    "q_brier_decomposition",  # 1-row range + overall-moment crossJoins
+    "q_confusion_thresholds",  # broadcast 4-row threshold frame
+    "q_score_ks_separation",  # 1-row class-totals crossJoin (broadcast scalar)
+    # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
+    # listed above; their r09 prefix-sum rewrite adds only the tiny
+    # bucket-offset triangle join, also a broadcast BNLJ)
 }
 # Queries whose point is the Python execution surface.
 _PYTHON_OK = {
@@ -224,6 +236,7 @@ _PYTHON_OK = {
     "sim_bruteforce_np",  # declared vectorized path: BLAS matmul in mapInPandas
     "sim_recall_report",  # audits the np path, so its plan contains MapInPandas
     "mm_jpeg_decode",  # real JPEG encode+decode in mapInPandas (the point)
+    "mm_mp4_meta",  # real ISO-BMFF box write+parse in mapInPandas (the point)
 }
 
 
@@ -384,6 +397,13 @@ _PREFIX_SUM_QUERIES = {
     "q_mann_whitney",
     "q_ks_test",
     "q_wasserstein_1d",
+    # round-9 exact order statistics + model-eval completion
+    "q_exact_quantiles_hist",
+    "q_group_exact_quantiles",
+    "q_weighted_median_price",
+    "q_trimmed_winsor_mean",
+    "q_equi_depth_hist",
+    "q_score_ks_separation",
 }
 
 

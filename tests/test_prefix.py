@@ -1,0 +1,107 @@
+"""Bucketed two-phase prefix sums: exactness vs the naive global window
+on random histograms, plan-shape guarantees, and edge cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.operators.prefix import bucketed_cumsum, bucketed_lead
+from redis_streams_spark.plans import global_windows
+
+
+def _hist(spark, seed: int, n: int = 200):
+    rng = random.Random(seed)
+    vals = sorted({round(rng.uniform(-50, 450), 2) for _ in range(n)})
+    rows = [(v, rng.randint(1, 9), rng.randint(0, 5)) for v in vals]
+    return spark.createDataFrame(rows, "val double, cnt long, pos long")
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_cumsum_matches_global_window(spark, descending):
+    df = _hist(spark, seed=7)
+    order = F.desc("val") if descending else F.asc("val")
+    wincl = W.orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+    wexcl = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+    expected = {
+        r.val: (r.ci, r.ce, r.pe)
+        for r in df.select(
+            "val",
+            F.sum("cnt").over(wincl).alias("ci"),
+            F.coalesce(F.sum("cnt").over(wexcl), F.lit(0)).alias("ce"),
+            F.coalesce(F.sum("pos").over(wexcl), F.lit(0)).alias("pe"),
+        ).collect()
+    }
+    got_df = bucketed_cumsum(
+        df,
+        "val",
+        [("cnt", "ci", True), ("cnt", "ce", False), ("pos", "pe", False)],
+        width=40.0,
+        descending=descending,
+    )
+    got = {r.val: (r.ci, r.ce, r.pe) for r in got_df.collect()}
+    assert got == expected
+    assert global_windows(got_df) == []
+
+
+def test_cumsum_negative_values_and_single_bucket(spark):
+    # all values inside one bucket — offsets must be all-zero, not null
+    df = spark.createDataFrame(
+        [(-3.0, 2), (-2.5, 5), (-1.0, 1)], "val double, cnt long"
+    )
+    got = {
+        r.val: r.c
+        for r in bucketed_cumsum(
+            df, "val", [("cnt", "c", True)], width=1000.0
+        ).collect()
+    }
+    assert got == {-3.0: 2, -2.5: 7, -1.0: 8}
+
+
+def test_lead_matches_global_window(spark):
+    df = _hist(spark, seed=11)
+    expected = {
+        r.val: r.nxt
+        for r in df.select(
+            "val", F.lead("val").over(W.orderBy("val")).alias("nxt")
+        ).collect()
+    }
+    got_df = bucketed_lead(df, "val", "nxt", width=40.0)
+    got = {r.val: r.nxt for r in got_df.collect()}
+    assert got == expected  # includes None for the global last row
+    assert global_windows(got_df) == []
+
+
+def test_cumsum_partitioned_matches_per_group_window(spark):
+    rng = random.Random(19)
+    rows = [
+        (f"g{rng.randint(0, 3)}", round(rng.uniform(0, 300), 1), rng.randint(1, 5))
+        for _ in range(300)
+    ]
+    df = (
+        spark.createDataFrame(rows, "grp string, val double, cnt long")
+        .groupBy("grp", "val")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = W.partitionBy("grp").orderBy("val").rowsBetween(W.unboundedPreceding, 0)
+    expected = {
+        (r.grp, r.val): r.c
+        for r in df.select(
+            "grp", "val", F.sum("cnt").over(w).alias("c")
+        ).collect()
+    }
+    got_df = bucketed_cumsum(
+        df, "val", [("cnt", "c", True)], width=40.0, partition_cols=["grp"]
+    )
+    got = {(r.grp, r.val): r.c for r in got_df.collect()}
+    assert got == expected
+    assert global_windows(got_df) == []
+
+
+def test_cumsum_passes_through_other_columns(spark):
+    df = _hist(spark, seed=3, n=20)
+    out = bucketed_cumsum(df, "val", [("cnt", "c", True)], width=40.0)
+    assert set(out.columns) == {"val", "cnt", "pos", "c"}

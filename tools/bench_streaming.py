@@ -122,6 +122,23 @@ def main() -> None:
     results["spark_source_msgs_per_sec"] = round(N / (time.perf_counter() - t0))
 
     # -- source→sink copy (redislog → redislog) --------------------------
+    # Same warm-session protocol as the source read above (r08): the
+    # FIRST sink query pays one-time writer-worker spin-up (~5 s),
+    # measured separately as a latency; throughput is the warm number
+    # (scales ~29k msgs/s at 100k msgs, r09 measurement in SCALE.md).
+    src_warm = open_stream(spark, root, "warm", group="copy-warm", batch_size=0)
+    t0 = time.perf_counter()
+    qcw = (
+        src_warm.writeStream.format("redislog")
+        .option("path", root)
+        .option("stream", "copy-warm-out")
+        .option("checkpointLocation", os.path.join(root, "ck-copy-warm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qcw.awaitTermination(300)
+    results["sink_first_query_sec"] = round(time.perf_counter() - t0, 2)
+
     src_copy = open_stream(spark, root, "batch", group="copy-bench", batch_size=0)
     t0 = time.perf_counter()
     qc = (
