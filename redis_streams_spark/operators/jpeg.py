@@ -483,6 +483,8 @@ def parse_jpeg(data: bytes) -> tuple[int, int, float]:
         # fill byte was read as the marker and desynced the parse)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (fill bytes at end of stream)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -135,10 +135,19 @@ def parse_mp4(b: bytes) -> tuple[int, int, int, float, float]:
         raise ValueError("MP4 missing moov header boxes (mvhd/tkhd)")
 
     ps, pe = found[b"mvhd"][0]
+    if pe - ps < 4:
+        raise ValueError("truncated MP4 mvhd box")
     version = b[ps]
+    # extent checks BEFORE every unpack: a well-framed but short header
+    # box must raise, never read the neighboring box's bytes (review
+    # finding, r09)
     if version == 1:
+        if pe - ps < 4 + 16 + 4 + 8:
+            raise ValueError("truncated MP4 mvhd box (v1)")
         timescale, duration = struct.unpack_from(">IQ", b, ps + 4 + 16)
     elif version == 0:
+        if pe - ps < 4 + 8 + 4 + 4:
+            raise ValueError("truncated MP4 mvhd box (v0)")
         timescale, duration = struct.unpack_from(">II", b, ps + 4 + 8)
     else:
         raise ValueError(f"unsupported mvhd version {version}")
@@ -146,12 +155,18 @@ def parse_mp4(b: bytes) -> tuple[int, int, int, float, float]:
         raise ValueError("MP4 mvhd timescale is zero")
 
     ps, pe = found[b"tkhd"][0]
+    if pe - ps < 4:
+        raise ValueError("truncated MP4 tkhd box")
     tversion = b[ps]
     if tversion not in (0, 1):
         raise ValueError(f"unsupported tkhd version {tversion}")
-    # v0: 4 (verflags) + 4+4 times + 4 id + 4 res + 4 dur; v1 widens the
-    # three time/duration fields to 8 bytes.  Width/height are the LAST
-    # 8 bytes of the box either way.
+    # v0: 4 (verflags) + 4+4 times + 4 id + 4 res + 4 dur + 60 = 84;
+    # v1 widens the three time/duration fields to 8 bytes = 96.
+    # Width/height are the LAST 8 bytes of the box either way — but only
+    # once the box is full-length, else pe-8 points at other boxes'
+    # bytes (or the box's own header).
+    if pe - ps < (96 if tversion else 84):
+        raise ValueError(f"truncated MP4 tkhd box (v{tversion})")
     wfix, hfix = struct.unpack_from(">II", b, pe - 8)
     width, height = wfix >> 16, hfix >> 16
     if width <= 0 or height <= 0:
@@ -160,6 +175,8 @@ def parse_mp4(b: bytes) -> tuple[int, int, int, float, float]:
     n_frames = 0
     if b"stts" in found:
         ps, pe = found[b"stts"][0]
+        if pe - ps < 8:
+            raise ValueError("truncated MP4 stts table")
         (entry_count,) = struct.unpack_from(">I", b, ps + 4)
         if ps + 8 + entry_count * 8 > pe:
             raise ValueError("truncated MP4 stts table")

@@ -335,10 +335,12 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
     """Decode / feature-extract over Arrow batches via mapInPandas.
 
     With ``use_real_codecs=True`` the ``payload`` binary column is decoded
-    by REAL pure-Python raster parsers (BMP 24-bit, PPM P6, PNG 8-bit
-    non-interlaced incl. full inflate + unfilter — see :func:`parse_bmp`
-    / :func:`parse_ppm` / :func:`parse_png`); lossy formats (JPEG/MP4)
-    raise NotImplementedError (PIL/ffmpeg absent here — swap
+    by REAL pure-Python parsers: BMP 24-bit, PPM P6, PNG 8-bit
+    non-interlaced (full inflate + unfilter), baseline JPEG
+    (``operators/jpeg.py``), and ISO-BMFF/MP4 container metadata
+    (``operators/mp4.py`` — frame decode still needs ffmpeg and stays
+    out of scope).  Malformed payloads raise ValueError; genuinely
+    unknown magics raise NotImplementedError (swap
     :func:`_real_decode_payload`'s fallback for a codec call in
     production).  The default fake is deterministic md5 arithmetic over
     ``text``, so downstream operators and the SQL oracle can verify the

@@ -72,6 +72,13 @@ def bucketed_cumsum(
     frame is keyed by the partition too, so a single skewed group still
     splits across its value buckets instead of one window task.  All
     other columns pass through unchanged.
+
+    Sizing contract: the offset frame holds |partitions| x |occupied
+    buckets| rows and is broadcast — right for few-to-thousands of
+    groups (the skewed-group case this solves).  For millions of tiny
+    groups use a plain ``W.partitionBy(*groups)`` window instead: each
+    group is already small, and broadcasting a huge offset frame would
+    be the new bottleneck.
     """
     pcols = list(partition_cols)
     bucket = F.floor(F.col(order_col) / F.lit(width)).cast("long")

@@ -389,3 +389,115 @@ def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_JL_K = 8  # projection dimensions
+_JL_MOD = 7  # 1-in-7 deterministic id sample (same knob as sim_cos_histogram)
+
+
+def _jl_oracle() -> str:
+    from redis_streams_spark.functions.hashing import h32_sql
+
+    def proj(p: int, v: str) -> str:
+        h = h32_sql(f"'jl{p}:' || d::VARCHAR")
+        w = f"({h} / 2147483648.0 - 1.0)"
+        return (
+            f"list_reduce(list_transform(range(0, len({v})),"
+            f" d -> {v}[d + 1] * {w}), (a, b) -> a + b)"
+        )
+
+    ys = ",\n         ".join(
+        f"{proj(p, 'v')} AS y{p}" for p in range(_JL_K)
+    )
+    d2_proj = " + ".join(f"(a.y{p} - b.y{p}) * (a.y{p} - b.y{p})" for p in range(_JL_K))
+    return f"""
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id % {_JL_MOD} = 0
+), proj AS (
+  SELECT vec_id, v,
+         {ys}
+  FROM s
+), pairs AS (
+  SELECT sqrt(3.0 / {_JL_K}) * sqrt({d2_proj}) /
+         sqrt(list_reduce(
+           list_transform(range(1, len(a.v) + 1),
+                          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+           (x, y) -> x + y)) AS ratio
+  FROM proj a JOIN proj b ON b.vec_id > a.vec_id
+)
+SELECT floor(ratio * 10)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+       {rnd_sql('avg(ratio)', 6)} AS avg_ratio
+FROM pairs GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register(
+    "sim_jl_distortion",
+    tags=("similarity", "ann", "diagnostics", "projection"),
+    oracle=_jl_oracle(),
+)
+def sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit: project
+    the 64-dim embeddings to {8} dims with deterministic md5-derived
+    uniform[-1,1) planes (same no-RNG construction as sign-LSH, so the
+    SQL oracle builds identical planes), then histogram the ratio of
+    scaled projected distance to true euclidean distance over the fixed
+    1-in-{7} id-sample pair set.  A tight unimodal ratio bulk around 1.0
+    says the cheap 8-dim prefilter preserves neighborhoods; heavy tails
+    say raise K before trusting a projected index.  The quadratic pair
+    join runs ONLY over the fixed sample (the modulus is the knob);
+    projections are per-vector scan work, left-to-right folds identical
+    on both engines."""
+    from redis_streams_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % _JL_MOD == 0
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
+    def proj(p: int):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x
+                * (
+                    h32(F.concat(F.lit(f"jl{p}:"), d.cast("string")))
+                    / F.lit(2147483648.0)
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    s = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array(*[proj(p) for p in range(_JL_K)]).alias("y"),
+    )
+    a = s.select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av"), F.col("y").alias("ay")
+    )
+    b = s.select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv"), F.col("y").alias("by")
+    )
+    d2 = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, z: (x - z) * (x - z)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ratio = (
+        F.sqrt(F.lit(3.0 / _JL_K)) * F.sqrt(d2(F.col("ay"), F.col("by")))
+    ) / F.sqrt(d2(F.col("av"), F.col("bv")))
+    pairs = a.join(b, F.col("bid") > F.col("aid")).select(ratio.alias("ratio"))
+    return (
+        pairs.groupBy(F.floor(F.col("ratio") * 10).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            rnd(F.avg("ratio"), 6).alias("avg_ratio"),
+        )
+        .orderBy("bin")
+    )

@@ -31,7 +31,7 @@ WITH sents AS (
 SELECT doc_id,
        len(lens)::BIGINT AS n_sentences,
        CASE WHEN len(lens) > 0 THEN
-         round(5e-10 + list_sum(lens) * 1.0 / len(lens), 4) END
+         {rnd_sql('list_sum(lens) * 1.0 / len(lens)', 4)} END
          AS avg_sentence_chars,
        CASE WHEN len(lens) > 0 THEN list_max(lens)::BIGINT END
          AS max_sentence_chars

@@ -123,14 +123,23 @@ def _content_jsons(batch) -> list[str]:
     import pyarrow as pa
 
     names = list(batch.schema.names)
-    if "content" in names and pa.types.is_map(
-        batch.schema.field("content").type
-    ):
+    if "content" in names:
+        ctype = batch.schema.field("content").type
         col = batch.column(names.index("content"))
-        return [
-            json.dumps({k: str(v) for k, v in pairs})
-            for pairs in col.to_pylist()
-        ]
+        if pa.types.is_map(ctype):
+            return [
+                json.dumps({k: str(v) for k, v in pairs})
+                for pairs in col.to_pylist()
+            ]
+        if pa.types.is_struct(ctype):
+            # struct-typed content passes through field→string, same as
+            # the pre-Arrow writer's isinstance(d['content'], dict) path
+            # (review finding, r09: it must not fall to the generic
+            # branch, which would repr() the whole struct as one string)
+            return [
+                json.dumps({k: str(v) for k, v in row.items()})
+                for row in col.to_pylist()
+            ]
     cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
     return [
         json.dumps({n: str(v) for n, v in zip(names, vals)})

@@ -144,3 +144,11 @@ def test_jpeg_fill_bytes_before_marker():
     dqt = jb.index(b"\xff\xdb")
     padded = jb[:dqt] + b"\xff\xff" + jb[dqt:]
     assert parse_jpeg(padded) == parse_jpeg(jb)
+
+
+def test_jpeg_trailing_fill_bytes_raise_cleanly():
+    """A stream truncated inside a fill-byte run must raise the parser's
+    descriptive ValueError, not IndexError (r09 review finding on the
+    fill-byte skip loop: data[pos+1] could index one past the end)."""
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        parse_jpeg(b"\xff\xd8\xff\xff")

@@ -80,6 +80,31 @@ def test_rejects_malformed_loudly():
         parse_mp4(ftyp_only)
 
 
+def test_rejects_short_but_well_framed_header_boxes():
+    """A header box whose FRAMING is valid but whose payload is shorter
+    than its fixed layout must raise, never read the neighboring box's
+    bytes as metadata (r09 review finding: a 4-byte mvhd previously
+    returned garbage duration from the adjacent tkhd)."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+
+    def boxed(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    short_mvhd = boxed(b"mvhd", struct.pack(">B3x", 0))  # verflags only
+    full = make_mp4(64, 64, 2, duration_ms=80)
+    moov_payload = short_mvhd + boxed(b"tkhd", b"\x00" * 84)
+    bad = ftyp + boxed(b"moov", moov_payload)
+    with pytest.raises(ValueError, match="truncated MP4 mvhd"):
+        parse_mp4(bad)
+    # short tkhd: valid mvhd, 12-byte tkhd payload
+    good_mvhd_start = full.index(b"mvhd") - 4
+    (mvhd_size,) = struct.unpack_from(">I", full, good_mvhd_start)
+    good_mvhd = full[good_mvhd_start : good_mvhd_start + mvhd_size]
+    bad2 = ftyp + boxed(b"moov", good_mvhd + boxed(b"tkhd", b"\x00" * 12))
+    with pytest.raises(ValueError, match="truncated MP4 tkhd"):
+        parse_mp4(bad2)
+
+
 def test_rejects_degenerate_parameters():
     with pytest.raises(ValueError, match="degenerate"):
         make_mp4(0, 480, 10, duration_ms=400)

@@ -61,16 +61,25 @@ def test_real_codec_decode_over_spark(spark):
     assert all(r.modality == "image" for r in decoded)
 
 
-def test_real_codecs_video_raises(spark):
-    """Formats that need ffmpeg stay a loud stub, not fake numbers.
-    (JPEG no longer raises — operators/jpeg.py decodes baseline streams;
-    see test_jpeg.py for that coverage.)"""
-    mp4ish = b"\x00\x00\x00\x18ftypmp42rest-of-box"
+def test_real_codecs_unknown_format_raises(spark):
+    """Containers with no parser stay a loud stub, not fake numbers.
+    (JPEG and MP4 metadata no longer raise — operators/jpeg.py decodes
+    baseline streams, operators/mp4.py parses the box tree; see
+    test_jpeg.py / test_mp4.py.  A MALFORMED MP4 still fails loudly
+    through the codec path, and genuinely unknown magics hit the
+    NotImplementedError boundary.)"""
+    truncated_mp4 = b"\x00\x00\x00\x18ftypmp42rest-of-box"  # size past EOF
     docs = spark.createDataFrame(
-        [(0, bytearray(mp4ish))], "doc_id bigint, payload binary"
+        [(0, bytearray(truncated_mp4))], "doc_id bigint, payload binary"
     )
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+    with pytest.raises(Exception, match="bad MP4 box size"):
         decode_features(docs, use_real_codecs=True).collect()
+    unknown = b"RIFFxxxxWAVEfmt rest-of-payload"  # WAV: no parser here
+    docs2 = spark.createDataFrame(
+        [(0, bytearray(unknown))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        decode_features(docs2, use_real_codecs=True).collect()
 
 
 def test_real_codecs_truncated_jpeg_raises(spark):

@@ -215,6 +215,7 @@ _BNLJ_OK = {
     "q_mix_drift",  # |days| x |types| dense-grid crossJoin (tiny aggregates)
     # -- round 9 --
     "q_exact_quantiles_hist",  # histogram x broadcast 5-row threshold frame
+    "q_group_exact_quantiles",  # |ps| x |sources| threshold grid (tiny crossJoin)
     "q_weighted_median_price",  # histogram x broadcast 3-row threshold frame
     "q_trimmed_winsor_mean",  # 1-row (n, k) totals crossJoin (broadcast scalar)
     "q_equi_depth_hist",  # 1-row corpus-count crossJoin (broadcast scalar)
@@ -222,6 +223,7 @@ _BNLJ_OK = {
     "q_brier_decomposition",  # 1-row range + overall-moment crossJoins
     "q_confusion_thresholds",  # broadcast 4-row threshold frame
     "q_score_ks_separation",  # 1-row class-totals crossJoin (broadcast scalar)
+    "sim_jl_distortion",  # pair join over the fixed 1-in-7 id sample
     # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
     # listed above; their r09 prefix-sum rewrite adds only the tiny
     # bucket-offset triangle join, also a broadcast BNLJ)

@@ -209,6 +209,39 @@ def test_batch_writer_roundtrip(spark, tmp_path, sf_dir):
     )
 
 
+def test_batch_writer_struct_content_passthrough(spark, tmp_path):
+    """A STRUCT-typed `content` column passes through field→string like
+    the map path — not repr()'d into one blob by the generic branch
+    (r09 review finding on the Arrow writer rewrite)."""
+    _register(spark)
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.struct(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("n"),
+        ).alias("content")
+    )
+    (
+        df.write.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "structed")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "structed")
+        .load()
+        .collect()
+    )
+    contents = sorted(
+        (r["content"]["k"], r["content"]["n"]) for r in back
+    )
+    assert contents == [("k0", "0"), ("k1", "1"), ("k2", "2")]
+
+
 def test_stream_writer_commit_replay_idempotent(tmp_path):
     """A replayed epoch commit (same batchId after a driver failure) must
     not double-append: the batch marker makes the second commit a no-op."""
