@@ -303,3 +303,88 @@ def q_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+_GOF_WIDTH = 50.0
+_GOF_BINS = 12  # [0,50) ... [550, inf)
+
+
+@register(
+    "q_exp_fit_gof",
+    tags=("stats", "distribution", "model-eval"),
+    oracle=f"""
+WITH t AS (
+  SELECT count(*)::BIGINT AS n, 1.0 / avg(value) AS lam FROM events
+), binned AS (
+  SELECT least(floor(value / {_GOF_WIDTH})::BIGINT, {_GOF_BINS - 1}) AS bin,
+         count(*)::BIGINT AS obs
+  FROM events GROUP BY 1
+), model AS (
+  SELECT b.bin, b.obs, t.n, t.lam,
+         exp(-t.lam * (b.bin * {_GOF_WIDTH}))
+         - CASE WHEN b.bin < {_GOF_BINS - 1}
+                THEN exp(-t.lam * ((b.bin + 1) * {_GOF_WIDTH}))
+                ELSE 0.0 END AS p
+  FROM binned b CROSS JOIN t
+)
+SELECT any_value(n) AS n,
+       {rnd_sql('any_value(lam)', 6)} AS lambda,
+       {rnd_sql(
+           '''sum(CASE WHEN obs > 0
+                  THEN (obs * 1.0 / n) * ln((obs * 1.0 / n) / p) END)''', 6
+       )} AS kl_divergence,
+       {rnd_sql('sum((obs - n * p) * (obs - n * p) / (n * p))', 4)}
+         AS chi2_stat
+FROM model
+""",
+)
+def q_exp_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric distribution-fit audit: fit an exponential
+    (λ = 1/mean) to ``events.value``, bin observed mass on a fixed
+    {_GOF_WIDTH}-wide grid (last bin open), and report KL divergence and
+    the chi-square GOF statistic against the model probabilities — the
+    "is this still exponential-ish" alarm a sampling or synthetic-data
+    pipeline runs per batch, complementing the nonparametric drift
+    family (PSI/JS/KS) with a closed-form null.  One moment aggregate +
+    one {_GOF_BINS}-row binned aggregate; the model probabilities are
+    scalar arithmetic on the broadcast (n, λ) row."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.lit(1.0) / F.avg("value")).alias("lam"),
+    )
+    binned = ev.groupBy(
+        F.least(
+            F.floor(F.col("value") / _GOF_WIDTH).cast("long"),
+            F.lit(_GOF_BINS - 1),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    lo = F.col("bin") * _GOF_WIDTH
+    hi = (F.col("bin") + 1) * _GOF_WIDTH
+    p = F.exp(-F.col("lam") * lo) - F.when(
+        F.col("bin") < _GOF_BINS - 1, F.exp(-F.col("lam") * hi)
+    ).otherwise(0.0)
+    model = binned.crossJoin(F.broadcast(t)).select(
+        "bin", "obs", "n", "lam", p.alias("p")
+    )
+    obs_frac = F.col("obs") * 1.0 / F.col("n")
+    return model.agg(
+        F.first("n").alias("n"),
+        rnd(F.first("lam"), 6).alias("lambda"),
+        rnd(
+            F.sum(
+                F.when(
+                    F.col("obs") > 0, obs_frac * F.log(obs_frac / F.col("p"))
+                )
+            ),
+            6,
+        ).alias("kl_divergence"),
+        rnd(
+            F.sum(
+                (F.col("obs") - F.col("n") * F.col("p"))
+                * (F.col("obs") - F.col("n") * F.col("p"))
+                / (F.col("n") * F.col("p"))
+            ),
+            4,
+        ).alias("chi2_stat"),
+    )

@@ -268,3 +268,60 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+_CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@register(
+    "q_cross_correlation",
+    tags=("timeseries", "stats", "correlation"),
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         sum(value) AS rev, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1
+), lags AS (SELECT * FROM (VALUES {", ".join(f"({L})" for L in _CCF_LAGS)}) lags(lag)),
+j AS (
+  SELECT lags.lag, a.rev, b.n
+  FROM lags
+  JOIN d a ON true
+  JOIN d b ON b.day = a.day + lags.lag
+)
+SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_days,
+       round(5e-10 + corr(rev, n), 6) AS ccf
+FROM j GROUP BY 1 ORDER BY lag
+""",
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily revenue and daily event
+    count (CCF at lags -3..+3): does volume LEAD revenue or follow it —
+    the lead/lag detector behind demand forecasting and anomaly
+    root-causing (the two-series generalization of q_autocorr).
+
+    Scale shape: one day-keyed aggregate, then a self-join shifted by
+    each lag over the bounded daily frame (≤ n_days rows, broadcast) and
+    one corr() per lag — corpus-scale-free past the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.expr(_MS) / F.lit(86400000)).cast("long")
+    d = ev.groupBy(day.alias("day")).agg(
+        F.sum("value").alias("rev"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    lags = spark.createDataFrame([(L,) for L in _CCF_LAGS], "lag long")
+    a = d.select(F.col("day").alias("aday"), "rev")
+    b = d.select(F.col("day").alias("bday"), "n")
+    j = (
+        lags.crossJoin(F.broadcast(a))
+        .join(
+            F.broadcast(b),
+            F.col("bday") == F.col("aday") + F.col("lag"),
+        )
+    )
+    return (
+        j.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            rnd(F.corr("rev", "n"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
