@@ -491,6 +491,8 @@ def parse_jpeg(data: bytes) -> tuple[int, int, float]:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length)")
         (ln,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + ln]
         pos += ln

@@ -288,31 +288,38 @@ def kmeans_assign(
     )
 
 
-def signlsh_signature(v, n_planes: int = 16):
-    """Sign-LSH signature: bit p = sign(<v, w_p>) with pseudo-random
-    hyperplanes w_p derived deterministically from md5 of (plane, dim) —
-    so Spark and the SQL oracle build identical planes with no RNG.
-    w_pd = h32(p:d)/2^31 - 1  ∈ [-1, 1)."""
+def hyperplane_dot(v, p: int, prefix: str = ""):
+    """<v, w_p> against a pseudo-random hyperplane derived
+    deterministically from md5 of (prefix, plane, dim) — so Spark and
+    the SQL oracle build identical planes with no RNG.
+    w_pd = h32(prefix+p:d)/2^31 - 1 ∈ [-1, 1).  The ONE Spark-side copy
+    of the plane construction: sign-LSH signatures use prefix "" and the
+    JL projection audit uses prefix "jl" (second r09 review pass —
+    previously duplicated in queries/similarity3.py)."""
     from redis_streams_spark.functions.hashing import h32
 
-    def plane_dot(p: int):
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x
-                * (
-                    h32(F.concat(F.lit(f"{p}:"), d.cast("string"))) / F.lit(2147483648.0)
-                    - 1.0
-                ),
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, d: x
+            * (
+                h32(F.concat(F.lit(f"{prefix}{p}:"), d.cast("string")))
+                / F.lit(2147483648.0)
+                - 1.0
             ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
 
+
+def signlsh_signature(v, n_planes: int = 16):
+    """Sign-LSH signature: bit p = sign(<v, w_p>) over the
+    :func:`hyperplane_dot` planes."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(0)
+        sig = sig + F.when(hyperplane_dot(v, p) > 0, F.lit(1 << p)).otherwise(0)
     return sig
 
 

@@ -330,24 +330,28 @@ WITH t AS (
 SELECT any_value(n) AS n,
        {rnd_sql('any_value(lam)', 6)} AS lambda,
        {rnd_sql(
-           '''sum(CASE WHEN obs > 0
+           '''sum(CASE WHEN obs > 0 AND p > 0
                   THEN (obs * 1.0 / n) * ln((obs * 1.0 / n) / p) END)''', 6
        )} AS kl_divergence,
-       {rnd_sql('sum((obs - n * p) * (obs - n * p) / (n * p))', 4)}
-         AS chi2_stat
+       {rnd_sql(
+           '''sum(CASE WHEN p > 0
+                  THEN (obs - n * p) * (obs - n * p) / (n * p) END)''', 4
+       )} AS chi2_stat
 FROM model
 """,
 )
 def q_exp_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parametric distribution-fit audit: fit an exponential
     (λ = 1/mean) to ``events.value``, bin observed mass on a fixed
-    {_GOF_WIDTH}-wide grid (last bin open), and report KL divergence and
+    50-wide grid (12 bins, last open), and report KL divergence and
     the chi-square GOF statistic against the model probabilities — the
     "is this still exponential-ish" alarm a sampling or synthetic-data
     pipeline runs per batch, complementing the nonparametric drift
     family (PSI/JS/KS) with a closed-form null.  One moment aggregate +
-    one {_GOF_BINS}-row binned aggregate; the model probabilities are
-    scalar arithmetic on the broadcast (n, λ) row."""
+    one 12-row binned aggregate; the model probabilities are scalar
+    arithmetic on the broadcast (n, λ) row.  Terms guard on p > 0 on
+    both engines (an underflowed model tail would otherwise be NULL in
+    Spark but inf in DuckDB)."""
     ev = load_table(spark, sf_dir, "events")
     t = ev.agg(
         F.count(F.lit(1)).alias("n"),
@@ -374,16 +378,20 @@ def q_exp_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(
             F.sum(
                 F.when(
-                    F.col("obs") > 0, obs_frac * F.log(obs_frac / F.col("p"))
+                    (F.col("obs") > 0) & (F.col("p") > 0),
+                    obs_frac * F.log(obs_frac / F.col("p")),
                 )
             ),
             6,
         ).alias("kl_divergence"),
         rnd(
             F.sum(
-                (F.col("obs") - F.col("n") * F.col("p"))
-                * (F.col("obs") - F.col("n") * F.col("p"))
-                / (F.col("n") * F.col("p"))
+                F.when(
+                    F.col("p") > 0,
+                    (F.col("obs") - F.col("n") * F.col("p"))
+                    * (F.col("obs") - F.col("n") * F.col("p"))
+                    / (F.col("n") * F.col("p")),
+                )
             ),
             4,
         ).alias("chi2_stat"),

@@ -419,12 +419,19 @@ WITH s AS (
          {ys}
   FROM s
 ), pairs AS (
-  SELECT sqrt(3.0 / {_JL_K}) * sqrt({d2_proj}) /
-         sqrt(list_reduce(
-           list_transform(range(1, len(a.v) + 1),
-                          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
-           (x, y) -> x + y)) AS ratio
-  FROM proj a JOIN proj b ON b.vec_id > a.vec_id
+  SELECT sqrt(3.0 / {_JL_K}) * sqrt(d2p) / sqrt(d2t) AS ratio
+  FROM (
+    SELECT {d2_proj} AS d2p,
+           list_reduce(
+             list_transform(range(1, len(a.v) + 1),
+                            i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+             (x, y) -> x + y) AS d2t
+    FROM proj a JOIN proj b ON b.vec_id > a.vec_id
+  ) p
+  -- duplicate vectors (zero true distance) have no defined ratio:
+  -- excluded on BOTH engines (Spark 0/0 -> NULL vs DuckDB NaN would
+  -- diverge; second r09 review pass)
+  WHERE d2t > 0
 )
 SELECT floor(ratio * 10)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
        {rnd_sql('avg(ratio)', 6)} AS avg_ratio
@@ -450,33 +457,18 @@ def sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     join runs ONLY over the fixed sample (the modulus is the knob);
     projections are per-vector scan work, left-to-right folds identical
     on both engines."""
-    from redis_streams_spark.functions.hashing import h32
+    from redis_streams_spark.operators.similarity import hyperplane_dot
 
     e = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % _JL_MOD == 0
     )
     v = F.transform("embedding", lambda x: x.cast("double"))
-
-    def proj(p: int):
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x
-                * (
-                    h32(F.concat(F.lit(f"jl{p}:"), d.cast("string")))
-                    / F.lit(2147483648.0)
-                    - 1.0
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
     s = e.select(
         "vec_id",
         v.alias("v"),
-        F.array(*[proj(p) for p in range(_JL_K)]).alias("y"),
+        F.array(
+            *[hyperplane_dot(v, p, prefix="jl") for p in range(_JL_K)]
+        ).alias("y"),
     )
     a = s.select(
         F.col("vec_id").alias("aid"), F.col("v").alias("av"), F.col("y").alias("ay")
@@ -489,10 +481,22 @@ def sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    ratio = (
-        F.sqrt(F.lit(3.0 / _JL_K)) * F.sqrt(d2(F.col("ay"), F.col("by")))
-    ) / F.sqrt(d2(F.col("av"), F.col("bv")))
-    pairs = a.join(b, F.col("bid") > F.col("aid")).select(ratio.alias("ratio"))
+    pairs = (
+        a.join(b, F.col("bid") > F.col("aid"))
+        .select(
+            d2(F.col("ay"), F.col("by")).alias("d2p"),
+            d2(F.col("av"), F.col("bv")).alias("d2t"),
+        )
+        # duplicate vectors (zero true distance) have no defined ratio:
+        # excluded on BOTH engines (second r09 review pass)
+        .where(F.col("d2t") > 0)
+        .select(
+            (
+                F.sqrt(F.lit(3.0 / _JL_K)) * F.sqrt(F.col("d2p"))
+                / F.sqrt(F.col("d2t"))
+            ).alias("ratio")
+        )
+    )
     return (
         pairs.groupBy(F.floor(F.col("ratio") * 10).alias("bin"))
         .agg(

@@ -289,7 +289,7 @@ j AS (
   JOIN d b ON b.day = a.day + lags.lag
 )
 SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_days,
-       round(5e-10 + corr(rev, n), 6) AS ccf
+       {rnd_sql('corr(rev, n)', 6)} AS ccf
 FROM j GROUP BY 1 ORDER BY lag
 """,
 )

@@ -127,8 +127,12 @@ def _content_jsons(batch) -> list[str]:
         ctype = batch.schema.field("content").type
         col = batch.column(names.index("content"))
         if pa.types.is_map(ctype):
+            # a NULL content row becomes an empty payload, not a crash
+            # (second r09 review pass)
             return [
-                json.dumps({k: str(v) for k, v in pairs})
+                json.dumps(
+                    {} if pairs is None else {k: str(v) for k, v in pairs}
+                )
                 for pairs in col.to_pylist()
             ]
         if pa.types.is_struct(ctype):
@@ -137,7 +141,9 @@ def _content_jsons(batch) -> list[str]:
             # (review finding, r09: it must not fall to the generic
             # branch, which would repr() the whole struct as one string)
             return [
-                json.dumps({k: str(v) for k, v in row.items()})
+                json.dumps(
+                    {} if row is None else {k: str(v) for k, v in row.items()}
+                )
                 for row in col.to_pylist()
             ]
     cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]

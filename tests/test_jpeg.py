@@ -152,3 +152,11 @@ def test_jpeg_trailing_fill_bytes_raise_cleanly():
     fill-byte skip loop: data[pos+1] could index one past the end)."""
     with pytest.raises(ValueError, match="truncated JPEG"):
         parse_jpeg(b"\xff\xd8\xff\xff")
+
+
+def test_jpeg_truncated_at_segment_length_raises_valueerror():
+    """Truncation at a segment-length field must raise the descriptive
+    ValueError, not struct.error (second r09 review pass)."""
+    for payload in (b"\xff\xd8\xff\xdb", b"\xff\xd8\xff\xdb\x00"):
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            parse_jpeg(payload)

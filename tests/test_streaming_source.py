@@ -308,3 +308,32 @@ def test_union_of_two_stream_sources(spark, tmp_path):
         r.content["v"] for r in spark.sql("SELECT * FROM union_out").collect()
     )
     assert vals == ["1", "2", "3"]
+
+
+def test_batch_writer_null_content_rows(spark, tmp_path):
+    """NULL content rows serialize as empty payloads instead of crashing
+    the write task (second r09 review pass)."""
+    _register(spark)
+    from pyspark.sql import functions as F
+
+    df = spark.range(2).select(
+        F.when(
+            F.col("id") == 0, F.create_map(F.lit("k"), F.lit("v"))
+        ).alias("content")
+    )
+    (
+        df.write.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "nullable")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("redislog")
+        .option("path", str(tmp_path))
+        .option("stream", "nullable")
+        .load()
+        .collect()
+    )
+    contents = sorted((dict(r["content"]) for r in back), key=len)
+    assert contents == [{}, {"k": "v"}]
