@@ -1,16 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Video codecs (MP4 — ffmpeg) are not present in this container, so that
-branch of ``decode_features(..., use_real_codecs=True)`` raises
-NotImplementedError.  The real-codec branch IS exercised end-to-end for
-images, though: pure-Python parsers for four dependency-free formats —
-BMP 24-bit uncompressed, PPM ``P6``, PNG (8-bit gray/RGB/RGBA, full zlib
-inflate + all five row filters, chunk CRCs verified), and baseline JPEG
-(``operators/jpeg.py``: Huffman + dequant + batched IDCT + 4:2:0/4:2:2
-upsampling + YCbCr conversion; progressive raises) — decode actual
-header + pixel/bitstream bytes inside the mapInPandas batch, and
-``make_bmp`` / ``make_ppm`` / ``make_png`` / ``make_jpeg`` synthesize
-valid payloads for tests.  The
+The real-codec branch of ``decode_features(..., use_real_codecs=True)``
+is exercised end-to-end for ALL THREE modalities with dependency-free
+pure-Python parsers: images — BMP 24-bit uncompressed, PPM ``P6``, PNG
+(8-bit gray/RGB/RGBA, full zlib inflate + all five row filters, chunk
+CRCs verified), baseline JPEG (``operators/jpeg.py``: Huffman + dequant
++ batched IDCT + 4:2:0/4:2:2 upsampling + YCbCr conversion; progressive
+raises); audio — PCM WAV (``operators/wav.py``: RIFF chunk walk,
+fmt/data, 8/16-bit; float/ADPCM raise); video — ISO-BMFF/MP4 container
+metadata (``operators/mp4.py``: mvhd/tkhd/stts box tree; actual frame
+decode needs ffmpeg, absent here, and raises from unknown magics only).
+All decode actual header/payload bytes inside the mapInPandas batch,
+and ``make_bmp`` / ``make_ppm`` / ``make_png`` / ``make_jpeg`` /
+``make_wav`` / ``make_mp4`` synthesize valid payloads for tests.  The
 default deterministic fake derives "decoded" features from the payload's
 md5 — which makes the whole mapInPandas pipeline (schema, Arrow batching,
 partition parallelism) real and testable, and even SQL-oracle-verifiable.
@@ -320,13 +322,28 @@ def _real_decode_payload(payload: bytes) -> tuple[int, int, int, float]:
 
         w, h, n_frames, _dur, mean = parse_mp4(payload)
         return w, h, n_frames, mean
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from redis_streams_spark.operators.wav import parse_wav
+
+        # audio feature mapping into the shared DECODED_SCHEMA: width
+        # carries the sample rate, height the channel count, n_frames
+        # the frame (sample-group) count, mean_byte the mean absolute
+        # amplitude scaled to byte range (16-bit /256)
+        channels, rate, bits, n_samples, _dur, mean_abs = parse_wav(payload)
+        return (
+            rate,
+            channels,
+            n_samples,
+            round(mean_abs / 256.0, 4) if bits == 16 else mean_abs,
+        )
     else:
         raise NotImplementedError(
             "unrecognized media container; supported real formats here "
             "are BMP (24-bit uncompressed), PPM P6, PNG (8-bit, "
             "non-interlaced), baseline JPEG (operators/jpeg.py — "
-            "progressive/arithmetic raise), and MP4 box metadata "
-            "(operators/mp4.py — frame decode needs ffmpeg, absent here)"
+            "progressive/arithmetic raise), PCM WAV (operators/wav.py — "
+            "float/ADPCM raise), and MP4 box metadata (operators/mp4.py "
+            "— frame decode needs ffmpeg, absent here)"
         )
     return w, h, 1, mean
 
@@ -363,7 +380,15 @@ def decode_features(docs: DataFrame, use_real_codecs: bool = False) -> DataFrame
                             "image"
                             if p[:2] in (b"BM", b"P6", b"\xff\xd8")
                             or p[:8] == _PNG_SIG
-                            else ("video" if p[4:8] == b"ftyp" else "unknown")
+                            else (
+                                "video"
+                                if p[4:8] == b"ftyp"
+                                else (
+                                    "audio"
+                                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+                                    else "unknown"
+                                )
+                            )
                             for p in payloads
                         ],
                         "byte_len": [len(p) for p in payloads],

@@ -329,3 +329,68 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, modality string, width bigint, height bigint,"
         " n_frames bigint, duration_sec double",
     )
+
+
+@register(
+    "mm_wav_meta",
+    tags=("multimodal", "codec", "audio", "wav"),
+    oracle="""
+SELECT doc_id,
+       'audio' AS modality,
+       1::BIGINT AS channels,
+       8000::BIGINT AS sample_rate,
+       (400 + length(text) % 1600)::BIGINT AS n_samples,
+       round((400 + length(text) % 1600) / 8000.0, 6) AS duration_sec
+FROM documents
+ORDER BY doc_id
+""",
+)
+def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE parse through the driver gate — the audio analog
+    of mm_jpeg_decode / mm_mp4_meta, completing the modality triple:
+    each document gets a mono 8 kHz 16-bit PCM clip whose frame count
+    derives from its character length (n = 400 + len % 1600, 50-200 ms),
+    samples synthesized from the text bytes, serialized as an actual
+    RIFF container (operators/wav.py make_wav) and parsed back by the
+    production parser (the same one decode_features' real-codec path
+    dispatches to on the RIFF/WAVE magic).  The oracle predicts every
+    output column purely from length(text), so a green row proves the
+    writer→chunk-framing→parser round trip recovered the true fmt
+    fields and data-chunk sample count for every document.  Map-only
+    inside Arrow batches at any scale."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from redis_streams_spark.operators.wav import make_wav, parse_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "modality": [], "channels": [],
+                   "sample_rate": [], "n_samples": [], "duration_sec": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = 400 + len(text) % 1600
+                raw = text.encode("utf-8") or b"\x00"
+                pcm = _struct.pack(
+                    f"<{n}h",
+                    *((raw[i % len(raw)] - 128) * 128 for i in range(n)),
+                )
+                payload = make_wav(pcm, sample_rate=8000, channels=1, bits=16)
+                ch, rate, _bits, ns, dur, _mean = parse_wav(payload)
+                out["doc_id"].append(doc_id)
+                out["modality"].append("audio")
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(ns)
+                out["duration_sec"].append(dur)
+            yield pd.DataFrame(out)
+
+    # no presentation sort: per-doc output (r09 discipline)
+    return docs.mapInPandas(
+        build_and_parse,
+        schema="doc_id bigint, modality string, channels bigint,"
+        " sample_rate bigint, n_samples bigint, duration_sec double",
+    )

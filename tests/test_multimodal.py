@@ -74,7 +74,7 @@ def test_real_codecs_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="bad MP4 box size"):
         decode_features(docs, use_real_codecs=True).collect()
-    unknown = b"RIFFxxxxWAVEfmt rest-of-payload"  # WAV: no parser here
+    unknown = b"OggS\x00\x02rest-of-payload"  # Ogg: no parser here
     docs2 = spark.createDataFrame(
         [(0, bytearray(unknown))], "doc_id bigint, payload binary"
     )

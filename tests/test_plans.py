@@ -241,6 +241,7 @@ _PYTHON_OK = {
     "sim_recall_report",  # audits the np path, so its plan contains MapInPandas
     "mm_jpeg_decode",  # real JPEG encode+decode in mapInPandas (the point)
     "mm_mp4_meta",  # real ISO-BMFF box write+parse in mapInPandas (the point)
+    "mm_wav_meta",  # real RIFF/WAVE write+parse in mapInPandas (the point)
 }
 
 
