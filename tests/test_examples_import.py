@@ -21,6 +21,7 @@ EXAMPLES = [
     "drift_monitor",
     "retrieval_quality_session",
     "dedup_tuning",
+    "multimodal_codecs",
 ]
 
 
