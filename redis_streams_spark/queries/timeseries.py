@@ -191,7 +191,11 @@ WITH o AS (
   FROM events
 )
 SELECT e.event_id,
-       o.o_orderkey AS last_orderkey,
+       -- -1 sentinel, not NULL: a NULL in a BIGINT column float-promotes
+       -- the whole column in the pandas canonicalizer path and
+       -- type-family-mismatches Spark's int64 (surfaces at sf>=0.1 where
+       -- some events precede every order; sf0.01 has full coverage)
+       coalesce(o.o_orderkey, -1) AS last_orderkey,
        round(5e-10 + o.o_totalprice, 2) AS last_totalprice
 FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.ems >= o.oms
 ORDER BY e.event_id
@@ -252,7 +256,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.where(F.col("is_order") == 0)
         .select(
             "event_id",
-            "last_orderkey",
+            # -1 sentinel for no-prior-order events (see oracle comment)
+            F.coalesce("last_orderkey", F.lit(-1)).alias("last_orderkey"),
             rnd("last_totalprice", 2).alias("last_totalprice"),
         )
         # no presentation sort: one row per event (r08 verdict ask #3)
