@@ -367,6 +367,11 @@ _PER_ROW_OUTPUT = {
     "text_decontaminate",
     "text_pii_scrub",
     "text_repetition",
+    # round-9 per-row registrations (no sort from birth):
+    "mm_jpeg_decode",
+    "mm_mp4_meta",
+    "mm_wav_meta",
+    "text_sentence_stats",
     # swept in round 8 (bench-visible):
     "text_stats",
     "q_asof_join",
