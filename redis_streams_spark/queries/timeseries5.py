@@ -325,3 +325,74 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "q_forecast_backtest",
+    tags=("timeseries", "forecast", "model-eval"),
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day, sum(value) AS v
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT day, v,
+         lag(v, 1) OVER (ORDER BY day) AS f_naive1,
+         lag(v, 7) OVER (ORDER BY day) AS f_snaive7
+  FROM d
+), m AS (
+  SELECT 'naive1' AS method, v, f_naive1 AS f FROM lagged
+  WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+  UNION ALL
+  SELECT 'snaive7', v, f_snaive7 FROM lagged
+  WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+)
+SELECT method, count(*)::BIGINT AS n_days_eval,
+       {rnd_sql('avg(abs(f - v))', 4)} AS mae,
+       {rnd_sql('sqrt(avg((f - v) * (f - v)))', 4)} AS rmse,
+       {rnd_sql('avg(2.0 * abs(f - v) / (abs(f) + abs(v)))', 6)} AS smape
+FROM m GROUP BY method ORDER BY method
+""",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the two standard baselines every real model
+    must beat — naive (yesterday's value) and seasonal-naive (same
+    weekday last week) — over the daily revenue series: MAE, RMSE, and
+    sMAPE on the span where BOTH forecasts exist (so the two rows are
+    directly comparable).  If a trained model's backtest doesn't beat
+    snaive7 here, ship the baseline.
+
+    Scale shape: one day-keyed aggregate, lag windows over the bounded
+    daily frame (≤ n_days rows, above the Aggregate — the gate-admitted
+    shape), then one aggregate per method."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.expr(_MS) / F.lit(86400000)).cast("long")
+    d = ev.groupBy(day.alias("day")).agg(F.sum("value").alias("v"))
+    wd = W.orderBy("day")
+    lagged = d.select(
+        "v",
+        F.lag("v", 1).over(wd).alias("f_naive1"),
+        F.lag("v", 7).over(wd).alias("f_snaive7"),
+    ).where(F.col("f_naive1").isNotNull() & F.col("f_snaive7").isNotNull())
+    m = lagged.select(
+        F.lit("naive1").alias("method"), "v", F.col("f_naive1").alias("f")
+    ).unionByName(
+        lagged.select(
+            F.lit("snaive7").alias("method"), "v", F.col("f_snaive7").alias("f")
+        )
+    )
+    err = F.col("f") - F.col("v")
+    return (
+        m.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_eval"),
+            rnd(F.avg(F.abs(err)), 4).alias("mae"),
+            rnd(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+            rnd(
+                F.avg(
+                    2.0 * F.abs(err) / (F.abs(F.col("f")) + F.abs(F.col("v")))
+                ),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("method")
+    )
