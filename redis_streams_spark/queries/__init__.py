@@ -64,6 +64,7 @@ def _load_all() -> None:
         similarity,
         similarity2,
         similarity3,
+        similarity4,
         sketch,
         sketch2,
         splits,
