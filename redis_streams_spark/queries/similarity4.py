@@ -105,45 +105,42 @@ def sim_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     that catches it.
 
     Scale shape: both rankings are the audited operators (broadcast
-    queries, per-query ranking windows); everything downstream is keyed
-    by query_id — joins and aggregates over at most n_queries x k rows,
-    with the identical exact-ranking subtree deduped by ReuseExchange
-    rather than a persist (the q_kcore lesson)."""
+    queries, per-query ranking windows), each computed EXACTLY ONCE —
+    the metric algebra is folded into a single exact→approx left join
+    and one query_id-keyed aggregate, because an approximate result
+    outside the exact top-10 has gain 0 and contributes nothing to any
+    term (the naive three-branch formulation re-evaluated the ranking
+    subtrees per branch; column pruning makes the copies non-identical,
+    so ReuseExchange cannot dedupe them)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bf = brute_force_topk(emb, k=_K, query_mod=25).select(
-        "query_id", "cand_id", "rank"
+        "query_id", "cand_id", F.col("rank").alias("bf_rank")
     )
     lsh = lsh_topk(emb, k=_K, query_mod=25, n_planes=16, bands=4).select(
-        "query_id", "cand_id", "rank"
+        "query_id", "cand_id", F.col("rank").alias("lsh_rank")
     )
-    gain = F.lit(_K + 1) - F.col("rank")
-    qrel = bf.select("query_id", "cand_id", gain.alias("rel"), "rank")
-    disc = F.log2(F.col("rank") + F.lit(1.0))
-    idcg = bf.groupBy("query_id").agg(F.sum(gain / disc).alias("idcg"))
-    dcg = (
-        lsh.join(qrel.select("query_id", "cand_id", "rel"),
-                 ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("rel"), F.lit(0)) / disc).alias("dcg"))
-    )
-    rr = (
-        qrel.where(F.col("rank") == 1)
-        .select("query_id", "cand_id")
-        .join(lsh, ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.coalesce(F.max(F.lit(1.0) / F.col("rank")), F.lit(0.0)).alias("rr")
-        )
-    )
-    perq = (
-        idcg.join(dcg, "query_id", "left")
-        .join(rr, "query_id")
-        .select(
-            rnd(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6).alias(
-                "ndcg"
+    j = bf.join(lsh, ["query_id", "cand_id"], "left")
+    gain = F.lit(_K + 1) - F.col("bf_rank")
+    perq = j.groupBy("query_id").agg(
+        F.sum(gain / F.log2(F.col("bf_rank") + F.lit(1.0))).alias("idcg"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("lsh_rank").isNotNull(),
+                    gain / F.log2(F.col("lsh_rank") + F.lit(1.0)),
+                )
             ),
-            "rr",
-        )
+            F.lit(0.0),
+        ).alias("dcg"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("bf_rank") == 1, F.lit(1.0) / F.col("lsh_rank"))
+            ),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+    perq = perq.select(
+        rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"), "rr"
     )
     return perq.agg(
         F.count(F.lit(1)).alias("n_queries"),
