@@ -68,6 +68,29 @@ def brute_force_topk(
     )
 
 
+def dot_topk(emb: DataFrame, k: int = 10, query_mod: int = 25) -> DataFrame:
+    """Exact maximum-inner-product top-k (raw dot product, no norm) for
+    the query subset — the MIPS twin of :func:`brute_force_topk`, shared
+    by ``sim_dot_topk`` and ``sim_rrf_fusion`` so the ranking arithmetic
+    (6 dp rounding, desc/cand_id tie-break) has exactly one definition.
+    Queries broadcast; candidates stream; per-query ranking window; no
+    presentation sort (the gate is order-insensitive)."""
+    e = as_double_vec(emb)
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        rnd(dot(F.col("qv"), F.col("v")), 6).alias("dot_product"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_product"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Per-label centroid vectors (label = coarse IVF cell).  Explode to
     (label, dim) so the average distributes; values rounded to 6 dp to

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from redis_streams_spark.functions.hashing import h32, h32_sql
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.functions.textfns import words_sql, words
-from redis_streams_spark.operators.similarity import as_double_vec, dot
+from redis_streams_spark.operators.similarity import dot_topk
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
@@ -402,23 +402,8 @@ def sim_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same as sim_bruteforce_topk — queries broadcast,
     candidates stream, per-query ranking window (left-fold dot product,
-    bit-identical to the oracle's list_reduce)."""
+    bit-identical to the oracle's list_reduce); shared operator
+    ``operators.similarity.dot_topk`` (also the RRF fusion input), no
+    presentation sort."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = as_double_vec(emb)
-    q = e.where(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            rnd(dot(F.col("qv"), F.col("v")), 6).alias("dot_product"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot_product"), "cand_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .orderBy("query_id", "rank")
-    )
+    return dot_topk(emb, k=10, query_mod=25)

@@ -19,9 +19,8 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.operators.similarity import (
-    as_double_vec,
     brute_force_topk,
-    dot,
+    dot_topk,
     lsh_topk,
 )
 from redis_streams_spark.queries.base import register
@@ -168,7 +167,7 @@ dotl AS ({dt}),
 u AS (
   SELECT coalesce(b.query_id, d.query_id) AS query_id,
          coalesce(b.cand_id, d.cand_id) AS cand_id,
-         b.rank AS cos_rank, d.rank AS dot_rank,
+         coalesce(b.rank, -1) AS cos_rank, coalesce(d.rank, -1) AS dot_rank,
          coalesce(1.0 / ({_RRF_K} + b.rank), 0.0)
            + coalesce(1.0 / ({_RRF_K} + d.rank), 0.0) AS rrf
   FROM bf b
@@ -197,37 +196,30 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-free hybrid-retrieval combiner (Cormack et al.; the same
     shape fuses BM25 + vector lists in production RAG stacks).  A
     candidate in only one list contributes one term; ranks from both
-    lists are carried through so the output shows WHY each winner won.
+    lists are carried through so the output shows WHY each winner won
+    (a one-list rank is the repo's -1 sentinel, not NULL — a NULL in a
+    BIGINT column float-promotes the oracle's pandas path at scales
+    where the two scorers disagree on 5+ of a query's candidates).
 
-    Scale shape: two broadcast-query rankings, a full-outer equi-join on
-    (query_id, cand_id) — at most 2k rows per query — and a per-query
-    ranking window; no global sort, no cross product."""
+    Scale shape: two broadcast-query rankings (the shared audited
+    operators), a full-outer equi-join on (query_id, cand_id) — at most
+    2k rows per query — and a per-query ranking window; no global sort,
+    no cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     bf = brute_force_topk(emb, k=_K, query_mod=25).select(
         "query_id", "cand_id", F.col("rank").alias("cos_rank")
     )
-    # MIPS ranking inline (same arithmetic as the registered sim_dot_topk,
-    # minus its presentation sort — composition keeps the plan sort-free)
-    e = as_double_vec(emb)
-    q = e.where(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        rnd(dot(F.col("qv"), F.col("v")), 6).alias("dot_product"),
-    )
-    wd = W.partitionBy("query_id").orderBy(F.desc("dot_product"), "cand_id")
-    dt = (
-        scored.withColumn("dot_rank", F.row_number().over(wd).cast("long"))
-        .where(F.col("dot_rank") <= _K)
-        .select("query_id", "cand_id", "dot_rank")
+    dt = dot_topk(emb, k=_K, query_mod=25).select(
+        "query_id", "cand_id", F.col("rank").alias("dot_rank")
     )
     rrf = F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0)) + (
         F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("dot_rank")), F.lit(0.0))
     )
     u = bf.join(dt, ["query_id", "cand_id"], "full_outer").select(
-        "query_id", "cand_id", "cos_rank", "dot_rank",
+        "query_id",
+        "cand_id",
+        F.coalesce(F.col("cos_rank"), F.lit(-1).cast("long")).alias("cos_rank"),
+        F.coalesce(F.col("dot_rank"), F.lit(-1).cast("long")).alias("dot_rank"),
         rnd(rrf, 6).alias("rrf_score"),
     )
     wf = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "cand_id")

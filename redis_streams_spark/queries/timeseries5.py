@@ -337,14 +337,16 @@ WITH d AS (
 ), lagged AS (
   SELECT day, v,
          lag(v, 1) OVER (ORDER BY day) AS f_naive1,
-         lag(v, 7) OVER (ORDER BY day) AS f_snaive7
+         lag(day, 1) OVER (ORDER BY day) AS d1,
+         lag(v, 7) OVER (ORDER BY day) AS f_snaive7,
+         lag(day, 7) OVER (ORDER BY day) AS d7
   FROM d
 ), m AS (
   SELECT 'naive1' AS method, v, f_naive1 AS f FROM lagged
-  WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+  WHERE d1 = day - 1 AND d7 = day - 7
   UNION ALL
   SELECT 'snaive7', v, f_snaive7 FROM lagged
-  WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+  WHERE d1 = day - 1 AND d7 = day - 7
 )
 SELECT method, count(*)::BIGINT AS n_days_eval,
        {rnd_sql('avg(abs(f - v))', 4)} AS mae,
@@ -357,29 +359,49 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast backtest of the two standard baselines every real model
     must beat — naive (yesterday's value) and seasonal-naive (same
     weekday last week) — over the daily revenue series: MAE, RMSE, and
-    sMAPE on the span where BOTH forecasts exist (so the two rows are
-    directly comparable).  If a trained model's backtest doesn't beat
-    snaive7 here, ship the baseline.
+    sMAPE on the days where BOTH calendar forecasts exist (so the two
+    rows are directly comparable).  The lag values are guarded by
+    lagged-DAY equality checks (d-1 and d-7 exactly), so on a series
+    with gaps a day whose "last week" is missing is excluded rather
+    than silently scored against the wrong weekday — row-offset lag
+    alone would corrupt the seasonal baseline identically on both
+    engines, where the oracle gate cannot see it.  If a trained model's
+    backtest doesn't beat snaive7 here, ship the baseline.
 
-    Scale shape: one day-keyed aggregate, lag windows over the bounded
-    daily frame (≤ n_days rows, above the Aggregate — the gate-admitted
-    shape), then one aggregate per method."""
+    Scale shape: ONE day-keyed aggregate and one scan (both methods are
+    melted from the same lagged rows via explode, not a self-union that
+    would re-scan the corpus), lag windows over the bounded daily frame
+    (≤ n_days rows, above the Aggregate — the gate-admitted shape),
+    then one aggregate per method."""
     ev = load_table(spark, sf_dir, "events")
     day = (F.expr(_MS) / F.lit(86400000)).cast("long")
     d = ev.groupBy(day.alias("day")).agg(F.sum("value").alias("v"))
     wd = W.orderBy("day")
     lagged = d.select(
+        "day",
         "v",
         F.lag("v", 1).over(wd).alias("f_naive1"),
+        F.lag("day", 1).over(wd).alias("d1"),
         F.lag("v", 7).over(wd).alias("f_snaive7"),
-    ).where(F.col("f_naive1").isNotNull() & F.col("f_snaive7").isNotNull())
-    m = lagged.select(
-        F.lit("naive1").alias("method"), "v", F.col("f_naive1").alias("f")
-    ).unionByName(
-        lagged.select(
-            F.lit("snaive7").alias("method"), "v", F.col("f_snaive7").alias("f")
-        )
+        F.lag("day", 7).over(wd).alias("d7"),
+    ).where(
+        (F.col("d1") == F.col("day") - 1) & (F.col("d7") == F.col("day") - 7)
     )
+    m = lagged.select(
+        "v",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive1").alias("method"),
+                    F.col("f_naive1").alias("f"),
+                ),
+                F.struct(
+                    F.lit("snaive7").alias("method"),
+                    F.col("f_snaive7").alias("f"),
+                ),
+            )
+        ).alias("mf"),
+    ).select(F.col("mf.method").alias("method"), "v", F.col("mf.f").alias("f"))
     err = F.col("f") - F.col("v")
     return (
         m.groupBy("method")

@@ -380,6 +380,13 @@ _PER_ROW_OUTPUT = {
     "q_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # ranked retrieval (one row per (query, rank) — scales with corpus;
+    # sim_dot_topk's sort swept in round 9 when the operator was shared):
+    "sim_bruteforce_topk",
+    "sim_dot_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_rrf_fusion",
 }
 
 
