@@ -47,6 +47,13 @@ def main() -> None:
     print("-- binary-signature Hamming recall (1-bit/dim compression):")
     q["sim_binary_hamming_recall"].fn(spark, sf_dir).show(truncate=False)
 
+    # 3b. ranking quality, not just set overlap: nDCG@10 / MRR of the
+    # LSH path, and RRF fusion of the cosine + MIPS scorers
+    print("-- nDCG@10 / MRR / top-1 hit rate (LSH vs exact order):")
+    q["sim_ndcg_mrr"].fn(spark, sf_dir).show(truncate=False)
+    print("-- reciprocal-rank fusion of cosine + dot-product lists:")
+    q["sim_rrf_fusion"].fn(spark, sf_dir).show(10, truncate=False)
+
     # 4. scoring-model quality: AUC, calibration, P/R at cutoffs
     print("-- ROC AUC of the relevance score (rank-sum identity,")
     print("   bucketed prefix sum — no single-task window):")

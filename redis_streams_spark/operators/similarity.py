@@ -91,6 +91,40 @@ def dot_topk(emb: DataFrame, k: int = 10, query_mod: int = 25) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    a: DataFrame, b: DataFrame, k: int = 5, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists — ranking-agnostic:
+    each input is (query_id, cand_id, <name>_rank) from ANY retrieval
+    path (exact, IVF, LSH, BM25-style).  Score = sum over lists of
+    1/(rrf_k + rank); a candidate in only one list contributes one term
+    and carries the -1 sentinel for its missing rank (NULL in a BIGINT
+    column float-promotes the oracle's pandas path).  At scale, fuse
+    the INDEX paths (ivf_topk / lsh_topk) — the combiner itself is one
+    (query_id, cand_id) full-outer equi-join over n_queries x <= 2k
+    rows plus a per-query ranking window, regardless of corpus size.
+
+    The rank columns are discovered positionally: every non-key column
+    ending in ``_rank`` (exactly one per input)."""
+    a_rank = [c for c in a.columns if c.endswith("_rank")][0]
+    b_rank = [c for c in b.columns if c.endswith("_rank")][0]
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(a_rank)), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col(b_rank)), F.lit(0.0))
+    u = a.join(b, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        F.coalesce(F.col(a_rank), F.lit(-1).cast("long")).alias(a_rank),
+        F.coalesce(F.col(b_rank), F.lit(-1).cast("long")).alias(b_rank),
+        rnd(rrf, 6).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "cand_id")
+    return (
+        u.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= k)
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Per-label centroid vectors (label = coarse IVF cell).  Explode to
     (label, dim) so the average distributes; values rounded to 6 dp to

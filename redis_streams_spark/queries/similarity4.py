@@ -14,7 +14,6 @@ retrieval evaluation).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
@@ -22,6 +21,7 @@ from redis_streams_spark.operators.similarity import (
     brute_force_topk,
     dot_topk,
     lsh_topk,
+    rrf_fuse,
 )
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
@@ -212,18 +212,4 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = dot_topk(emb, k=_K, query_mod=25).select(
         "query_id", "cand_id", F.col("rank").alias("dot_rank")
     )
-    rrf = F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0)) + (
-        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("dot_rank")), F.lit(0.0))
-    )
-    u = bf.join(dt, ["query_id", "cand_id"], "full_outer").select(
-        "query_id",
-        "cand_id",
-        F.coalesce(F.col("cos_rank"), F.lit(-1).cast("long")).alias("cos_rank"),
-        F.coalesce(F.col("dot_rank"), F.lit(-1).cast("long")).alias("dot_rank"),
-        rnd(rrf, 6).alias("rrf_score"),
-    )
-    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "cand_id")
-    return (
-        u.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
-        .where(F.col("fused_rank") <= 5)
-    )
+    return rrf_fuse(bf, dt, k=5, rrf_k=_RRF_K)

@@ -55,3 +55,33 @@ def test_np_matches_hof_under_dense_rounded_ties(spark):
     ]
     assert np_ == hof
     assert hof  # non-trivial
+
+
+def test_rrf_fuse_scores_sentinels_and_order(spark):
+    """rrf_fuse on two hand-built ranked lists: a candidate in both
+    lists must outrank any one-list candidate (2/(60+10) > 1/61), the
+    missing-list rank must surface as the -1 sentinel (never NULL — the
+    BIGINT float-promotion trap), and ties must break by cand_id."""
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+        "query_id long, cand_id long, cos_rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 100, 2), (1, 200, 1), (1, 201, 3)],
+        "query_id long, cand_id long, dot_rank long",
+    )
+    from redis_streams_spark.operators.similarity import rrf_fuse
+
+    rows = {r["cand_id"]: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert len(rows) == 5
+    # both-list candidate 100: 1/61 + 1/62, the only two-term score
+    assert rows[100]["fused_rank"] == 1
+    assert rows[100]["cos_rank"] == 1 and rows[100]["dot_rank"] == 2
+    assert abs(rows[100]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    # one-list candidates carry the -1 sentinel, not NULL
+    assert rows[200]["cos_rank"] == -1 and rows[200]["dot_rank"] == 1
+    assert rows[101]["dot_rank"] == -1
+    # equal one-list scores (101 at cos 2 vs a hypothetical dot 2) break
+    # by cand_id; here check the full deterministic order
+    order = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    assert [r["cand_id"] for r in order] == [100, 200, 101, 102, 201]
