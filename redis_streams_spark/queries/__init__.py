@@ -69,6 +69,7 @@ def _load_all() -> None:
         sketch2,
         splits,
         stats,
+        stats2,
         streamsem,
         text,
         text2,
