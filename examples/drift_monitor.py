@@ -31,6 +31,9 @@ from redis_streams_spark.queries.stats import (  # noqa: E402
     q_spearman_daily,
     q_wasserstein_1d,
 )
+from redis_streams_spark.queries.stats2 import (  # noqa: E402
+    q_benjamini_hochberg,
+)
 from redis_streams_spark.session import get_spark  # noqa: E402
 
 
@@ -45,6 +48,10 @@ def main() -> None:
     q_anova_oneway(spark, sf_dir).show(truncate=False)
     print("-- Brown-Forsythe: are the spreads comparable? --")
     q_levene_test(spark, sf_dir).show(truncate=False)
+    print("-- Benjamini-Hochberg: which of the 25 simultaneous brand")
+    print("   tests survive at FDR 0.05? (screens emit many p-values;")
+    print("   this is the multiplicity control before acting on any) --")
+    q_benjamini_hochberg(spark, sf_dir).show(5, truncate=False)
 
     print("== focused two-sample comparison (first two sources) ==")
     print("-- KS: did the distribution shift? --")
