@@ -21,7 +21,6 @@ therefore the BH decisions) are cross-engine exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
@@ -120,28 +119,8 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_value"),
     )
-    ranked = p.select(
-        "*",
-        F.row_number().over(W.orderBy("p_value", "brand")).cast("long").alias("bh_rank"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    from redis_streams_spark.operators.mtest import bh_stepup
+
+    return bh_stepup(p, p_col="p_value", alpha=_ALPHA, tie_cols=("brand",)).orderBy(
+        "bh_rank"
     )
-    thr = ranked.select(
-        "*", rnd(F.col("bh_rank") * _ALPHA / F.col("m"), 8).alias("bh_threshold")
-    )
-    cut = thr.select(
-        "*",
-        F.max(
-            F.when(F.col("p_value") <= F.col("bh_threshold"), F.col("bh_rank"))
-        ).over(W.partitionBy()).alias("cut_rank"),
-    )
-    return cut.select(
-        "brand",
-        "n",
-        "z_score",
-        "p_value",
-        "bh_rank",
-        "bh_threshold",
-        (F.col("bh_rank") <= F.coalesce(F.col("cut_rank"), F.lit(0))).alias(
-            "rejected"
-        ),
-    ).orderBy("bh_rank")
