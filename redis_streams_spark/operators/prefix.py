@@ -44,7 +44,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_cumsum", "bucketed_lead"]
+__all__ = [
+    "bucketed_cumsum",
+    "bucketed_lead",
+    "EVENTS_VALUE_BUCKET",
+    "NCHARS_BUCKET",
+]
+
+# Shared bucket widths, ONE definition per testdata value axis so a
+# data-domain change retunes every prefix-sum consumer together instead
+# of leaving stale copies behind (r09 review finding — five copies of
+# these two constants were spread over four query modules):
+#  - events.value spans ~0-560  → ~70 buckets at width 8.0
+#  - documents.n_chars spans ~44-577 → ~35 buckets at width 16.0
+EVENTS_VALUE_BUCKET = 8.0
+NCHARS_BUCKET = 16.0
 
 _BK = "__pfx_bucket"
 

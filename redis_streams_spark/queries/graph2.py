@@ -61,24 +61,30 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed iterations).  Each round is one degree aggregate per side +
     two semi-joins — all keyed shuffles, no driver data; at 100 TB this
     is the standard peeling schedule (O(rounds) passes)."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
     for _ in range(_ROUNDS):
-        # no persist: the whole peel is ONE final plan, so ReuseExchange
-        # dedups each round's edge shuffle across its three consumers
-        # (measured 2x faster than per-round persist at sf0.01, and the
-        # r08-advice cache leak — three pinned edge sets per invocation —
-        # disappears outright)
-        keep_s = (
-            edges.groupBy("s").agg(F.count(F.lit(1)).alias("d")).where(F.col("d") >= _K)
-        )
-        keep_p = (
-            edges.groupBy("p").agg(F.count(F.lit(1)).alias("d")).where(F.col("d") >= _K)
-        )
-        edges = edges.join(keep_s.select("s"), "s", "left_semi").join(
-            keep_p.select("p"), "p", "left_semi"
+        # each round annotates BOTH degrees as key-partitioned window
+        # counts over the SAME edge set (simultaneous peel), then
+        # filters once — a LINEAR plan chain where every stage has
+        # exactly one consumer.  The aggregate+two-semi-join form
+        # consumed each round's edges three times; without a persist
+        # that compounds to dozens of parquet re-scans in the executed
+        # plan (59 at 3 rounds — r09 review finding), and WITH a
+        # per-round persist it either leaks pinned edge sets (the r08
+        # advice item) or forces eager actions from a lazy registered
+        # query.  Two keyed shuffles per round, no cache, one scan.
+        edges = (
+            edges.withColumn(
+                "ds", F.count(F.lit(1)).over(W.partitionBy("s"))
+            )
+            .withColumn("dp", F.count(F.lit(1)).over(W.partitionBy("p")))
+            .where((F.col("ds") >= _K) & (F.col("dp") >= _K))
+            .select("s", "p")
         )
     deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
         F.lit("supp").alias("node_type"),

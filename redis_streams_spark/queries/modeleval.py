@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.operators.prefix import bucketed_cumsum
+from redis_streams_spark.operators.prefix import (
+    EVENTS_VALUE_BUCKET,
+    bucketed_cumsum,
+)
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
@@ -26,7 +29,7 @@ _PR_KS = (100, 500, 1000, 5000, 20000)
 # Prefix-sum bucket width over the score axis (events.value spans
 # ~0-560, so ~70 buckets; per-bucket work is |distinct scores in
 # bucket|, independent of corpus row count for a fixed score domain).
-_SCORE_BUCKET = 8.0
+_SCORE_BUCKET = EVENTS_VALUE_BUCKET
 
 _LABELED = """
 labeled AS (

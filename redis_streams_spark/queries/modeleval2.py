@@ -19,14 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.operators.prefix import bucketed_cumsum
+from redis_streams_spark.operators.prefix import (
+    EVENTS_VALUE_BUCKET,
+    bucketed_cumsum,
+)
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 _EPS = 1e-6
 _N_BINS = 10
 _THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
-_SCORE_BUCKET = 8.0  # same prefix-sum width as modeleval.py
+_SCORE_BUCKET = EVENTS_VALUE_BUCKET  # same prefix-sum width as modeleval.py
 
 # labeled + min-max normalized probability surrogate, clamped to
 # [eps, 1-eps] so log terms stay finite
@@ -320,12 +323,17 @@ WITH t AS (
          count(*)::BIGINT AS obs
   FROM events GROUP BY 1
 ), model AS (
-  SELECT b.bin, b.obs, t.n, t.lam,
-         exp(-t.lam * (b.bin * {_GOF_WIDTH}))
-         - CASE WHEN b.bin < {_GOF_BINS - 1}
-                THEN exp(-t.lam * ((b.bin + 1) * {_GOF_WIDTH}))
+  -- materialize ALL {_GOF_BINS} model bins: an empty bin still owes its
+  -- (0 - n*p)^2 / (n*p) = n*p term to the chi-square, and dropping it
+  -- biases the statistic low exactly when the fit is poor in the tail
+  SELECT s.bin, coalesce(b.obs, 0)::BIGINT AS obs, t.n, t.lam,
+         exp(-t.lam * (s.bin * {_GOF_WIDTH}))
+         - CASE WHEN s.bin < {_GOF_BINS - 1}
+                THEN exp(-t.lam * ((s.bin + 1) * {_GOF_WIDTH}))
                 ELSE 0.0 END AS p
-  FROM binned b CROSS JOIN t
+  FROM (SELECT unnest(range(0, {_GOF_BINS})) AS bin) s
+  CROSS JOIN t
+  LEFT JOIN binned b ON b.bin = s.bin
 )
 SELECT any_value(n) AS n,
        {rnd_sql('any_value(lam)', 6)} AS lambda,
@@ -349,9 +357,13 @@ def q_exp_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs per batch, complementing the nonparametric drift
     family (PSI/JS/KS) with a closed-form null.  One moment aggregate +
     one 12-row binned aggregate; the model probabilities are scalar
-    arithmetic on the broadcast (n, λ) row.  Terms guard on p > 0 on
-    both engines (an underflowed model tail would otherwise be NULL in
-    Spark but inf in DuckDB)."""
+    arithmetic on the broadcast (n, λ) row.  ALL 12 model bins are
+    materialized (spine exploded from the moment row, observed counts
+    left-joined): an empty bin still owes its n·p expected-count term
+    to the chi-square — dropping it understates the statistic exactly
+    when the fit is poor in the tail (r09 review finding).  Terms guard
+    on p > 0 on both engines (an underflowed model tail would otherwise
+    be NULL in Spark but inf in DuckDB)."""
     ev = load_table(spark, sf_dir, "events")
     t = ev.agg(
         F.count(F.lit(1)).alias("n"),
@@ -363,13 +375,22 @@ def q_exp_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_GOF_BINS - 1),
         ).alias("bin")
     ).agg(F.count(F.lit(1)).alias("obs"))
+    spine = t.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_GOF_BINS - 1))).alias("bin"),
+        "n",
+        "lam",
+    ).select(F.col("bin").cast("long").alias("bin"), "n", "lam")
     lo = F.col("bin") * _GOF_WIDTH
     hi = (F.col("bin") + 1) * _GOF_WIDTH
     p = F.exp(-F.col("lam") * lo) - F.when(
         F.col("bin") < _GOF_BINS - 1, F.exp(-F.col("lam") * hi)
     ).otherwise(0.0)
-    model = binned.crossJoin(F.broadcast(t)).select(
-        "bin", "obs", "n", "lam", p.alias("p")
+    model = spine.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+        "n",
+        "lam",
+        p.alias("p"),
     )
     obs_frac = F.col("obs") * 1.0 / F.col("n")
     return model.agg(

@@ -22,18 +22,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.operators.prefix import bucketed_cumsum
+from redis_streams_spark.operators.prefix import (
+    EVENTS_VALUE_BUCKET,
+    NCHARS_BUCKET,
+    bucketed_cumsum,
+)
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 # prefix-sum bucket widths (see operators/prefix.py: bucket count =
 # value-range/width, per-bucket work = distinct values in bucket)
-_VALUE_BUCKET = 8.0  # events.value spans ~0-560
+_VALUE_BUCKET = EVENTS_VALUE_BUCKET  # events.value spans ~0-560
 _PRICE_BUCKET = 2048.0  # l_extendedprice spans ~900-105000
 
 _QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 _GROUP_PS = (0.5, 0.95)
-_NCHARS_BUCKET = 16.0  # documents.n_chars spans ~44-577
+_NCHARS_BUCKET = NCHARS_BUCKET  # documents.n_chars spans ~44-577
 _WEIGHTED_PS = (0.25, 0.5, 0.75)
 _TRIM_FRAC = 10  # drop n//10 rows from each tail
 _DEPTH_BUCKETS = 10

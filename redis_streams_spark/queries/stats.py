@@ -23,7 +23,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.operators.prefix import bucketed_cumsum, bucketed_lead
+from redis_streams_spark.operators.prefix import (
+    NCHARS_BUCKET,
+    bucketed_cumsum,
+    bucketed_lead,
+)
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
@@ -31,7 +35,7 @@ _MS = "unix_millis(cast(ts as timestamp))"
 _DAY_MS = 86_400_000
 # Prefix-sum bucket width over the document-length axis (n_chars spans
 # ~44-577 → ~35 buckets; see operators/prefix.py for the shape).
-_VAL_BUCKET = 16.0
+_VAL_BUCKET = NCHARS_BUCKET
 
 # Daily 2-series frame: revenue + event count per day.
 _DAILY2_SQL = f"""

@@ -135,3 +135,31 @@ def test_real_codec_decode_mp4_over_spark(spark):
     }
     assert got == expected
     assert all(r.modality == "video" for r in decoded)
+
+
+def test_audio_first_av_file_selects_video_track():
+    """Spec-valid A/V layout with the AUDIO trak serialized first (0x0
+    tkhd dims, soun hdlr, its own stts with a different sample count):
+    a first-box-wins parser rejects this file as 'degenerate 0x0' or
+    reports audio sample counts as n_frames — the handler-aware
+    selection must return the VIDEO track's dims and frame count
+    (r09 review finding)."""
+    payload = make_mp4(
+        640, 360, 24, duration_ms=1000, mdat=b"\x01\x03", with_audio_track=True
+    )
+    w, h, n, dur, mean = parse_mp4(payload)
+    assert (w, h, n, dur) == (640, 360, 24, 1.0)
+    assert mean == 2.0
+
+
+def test_deeply_nested_container_bomb_raises_valueerror():
+    """~1000 nested container headers must fail as ValueError like every
+    other malformation, not escape as RecursionError from a mapInPandas
+    task (r09 review finding)."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    inner = b""
+    for _ in range(1000):
+        inner = struct.pack(">I", 8 + len(inner)) + b"stbl" + inner
+    moov = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
+    with pytest.raises(ValueError, match="nested too deeply"):
+        parse_mp4(ftyp + moov)
