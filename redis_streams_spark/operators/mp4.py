@@ -166,10 +166,14 @@ def _tkhd_dims(b: bytes, ps: int, pe: int) -> tuple[int, int]:
         raise ValueError(f"unsupported tkhd version {tversion}")
     # v0: 4 (verflags) + 4+4 times + 4 id + 4 res + 4 dur + 60 = 84;
     # v1 widens the three time/duration fields to 8 bytes = 96.
-    # Width/height are the LAST 8 bytes of the box either way.
-    if pe - ps < (96 if tversion else 84):
+    # Width/height sit at the FIXED offset the version implies (76 / 88
+    # from the payload start), not the last 8 bytes of the box — a tkhd
+    # padded with trailing bytes beyond the spec size must still return
+    # the real dims (r09 advice).
+    dims_off = 88 if tversion else 76
+    if pe - ps < dims_off + 8:
         raise ValueError(f"truncated MP4 tkhd box (v{tversion})")
-    wfix, hfix = struct.unpack_from(">II", b, pe - 8)
+    wfix, hfix = struct.unpack_from(">II", b, ps + dims_off)
     return wfix >> 16, hfix >> 16
 
 

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bucketed_cumsum",
     "bucketed_lead",
+    "top_k_by_freq",
     "EVENTS_VALUE_BUCKET",
     "NCHARS_BUCKET",
 ]
@@ -147,6 +148,73 @@ def bucketed_cumsum(
         )
         out = out.withColumn(name, F.col(f"__off_{src}") + local)
     return out.drop(_BK, *[f"__off_{s}" for s in srcs])
+
+
+def top_k_by_freq(
+    df: DataFrame,
+    freq_col: str,
+    key_col: str,
+    k: int,
+    rank_name: str = "rnk",
+    log_width: float = 0.5,
+) -> DataFrame:
+    """Exact top-k selection by frequency — the rows and ranks that
+    ``row_number() OVER (ORDER BY freq DESC, key)`` ≤ k would produce —
+    with ZERO empty-partition windows, so a web-scale vocabulary never
+    funnels through one task (the r09-verdict vocabulary-rank loophole).
+
+    ``df`` has one row per ``key_col`` with an integer ``freq_col`` ≥ 1
+    (a vocabulary/frequency frame — aggregate first).  Three phases:
+
+    1. histogram over the frequency VALUES (one row per distinct
+       frequency — O(sqrt(total count)) rows, sub-linear in vocabulary
+       size) and a descending :func:`bucketed_cumsum` over log-frequency
+       buckets → per-frequency count of keys at-or-above it;
+    2. the k-th-largest frequency is the largest frequency whose
+       at-or-above count reaches k (one-row aggregate; falls back to the
+       minimum frequency when the vocabulary holds fewer than k keys);
+    3. survivors = keys with freq ≥ threshold — at most k plus the tie
+       class at the threshold, broadcast-sized for real corpora — ranked
+       exactly as (#keys strictly more frequent, from the same cum
+       frame) + row_number within the tie class (a window PARTITIONED by
+       frequency), then filtered to rank ≤ k.
+
+    The result column set is ``df``'s plus ``rank_name`` (int).
+    """
+    hist = df.groupBy(freq_col).agg(F.count(F.lit(1)).alias("__tk_n"))
+    hist = hist.withColumn(
+        "__tk_lf", F.log(F.col(freq_col).cast("double"))
+    )
+    cum = bucketed_cumsum(
+        hist,
+        "__tk_lf",
+        [("__tk_n", "__tk_ge", True)],
+        width=log_width,
+        descending=True,
+    )
+    thr = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__tk_ge") >= k, F.col(freq_col))),
+            F.min(freq_col),
+        ).alias("__tk_thr")
+    )
+    surv = df.join(
+        F.broadcast(thr), F.col(freq_col) >= F.col("__tk_thr")
+    ).drop("__tk_thr")
+    gt_surv = (
+        cum.join(F.broadcast(thr), F.col(freq_col) >= F.col("__tk_thr"))
+        .select(freq_col, (F.col("__tk_ge") - F.col("__tk_n")).alias("__tk_gt"))
+    )
+    w_tie = W.partitionBy(freq_col).orderBy(key_col)
+    return (
+        surv.join(F.broadcast(gt_surv), freq_col)
+        .withColumn(
+            rank_name,
+            (F.col("__tk_gt") + F.row_number().over(w_tie)).cast("int"),
+        )
+        .where(F.col(rank_name) <= k)
+        .drop("__tk_gt")
+    )
 
 
 def bucketed_lead(

@@ -104,10 +104,22 @@ def rrf_fuse(
     (query_id, cand_id) full-outer equi-join over n_queries x <= 2k
     rows plus a per-query ranking window, regardless of corpus size.
 
-    The rank columns are discovered positionally: every non-key column
-    ending in ``_rank`` (exactly one per input)."""
-    a_rank = [c for c in a.columns if c.endswith("_rank")][0]
-    b_rank = [c for c in b.columns if c.endswith("_rank")][0]
+    The rank columns are discovered by name: each input must carry
+    EXACTLY ONE column ending in ``_rank`` — zero or several is a
+    caller error and raises (r09 advice: a bare IndexError / silent
+    first-match pick would mask a mis-shaped input)."""
+
+    def _rank_col(df: DataFrame, side: str) -> str:
+        cols = [c for c in df.columns if c.endswith("_rank")]
+        if len(cols) != 1:
+            raise ValueError(
+                f"rrf_fuse input {side!r} must have exactly one *_rank "
+                f"column, found {cols or 'none'} in {df.columns}"
+            )
+        return cols[0]
+
+    a_rank = _rank_col(a, "a")
+    b_rank = _rank_col(b, "b")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(rrf_k) + F.col(a_rank)), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col(b_rank)), F.lit(0.0))

@@ -30,6 +30,7 @@ def _ev_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_funnel",
+    shape="bounded",
     tags=("analytics", "funnel"),
     oracle="""
 WITH v AS (
@@ -100,6 +101,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_retention_cohorts",
+    shape="bounded",
     tags=("analytics", "retention"),
     oracle=f"""
 WITH act AS (
@@ -140,6 +142,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_transitions",
+    shape="bounded",
     tags=("analytics", "markov"),
     oracle="""
 WITH s AS (
@@ -185,6 +188,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_gap_fill",
+    shape="bounded",
     tags=("analytics", "gap-fill"),
     oracle=f"""
 WITH daily AS (
@@ -247,6 +251,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rolling_wau",
+    shape="bounded",
     tags=("analytics", "rolling-distinct"),
     oracle=f"""
 WITH du AS (
@@ -317,6 +322,7 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_weighted_ma",
+    shape="bounded",
     tags=("analytics", "moving-average"),
     oracle=f"""
 WITH daily AS (
@@ -388,6 +394,7 @@ _HOUR_MS = 3600000
 
 @register(
     "q_resample_ffill",
+    shape="bounded",
     tags=("analytics", "resample"),
     oracle=f"""
 WITH hourly AS (
@@ -448,6 +455,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zscore_anomaly",
+    shape="bounded",
     tags=("analytics", "anomaly"),
     oracle="""
 WITH stats AS (
@@ -489,6 +497,7 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_user_journey",
+    shape="bounded",
     tags=("analytics", "journey"),
     oracle="""
 WITH ranked AS (

@@ -24,6 +24,7 @@ _DAY_MS = 86_400_000
 
 @register(
     "q_revenue_waterfall",
+    shape="bounded",
     tags=("analytics", "revenue", "join"),
     oracle=f"""
 WITH cm AS (
@@ -137,6 +138,7 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_histogram2d",
+    shape="bounded",
     tags=("analytics", "histogram"),
     oracle=f"""
 SELECT floor(l_extendedprice / 10000)::BIGINT AS price_bin,
@@ -172,6 +174,7 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_drawdown",
+    shape="bounded",
     tags=("timeseries", "risk", "window"),
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),
@@ -222,6 +225,7 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quartile_migration",
+    shape="bounded",
     tags=("analytics", "percentiles", "join"),
     oracle=f"""
 WITH cy AS (
@@ -291,6 +295,7 @@ def q_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hhi_concentration",
+    shape="bounded",
     tags=("analytics", "concentration"),
     oracle=f"""
 WITH cm AS (
@@ -344,6 +349,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_var_cvar",
+    shape="bounded",
     tags=("timeseries", "risk"),
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),

@@ -49,6 +49,7 @@ ORDER BY event_type
 
 @register(
     "q_watermark_sizing",
+    shape="bounded",
     tags=("streaming", "event-time", "watermark"),
     oracle=_watermark_oracle(),
 )
@@ -110,6 +111,7 @@ ORDER BY event_type
 
 @register(
     "q_seasonality_strength",
+    shape="bounded",
     tags=("timeseries", "seasonality", "stats"),
     oracle=_seasonality_oracle(),
 )
@@ -193,6 +195,7 @@ ORDER BY channel
 
 @register(
     "q_attribution_position",
+    shape="bounded",
     tags=("attribution", "funnel", "window"),
     oracle=_position_attr_oracle(),
 )

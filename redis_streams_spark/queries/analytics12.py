@@ -88,6 +88,7 @@ ORDER BY x.event_type
 
 @register(
     "q_quantile_sketch_audit",
+    shape="bounded",
     tags=("sketch", "quantile", "streaming-parity"),
     oracle=_sketch_audit_oracle(),
 )
@@ -163,6 +164,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_rollup",
+    shape="bounded",
     tags=("rollup", "calendar", "grouping"),
     oracle=f"""
 WITH base AS (
@@ -267,6 +269,7 @@ ORDER BY channel
 
 @register(
     "q_attribution_time_decay",
+    shape="bounded",
     tags=("attribution", "funnel", "window"),
     oracle=_time_decay_oracle(),
 )
@@ -328,6 +331,7 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fano_burstiness",
+    shape="bounded",
     tags=("timeseries", "stats", "monitoring"),
     oracle=f"""
 WITH daily AS (
@@ -407,6 +411,7 @@ ORDER BY table_name
 
 @register(
     "q_partition_advisor",
+    shape="bounded",
     tags=("layout", "planning", "tuning"),
     oracle=_advisor_oracle(),
 )
@@ -457,6 +462,7 @@ _NEYMAN_BUDGET = 1000
 
 @register(
     "q_neyman_allocation",
+    shape="bounded",
     tags=("sampling", "stats", "design"),
     oracle=f"""
 WITH strata AS (

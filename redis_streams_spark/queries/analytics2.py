@@ -24,6 +24,7 @@ _NTILES = 10
 
 @register(
     "q_feature_binning",
+    shape="bounded",
     tags=("mlprep", "binning"),
     oracle=f"""
 WITH b AS (
@@ -71,6 +72,7 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_winsorize",
+    shape="bounded",
     tags=("mlprep", "robust"),
     oracle="""
 WITH bounds AS (
@@ -136,6 +138,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corr_matrix",
+    shape="bounded",
     tags=("analytics", "corr"),
     oracle=f"""
 WITH daily AS (
@@ -182,6 +185,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cumulative_users",
+    shape="bounded",
     tags=("analytics", "growth"),
     oracle=f"""
 WITH first_seen AS (

@@ -24,6 +24,7 @@ _MAD_K = 5.0
 
 @register(
     "q_latency_bands",
+    shape="bounded",
     tags=("observability", "percentiles"),
     oracle=f"""
 SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_start_ms,
@@ -62,6 +63,7 @@ def q_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mad_anomaly",
+    shape="bounded",
     tags=("observability", "robust"),
     oracle=f"""
 WITH med AS (
@@ -131,6 +133,7 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_changepoint_cusum",
+    shape="bounded",
     tags=("timeseries", "changepoint"),
     oracle=f"""
 WITH daily AS (
@@ -208,6 +211,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_seasonal_profile",
+    shape="bounded",
     tags=("timeseries", "seasonality"),
     oracle=f"""
 WITH g AS (
@@ -261,6 +265,7 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_funnel_windowed",
+    shape="bounded",
     tags=("analytics", "funnel"),
     oracle=f"""
 WITH v AS (
@@ -358,6 +363,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ab_test",
+    shape="bounded",
     tags=("analytics", "stats"),
     oracle="""
 WITH s AS (
@@ -434,6 +440,7 @@ _REV_BUCKET = 1000.0
 
 @register(
     "q_pareto_gini",
+    shape="bounded",
     tags=("analytics", "concentration", "prefix-sum"),
     oracle="""
 WITH rev AS (
@@ -548,6 +555,7 @@ _TOP_PATHS = 20
 
 @register(
     "q_top_paths",
+    shape="bounded",
     tags=("analytics", "paths"),
     oracle=f"""
 WITH seq AS (
@@ -631,6 +639,7 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dwell_time",
+    shape="bounded",
     tags=("analytics", "transitions"),
     oracle="""
 WITH seq AS (

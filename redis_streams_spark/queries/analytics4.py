@@ -26,6 +26,7 @@ _ALPHA = 0.3
 
 @register(
     "q_exp_smoothing",
+    shape="bounded",
     tags=("timeseries", "smoothing"),
     oracle=f"""
 WITH daily AS (
@@ -93,6 +94,7 @@ def q_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bollinger_bands",
+    shape="bounded",
     tags=("timeseries", "bands"),
     oracle=f"""
 WITH daily AS (
@@ -164,6 +166,7 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rfm_segmentation",
+    shape="bounded",
     tags=("analytics", "rfm"),
     oracle="""
 WITH base AS (
@@ -238,6 +241,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cohort_ltv",
+    shape="bounded",
     tags=("analytics", "ltv"),
     oracle=f"""
 WITH first_seen AS (

@@ -29,6 +29,7 @@ _U32 = 4294967296.0  # 2^32: h32 values map into (0, 1] via (h+1)/2^32
 
 @register(
     "q_weighted_sample",
+    shape="bounded",
     tags=("sampling", "mixing"),
     oracle=f"""
 WITH keyed AS (
@@ -67,6 +68,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_incremental_rollup",
+    shape="bounded",
     tags=("agg", "incremental", "mergeable-state"),
     oracle=f"""
 WITH daily AS (
@@ -135,6 +137,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cdc_compact",
+    shape="bounded",
     tags=("cdc", "compaction"),
     oracle="""
 WITH ranked AS (
@@ -184,6 +187,7 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_attribution",
+    shape="bounded",
     tags=("attribution", "funnel", "window"),
     oracle="""
 WITH seq AS (
@@ -258,6 +262,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_degree_distribution",
+    shape="bounded",
     tags=("graph", "histogram"),
     oracle="""
 WITH e0 AS (
@@ -309,6 +314,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_domain_targets",
+    shape="bounded",
     tags=("mixing", "llm-pipeline"),
     oracle=f"""
 WITH per_src AS (
@@ -374,6 +380,7 @@ _DOT_SQL = (
 
 @register(
     "sim_dot_topk",
+    shape="per_row",
     tags=("similarity", "mips"),
     oracle=f"""
 WITH e AS (

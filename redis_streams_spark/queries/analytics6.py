@@ -24,6 +24,7 @@ _DAY_MS = 86_400_000
 
 @register(
     "q_bitwise_gallery",
+    shape="bounded",
     tags=("scalar", "bitwise"),
     oracle="""
 SELECT event_type, count(*) AS n,
@@ -59,6 +60,7 @@ def q_bitwise_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_conditional_agg",
+    shape="bounded",
     tags=("agg", "conditional"),
     oracle=f"""
 SELECT o_orderpriority, count(*) AS n,
@@ -109,6 +111,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_try_semantics",
+    shape="bounded",
     tags=("scalar", "error-handling", "null-semantics"),
     oracle=f"""
 SELECT event_type, count(*) AS n,
@@ -155,6 +158,7 @@ def q_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ingest_gap_islands",
+    shape="bounded",
     tags=("data-quality", "islands"),
     oracle=f"""
 WITH days AS (
@@ -200,6 +204,7 @@ def q_ingest_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_benford",
+    shape="bounded",
     tags=("data-quality", "statistics"),
     oracle=f"""
 WITH digits AS (
@@ -249,6 +254,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_iqr_outliers",
+    shape="bounded",
     tags=("data-quality", "outliers", "percentiles"),
     oracle=f"""
 WITH fences AS (
@@ -309,6 +315,7 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_fanout_audit",
+    shape="bounded",
     tags=("data-quality", "skew", "join"),
     oracle=f"""
 WITH k AS (
@@ -351,6 +358,7 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_decile_lift",
+    shape="bounded",
     tags=("analytics", "lift", "percentiles"),
     oracle=f"""
 WITH u AS (
@@ -408,6 +416,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_audience_overlap",
+    shape="bounded",
     tags=("analytics", "set-overlap"),
     oracle=f"""
 WITH ut AS (
@@ -465,6 +474,7 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_new_vs_returning",
+    shape="bounded",
     tags=("analytics", "growth"),
     oracle=f"""
 WITH e AS (

@@ -23,6 +23,7 @@ _HOUR_MS = 3_600_000
 
 @register(
     "q_chisq_independence",
+    shape="bounded",
     tags=("statistics", "data-quality"),
     oracle=f"""
 WITH g AS (
@@ -79,6 +80,7 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_behavior_entropy",
+    shape="bounded",
     tags=("analytics", "entropy"),
     oracle=f"""
 WITH c AS (
@@ -121,6 +123,7 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_local_peaks",
+    shape="bounded",
     tags=("timeseries", "peaks"),
     oracle=f"""
 WITH d AS (
@@ -176,6 +179,7 @@ def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_linear_interpolate",
+    shape="bounded",
     tags=("timeseries", "gap-fill"),
     oracle=f"""
 WITH hours AS (
@@ -264,6 +268,7 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_to_convert",
+    shape="bounded",
     tags=("analytics", "funnel"),
     oracle="""
 WITH signup AS (
@@ -325,6 +330,7 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dau_mau",
+    shape="bounded",
     tags=("analytics", "engagement"),
     oracle=f"""
 WITH d AS (

@@ -21,6 +21,7 @@ _STOP_SQL = sql_str_list(STOPWORDS)
 
 @register(
     "q_key_skew_stats",
+    shape="bounded",
     tags=("skew", "data-quality", "join"),
     oracle=f"""
 WITH k AS (
@@ -62,6 +63,7 @@ def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_curriculum_phases",
+    shape="bounded",
     tags=("mixing", "curriculum", "llm-pipeline"),
     oracle=f"""
 WITH sig AS (

@@ -27,6 +27,7 @@ _BETA = 1.0 - _ALPHA
 
 @register(
     "q_ewma_daily",
+    shape="bounded",
     tags=("timeseries", "window", "smoothing"),
     oracle=f"""
 WITH daily AS (
@@ -91,6 +92,7 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rolling_quantile",
+    shape="bounded",
     tags=("timeseries", "window", "quantile"),
     oracle=f"""
 WITH daily AS (
@@ -131,6 +133,7 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_interval_merge",
+    shape="bounded",
     tags=("window", "islands", "sessionize"),
     oracle=f"""
 WITH iv AS (
@@ -214,6 +217,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_window_ignore_nulls",
+    shape="bounded",
     tags=("window", "null-semantics", "gallery"),
     oracle=f"""
 WITH pv AS (
@@ -287,6 +291,7 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mode_gallery",
+    shape="bounded",
     tags=("agg", "gallery", "statistics"),
     oracle=f"""
 WITH hourly AS (
@@ -333,6 +338,7 @@ def q_mode_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_survival_km",
+    shape="bounded",
     tags=("statistics", "survival", "window"),
     oracle=f"""
 WITH firsts AS (

@@ -49,7 +49,7 @@ ORDER BY brand_a, brand_b
 """
 
 
-@register("q_basket_rules", tags=("assoc", "basket"), oracle=_BASKET_ORACLE)
+@register("q_basket_rules", shape="bounded", tags=("assoc", "basket"), oracle=_BASKET_ORACLE)
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over brand pairs co-occurring in
     an order: support, both conditional confidences, and lift — the
@@ -120,7 +120,7 @@ ORDER BY lang, source
 """
 
 
-@register("q_mutual_info", tags=("assoc", "mi"), oracle=_MI_ORACLE)
+@register("q_mutual_info", shape="bounded", tags=("assoc", "mi"), oracle=_MI_ORACLE)
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information between document language and
     source, plus each cell's contribution to the total mutual

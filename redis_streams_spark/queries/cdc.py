@@ -17,6 +17,7 @@ _MS = "unix_millis(cast(ts as timestamp))"
 
 @register(
     "q_upsert_merge",
+    shape="bounded",
     tags=("cdc", "upsert"),
     oracle="""
 WITH changes AS (
@@ -62,6 +63,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_events",
+    shape="bounded",
     tags=("cdc", "scd2"),
     oracle=f"""
 WITH ordered AS (
@@ -108,6 +110,7 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hash_sample",
+    shape="bounded",
     tags=("sampling",),
     oracle=f"""
 SELECT count(*) AS n_sampled,
@@ -135,6 +138,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hash_sample_join",
+    shape="bounded",
     tags=("sampling", "join"),
     oracle=f"""
 WITH so AS (
@@ -174,6 +178,7 @@ def q_hash_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_reservoir_group_sample",
+    shape="bounded",
     tags=("sampling",),
     oracle=f"""
 WITH ranked AS (

@@ -34,6 +34,7 @@ _DECON_THRESHOLD = 0.05  # flag when >= 5% of a doc's grams appear in the benchm
 
 @register(
     "text_decontaminate",
+    shape="per_row",
     tags=("text", "decontamination", "llm-pipeline"),
     oracle=f"""
 WITH sets_ AS MATERIALIZED (
@@ -123,6 +124,7 @@ _LONGNUM_RE = "[0-9]{4,}"
 
 @register(
     "text_pii_scrub",
+    shape="per_row",
     tags=("text", "pii", "llm-pipeline"),
     oracle=f"""
 WITH profiles AS (
@@ -184,6 +186,7 @@ _REPET_FLAG_DUP2 = 0.2  # flag when >= 20% of bigram slots are repeats
 
 @register(
     "text_repetition",
+    shape="per_row",
     tags=("text", "quality", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (

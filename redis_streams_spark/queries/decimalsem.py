@@ -19,6 +19,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_decimal_money",
+    shape="bounded",
     tags=("decimal", "sql-surface"),
     oracle="""
 WITH d AS (

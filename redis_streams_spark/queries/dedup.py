@@ -36,6 +36,7 @@ _NORM_SQL = f"trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g'))"
 
 @register(
     "dedup_exact",
+    shape="per_row",
     tags=("dedup",),
     bench=True,
     oracle=f"""
@@ -117,7 +118,7 @@ ORDER BY c.a_id, c.b_id
 """
 
 
-@register("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True, oracle=_minhash_oracle())
+@register("dedup_minhash_lsh", shape="per_row", tags=("dedup", "lsh"), bench=True, oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: shingle → 32 minhash perms → 16
     band buckets → bucket self-join → exact-Jaccard verification.
@@ -150,6 +151,7 @@ toks AS (
 
 @register(
     "text_simhash",
+    shape="per_row",
     tags=("dedup", "simhash"),
     oracle=f"""
 WITH {_SIMHASH_CORE}
@@ -165,6 +167,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
+    shape="bounded",
     tags=("dedup", "simhash"),
     oracle=f"""
 WITH {_SIMHASH_CORE}
@@ -192,6 +195,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    shape="bounded",
     tags=("dedup", "ngram"),
     oracle=f"""
 WITH norms AS (
@@ -260,6 +264,7 @@ ORDER BY doc_id
 
 @register(
     "dedup_clusters",
+    shape="per_row",
     tags=("dedup", "clusters"),
     oracle=_CLUSTERS_ORACLE,
 )
@@ -290,6 +295,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters_star",
+    shape="per_row",
     tags=("dedup", "clusters", "iterative"),
     oracle=_CLUSTERS_ORACLE,
 )
@@ -356,6 +362,7 @@ ORDER BY doc_id
 
 @register(
     "dedup_clusters_lsh",
+    shape="per_row",
     tags=("dedup", "clusters", "lsh"),
     oracle=_lsh_star_clusters_oracle(),
 )
@@ -432,7 +439,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("dedup_incremental", tags=("dedup", "lsh", "ingest"), oracle=_incremental_oracle())
+@register("dedup_incremental", shape="bounded", tags=("dedup", "lsh", "ingest"), oracle=_incremental_oracle())
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-batch dedup against the accumulated corpus (batch form of
     the streaming near-dup path): docs with ``doc_id % 10 = 7`` play the
@@ -449,6 +456,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_apply_report",
+    shape="bounded",
     tags=("dedup", "llm-pipeline"),
     oracle=f"""
 WITH ch AS (
@@ -502,6 +510,7 @@ def dedup_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_fuzzy_names",
+    shape="per_row",
     tags=("dedup", "fuzzy", "entity-resolution"),
     oracle="""
 WITH names AS (

@@ -71,7 +71,7 @@ ORDER BY s.doc_id
 """
 
 
-@register("text_dup_spans", tags=("dedup", "spans", "llm-pipeline"), oracle=_SPANS_ORACLE)
+@register("text_dup_spans", shape="per_row", tags=("dedup", "spans", "llm-pipeline"), oracle=_SPANS_ORACLE)
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated SPANS: every 8-token window appearing in
     ≥ 2 documents marks its positions; overlapping/adjacent positions
@@ -172,6 +172,7 @@ ORDER BY h.doc_id
 
 @register(
     "mix_dedup_weighting",
+    shape="per_row",
     tags=("mixing", "dedup", "llm-pipeline"),
     oracle=_WEIGHT_ORACLE,
 )
@@ -219,6 +220,7 @@ ORDER BY sh.doc_id
 
 @register(
     "text_ngram_novelty",
+    shape="per_row",
     tags=("text", "novelty", "llm-pipeline"),
     oracle=_NOVELTY_ORACLE,
 )

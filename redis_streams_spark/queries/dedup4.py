@@ -23,6 +23,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "dedup_rate_by_source",
+    shape="bounded",
     tags=("dedup", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH h AS (
@@ -93,6 +94,7 @@ def _pairs_cte() -> str:
 
 @register(
     "dedup_threshold_curve",
+    shape="bounded",
     tags=("dedup", "lsh", "tuning", "llm-pipeline"),
     oracle=f"""
 WITH {_pairs_cte()}

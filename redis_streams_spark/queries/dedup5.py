@@ -78,6 +78,7 @@ ORDER BY bands DESC
 
 @register(
     "dedup_lsh_band_tuning",
+    shape="bounded",
     tags=("dedup", "lsh", "tuning"),
     oracle=_band_tuning_oracle(),
 )
@@ -172,6 +173,7 @@ FROM scored
 
 @register(
     "dedup_minhash_accuracy",
+    shape="bounded",
     tags=("dedup", "lsh", "audit"),
     oracle=_accuracy_oracle(),
 )
@@ -274,7 +276,7 @@ ORDER BY event_type
 """
 
 
-@register("q_psi_drift", tags=("drift", "stats", "monitoring"), oracle=_psi_oracle())
+@register("q_psi_drift", shape="bounded", tags=("drift", "stats", "monitoring"), oracle=_psi_oracle())
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of
     the time range, per event type — the industry-standard drift score
@@ -397,6 +399,7 @@ ORDER BY tier
 
 @register(
     "dedup_tier_summary",
+    shape="bounded",
     tags=("dedup", "audit", "llm-pipeline"),
     oracle=_tier_summary_oracle(),
 )

@@ -66,7 +66,7 @@ ORDER BY dim_idx
 """
 
 
-@register("q_embed_pca_power", tags=("embedding", "linalg"), oracle=_PCA_ORACLE)
+@register("q_embed_pca_power", shape="bounded", tags=("embedding", "linalg"), oracle=_PCA_ORACLE)
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud by two fixed power
     iterations over the exact covariance matrix (start vector = all-ones,

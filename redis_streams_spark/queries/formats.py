@@ -90,7 +90,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     )
 
 
-@register("q_csv_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+@register("q_csv_roundtrip", shape="bounded", tags=("formats", "source", "sink"), oracle=_ORACLE)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source round trip with explicit read schema; the
     aggregate hash-matches the parquet-derived oracle, proving the text
@@ -100,14 +100,14 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
 
 
-@register("q_json_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+@register("q_json_roundtrip", shape="bounded", tags=("formats", "source", "sink"), oracle=_ORACLE)
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source round trip with explicit read schema —
     same invariant as the CSV trip for the schemaless format."""
     return _roundtrip(spark, sf_dir, "json")
 
 
-@register("q_xml_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+@register("q_xml_roundtrip", shape="bounded", tags=("formats", "source", "sink"), oracle=_ORACLE)
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + source round trip (Spark 4 ships spark-xml natively) —
     element-per-row encoding with an explicit read schema, same
@@ -117,7 +117,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "xml")
 
 
-@register("q_orc_roundtrip", tags=("formats", "source", "sink"), oracle=_ORACLE)
+@register("q_orc_roundtrip", shape="bounded", tags=("formats", "source", "sink"), oracle=_ORACLE)
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round trip — the second columnar format Spark
     ships natively.  Binary columnar encoding, so doubles are bit-exact

@@ -45,7 +45,7 @@ ORDER BY p.price, p.p_partkey
 """
 
 
-@register("q_skyline_2d", tags=("frontier", "skyline"), oracle=_SKYLINE_ORACLE)
+@register("q_skyline_2d", shape="bounded", tags=("frontier", "skyline"), oracle=_SKYLINE_ORACLE)
 def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline of parts: the Pareto frontier minimizing price while
     maximizing size (a part survives iff nothing is cheaper-or-equal AND
@@ -109,7 +109,7 @@ ORDER BY p.event_id
 """
 
 
-@register("q_nearest_event", tags=("join", "nearest"), oracle=_NEAREST_ORACLE)
+@register("q_nearest_event", shape="bounded", tags=("join", "nearest"), oracle=_NEAREST_ORACLE)
 def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-in-time match: each purchase pairs with its CLOSEST click
     either side within 1 h (pandas ``merge_asof(direction='nearest')``)

@@ -60,7 +60,7 @@ FROM {prev} ORDER BY node_id
 """
 
 
-@register("q_pagerank", tags=("graph", "iterative"), oracle=_oracle_pagerank())
+@register("q_pagerank", shape="bounded", tags=("graph", "iterative"), oracle=_oracle_pagerank())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 3 rounds) over the bipartite
     customer↔supplier trade graph derived from lineitem⋈orders, edges in
@@ -157,7 +157,7 @@ ORDER BY node
 """
 
 
-@register("q_triangles", tags=("graph", "triangles"), oracle=_TRI_ORACLE)
+@register("q_triangles", shape="bounded", tags=("graph", "triangles"), oracle=_TRI_ORACLE)
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-purchase graph (parts
     appearing in the same order are linked) — the clustering-coefficient
@@ -237,7 +237,7 @@ ORDER BY s_a, s_b
 """
 
 
-@register("q_link_prediction", tags=("graph", "similarity"), oracle=_LINKPRED_ORACLE)
+@register("q_link_prediction", shape="bounded", tags=("graph", "similarity"), oracle=_LINKPRED_ORACLE)
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard link prediction between suppliers: two
     suppliers are similar when their customer sets overlap (common

@@ -50,7 +50,7 @@ ORDER BY node_type, node_id
 """
 
 
-@register("q_kcore", tags=("graph", "iterative", "kcore"), oracle=_kcore_oracle())
+@register("q_kcore", shape="bounded", tags=("graph", "iterative", "kcore"), oracle=_kcore_oracle())
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round k-core peeling (k=3, 3 rounds) on the bipartite
     supplier-part graph from distinct lineitem pairs: each round drops

@@ -22,6 +22,7 @@ _SEQ_LEN = 512  # tokens per packed training sequence
 
 @register(
     "q_seq_packing",
+    shape="per_row",
     tags=("tokens", "packing", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -85,6 +86,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf",
+    shape="per_row",
     tags=("text", "tfidf", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -151,6 +153,7 @@ _ERR_EXPR = (
 
 @register(
     "q_embed_quantize",
+    shape="per_row",
     tags=("embeddings", "quantization", "llm-pipeline"),
     oracle=f"""
 WITH e AS (
@@ -229,6 +232,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_recursive_cte",
+    shape="bounded",
     tags=("recursive", "sql-surface"),
     oracle="""
 WITH RECURSIVE up(custkey, anc, depth) AS (
@@ -271,6 +275,7 @@ _CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
 
 @register(
     "text_chunks",
+    shape="per_row",
     tags=("tokens", "chunking", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -356,6 +361,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_chunks",
+    shape="per_row",
     tags=("dedup", "chunking", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (

@@ -30,6 +30,7 @@ _SENT_RE = "[.!?]+"
 
 @register(
     "text_readability",
+    shape="bounded",
     tags=("text-quality", "llm-prep", "scoring"),
     oracle=f"""
 WITH per_doc AS (
@@ -129,6 +130,7 @@ FROM (
 
 @register(
     "text_decontam_curve",
+    shape="bounded",
     tags=("text-quality", "llm-prep", "decontamination", "tuning-curve"),
     oracle=_decontam_curve_oracle(),
 )
@@ -196,6 +198,7 @@ def text_decontam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_shard_balance",
+    shape="bounded",
     tags=("mixing", "llm-prep", "layout", "sharding"),
     oracle=f"""
 WITH toks AS (
@@ -296,6 +299,7 @@ _CAMEL_RE = r"\b[a-z]+[A-Z][a-zA-Z]*"
 
 @register(
     "text_code_detect",
+    shape="bounded",
     tags=("text-quality", "llm-prep", "classification"),
     oracle=f"""
 WITH per_doc AS (
@@ -403,6 +407,7 @@ _BUDGET_EPOCHS = 1.5  # token budget = 1.5 x corpus size
 
 @register(
     "mix_epoch_allocation",
+    shape="bounded",
     tags=("mixing", "llm-prep", "budget"),
     oracle=f"""
 WITH per_source AS (

@@ -30,6 +30,7 @@ _2_32 = 4_294_967_296
 
 @register(
     "q_stratified_sample",
+    shape="per_row",
     tags=("sampling", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH counts AS (
@@ -66,6 +67,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_token_budget",
+    shape="bounded",
     tags=("tokens", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH per_source AS (
@@ -121,6 +123,7 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_temperature",
+    shape="bounded",
     tags=("mixing", "llm-pipeline"),
     oracle=f"""
 WITH per_source AS (
@@ -177,6 +180,7 @@ _N_SHARDS = 16
 
 @register(
     "q_shard_manifest",
+    shape="bounded",
     tags=("sharding", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH assigned AS (
@@ -238,6 +242,7 @@ _CLASS_CAP = 20  # max docs kept per (source, lang) class
 
 @register(
     "q_class_cap",
+    shape="per_row",
     tags=("sampling", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH ranked AS (
@@ -280,6 +285,7 @@ _SYS_K = 20
 
 @register(
     "q_systematic_sample",
+    shape="per_row",
     tags=("sampling", "prefix-sum"),
     oracle=f"""
 WITH h AS (
@@ -373,6 +379,7 @@ ORDER BY t.doc_id
 
 @register(
     "mix_importance_resample",
+    shape="per_row",
     tags=("mixing", "dsir", "llm-pipeline"),
     oracle=_DSIR_ORACLE,
 )

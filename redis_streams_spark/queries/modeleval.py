@@ -41,6 +41,7 @@ labeled AS (
 
 @register(
     "q_roc_auc",
+    shape="bounded+prefix_sum",
     tags=("model-eval", "stats"),
     oracle=f"""
 WITH {_LABELED},
@@ -111,6 +112,7 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_calibration_bins",
+    shape="bounded",
     tags=("model-eval", "stats"),
     oracle=f"""
 WITH {_LABELED},
@@ -201,7 +203,7 @@ ORDER BY k
 """
 
 
-@register("q_pr_curve", tags=("model-eval", "stats"), oracle=_pr_oracle())
+@register("q_pr_curve", shape="bounded+prefix_sum", tags=("model-eval", "stats"), oracle=_pr_oracle())
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall at k cutoffs WITHOUT a global per-row sort: the
     same distinct-score histogram frame as q_roc_auc, cumulated from the
@@ -258,6 +260,7 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zonemap_prune_audit",
+    shape="bounded",
     tags=("layout", "pruning", "storage"),
     oracle=f"""
 WITH zones AS (

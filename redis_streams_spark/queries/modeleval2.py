@@ -67,6 +67,7 @@ def _norm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_log_loss",
+    shape="bounded",
     tags=("model-eval", "stats"),
     oracle=f"""
 WITH {_NORM}
@@ -93,6 +94,7 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_brier_decomposition",
+    shape="bounded",
     tags=("model-eval", "stats", "calibration"),
     oracle=f"""
 WITH {_NORM},
@@ -177,6 +179,7 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_confusion_thresholds",
+    shape="bounded",
     tags=("model-eval", "stats"),
     oracle=f"""
 WITH {_NORM},
@@ -236,6 +239,7 @@ def q_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_score_ks_separation",
+    shape="bounded+prefix_sum",
     tags=("model-eval", "stats", "distribution"),
     oracle="""
 WITH labeled AS (
@@ -314,6 +318,7 @@ _GOF_BINS = 12  # [0,50) ... [550, inf)
 
 @register(
     "q_exp_fit_gof",
+    shape="bounded",
     tags=("stats", "distribution", "model-eval"),
     oracle=f"""
 WITH t AS (

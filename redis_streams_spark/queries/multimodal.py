@@ -41,6 +41,7 @@ FROM documents
 
 @register(
     "mm_binary_meta",
+    shape="bounded",
     tags=("multimodal",),
     oracle=f"""
 WITH meta AS ({_META_SQL})
@@ -83,6 +84,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_features",
+    shape="per_row",
     tags=("multimodal", "pandas-udf"),
     oracle=f"""
 WITH meta AS ({_META_SQL})
@@ -100,6 +102,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_resize_sample",
+    shape="per_row",
     tags=("multimodal", "resize"),
     oracle=f"""
 WITH meta AS ({_META_SQL})
@@ -154,6 +157,7 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_binary_dedup",
+    shape="bounded",
     tags=("multimodal", "dedup"),
     oracle="""
 WITH blobs AS (
@@ -206,6 +210,7 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_jpeg_decode",
+    shape="per_row",
     tags=("multimodal", "codec", "jpeg"),
     oracle="""
 SELECT doc_id,
@@ -267,6 +272,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mp4_meta",
+    shape="per_row",
     tags=("multimodal", "codec", "video", "mp4"),
     oracle="""
 SELECT doc_id,
@@ -333,6 +339,7 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_wav_meta",
+    shape="per_row",
     tags=("multimodal", "codec", "audio", "wav"),
     oracle="""
 SELECT doc_id,

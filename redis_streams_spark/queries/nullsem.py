@@ -21,6 +21,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_null_gallery",
+    shape="bounded",
     tags=("nulls", "aggregation"),
     oracle=f"""
 WITH d AS (
@@ -86,6 +87,7 @@ def q_null_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_null_safe_join",
+    shape="bounded",
     tags=("nulls", "join"),
     oracle="""
 WITH facts AS (
@@ -140,6 +142,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_not_in_nulls",
+    shape="bounded",
     tags=("nulls", "subquery"),
     oracle="""
 WITH probe AS (

@@ -45,6 +45,7 @@ _DEPTH_BUCKETS = 10
 
 @register(
     "q_exact_quantiles_hist",
+    shape="bounded+prefix_sum",
     tags=("orderstats", "percentiles", "agg"),
     oracle=f"""
 WITH h AS (
@@ -89,6 +90,7 @@ def q_exact_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_group_exact_quantiles",
+    shape="bounded+prefix_sum",
     tags=("orderstats", "percentiles", "agg"),
     oracle=f"""
 WITH h AS (
@@ -146,6 +148,7 @@ def q_group_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_weighted_median_price",
+    shape="bounded+prefix_sum",
     tags=("orderstats", "percentiles", "weighted"),
     oracle=f"""
 WITH h AS (
@@ -188,6 +191,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_trimmed_winsor_mean",
+    shape="bounded+prefix_sum",
     tags=("orderstats", "robust", "agg"),
     oracle=f"""
 WITH h AS (
@@ -267,6 +271,7 @@ def q_trimmed_winsor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_equi_depth_hist",
+    shape="bounded+prefix_sum",
     tags=("orderstats", "histogram", "layout"),
     oracle=f"""
 WITH h AS (

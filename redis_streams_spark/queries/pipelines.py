@@ -80,6 +80,7 @@ def _cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_corpus_clean",
+    shape="per_row",
     tags=("pipeline", "dedup", "quality", "sampling"),
     oracle=_STAGES_SQL
     + """
@@ -102,6 +103,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_corpus_stats",
+    shape="bounded",
     tags=("pipeline", "stats"),
     oracle=_STAGES_SQL
     + """

@@ -19,6 +19,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "text_length_profile",
+    shape="bounded",
     tags=("text", "profiling", "llm-pipeline"),
     oracle=f"""
 WITH sig AS (
@@ -56,6 +57,7 @@ def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_user_activity_histogram",
+    shape="bounded",
     tags=("analytics", "histogram"),
     oracle="""
 WITH u AS (
@@ -89,6 +91,7 @@ def q_user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_centroid_separation",
+    shape="bounded",
     tags=("similarity", "clustering", "evaluation"),
     oracle="""
 WITH e AS (

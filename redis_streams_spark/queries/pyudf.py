@@ -26,6 +26,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_pandas_udf_norm",
+    shape="bounded",
     tags=("udf", "pandas"),
     oracle="""
 SELECT vec_id,
@@ -62,6 +63,7 @@ def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udtf_bigrams",
+    shape="bounded",
     tags=("udf", "udtf"),
     oracle="""
 WITH toks AS (
@@ -104,6 +106,7 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cogroup_reconcile",
+    shape="bounded",
     tags=("udf", "cogroup"),
     oracle="""
 WITH o AS (
@@ -174,6 +177,7 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pandas_udaf",
+    shape="bounded",
     tags=("udf", "udaf"),
     oracle="""
 SELECT c_mktsegment,

@@ -19,6 +19,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_dq_constraints",
+    shape="bounded",
     tags=("quality", "constraints"),
     oracle="""
 WITH o AS (
@@ -113,6 +114,7 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_table_diff",
+    shape="bounded",
     tags=("quality", "snapshot-diff"),
     oracle=f"""
 WITH new_snap AS (
@@ -180,6 +182,7 @@ _HIST_NBINS = 20
 
 @register(
     "q_histogram",
+    shape="bounded",
     tags=("quality", "profiling", "histogram"),
     oracle=f"""
 WITH b AS (
@@ -238,6 +241,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_profile_table",
+    shape="bounded",
     tags=("quality", "profiling"),
     oracle="""
 WITH s AS (

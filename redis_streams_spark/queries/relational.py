@@ -31,6 +31,7 @@ from redis_streams_spark.functions.rounding import rnd
 
 @register(
     "q01_pricing_summary",
+    shape="bounded",
     bench=True,
     tags=("agg", "scan", "filter"),
     oracle="""
@@ -76,6 +77,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_shipping_priority",
+    shape="bounded",
     bench=True,
     tags=("join", "agg", "topk"),
     oracle="""
@@ -125,6 +127,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_local_supplier",
+    shape="bounded",
     bench=True,
     tags=("join", "agg"),
     oracle="""
@@ -180,6 +183,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_revenue_forecast",
+    shape="bounded",
     tags=("agg", "filter"),
     oracle="""
 SELECT round(5e-10 + sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -214,6 +218,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    shape="bounded",
     bench=True,
     tags=("join", "agg", "topk"),
     oracle="""
@@ -265,6 +270,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_market_share",
+    shape="bounded",
     tags=("join", "window", "agg"),
     oracle="""
 WITH rev AS (
@@ -328,6 +334,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_top_parts_per_brand",
+    shape="bounded",
     tags=("window", "topk"),
     oracle="""
 SELECT p_brand, p_partkey, p_name, p_retailprice, rn
@@ -356,6 +363,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_customer_running",
+    shape="bounded",
     tags=("window",),
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -397,6 +405,7 @@ def q_customer_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rollup_lineitem",
+    shape="bounded",
     tags=("agg", "grouping-sets"),
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -432,6 +441,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cube_orders",
+    shape="bounded",
     tags=("agg", "grouping-sets"),
     oracle="""
 SELECT coalesce(o_orderstatus, 'ALL')   AS status,
@@ -461,6 +471,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_setops_customers",
+    shape="bounded",
     tags=("setops",),
     oracle="""
 WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
@@ -506,6 +517,7 @@ def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_semi_anti_join",
+    shape="bounded",
     tags=("join",),
     oracle="""
 SELECT 'customers_without_orders' AS bucket, count(*) AS n
@@ -537,6 +549,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scalar_gallery",
+    shape="bounded",
     tags=("scalar",),
     oracle="""
 SELECT p_partkey,
@@ -598,6 +611,7 @@ def q_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_percentiles",
+    shape="bounded",
     tags=("agg", "percentile"),
     oracle="""
 SELECT l_returnflag,
@@ -628,6 +642,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stats_agg",
+    shape="bounded",
     tags=("agg", "stats"),
     oracle="""
 SELECT l_returnflag,
@@ -662,6 +677,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_distinct_agg",
+    shape="bounded",
     tags=("agg", "distinct"),
     oracle="""
 SELECT c_mktsegment,
@@ -689,6 +705,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_string_agg",
+    shape="bounded",
     tags=("agg", "string"),
     oracle="""
 SELECT c_mktsegment,
@@ -715,6 +732,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pivot_status",
+    shape="bounded",
     tags=("pivot",),
     oracle="""
 SELECT o_orderpriority,
@@ -749,6 +767,7 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_full_outer_balance",
+    shape="bounded",
     tags=("join", "outer"),
     oracle="""
 SELECT n_name,
@@ -795,6 +814,7 @@ def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_exists_subquery",
+    shape="bounded",
     tags=("join", "subquery"),
     oracle="""
 SELECT o_orderpriority, count(*) AS n_orders

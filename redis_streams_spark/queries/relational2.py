@@ -14,6 +14,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q04_order_priority",
+    shape="bounded",
     tags=("join", "semi", "agg"),
     oracle="""
 SELECT o_orderpriority, count(*) AS order_count
@@ -49,6 +50,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q12_shipmode_priority",
+    shape="bounded",
     tags=("join", "agg", "case"),
     oracle="""
 SELECT l_linestatus,
@@ -84,6 +86,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
+    shape="bounded",
     tags=("join", "agg", "ratio"),
     oracle="""
 SELECT round(5e-10 + 100.0 * sum(CASE WHEN p_type LIKE 'TYPE_1%'
@@ -114,6 +117,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
+    shape="bounded",
     tags=("agg", "having", "join"),
     oracle="""
 WITH big AS (
@@ -158,6 +162,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_filter",
+    shape="bounded",
     tags=("join", "filter"),
     oracle="""
 SELECT round(5e-10 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -190,6 +195,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_global_sales_opportunity",
+    shape="bounded",
     tags=("anti", "subquery", "agg"),
     oracle="""
 WITH avg_bal AS (
@@ -232,6 +238,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_aggs",
+    shape="bounded",
     tags=("agg", "approx"),
     oracle="""
 SELECT l_returnflag,
@@ -286,6 +293,7 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_map_json_functions",
+    shape="bounded",
     tags=("scalar", "json", "map"),
     oracle="""
 SELECT event_id,

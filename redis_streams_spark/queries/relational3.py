@@ -14,6 +14,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q02_cheapest_supplier",
+    shape="bounded",
     tags=("join", "subquery", "agg"),
     oracle="""
 WITH nat AS (
@@ -58,6 +59,7 @@ def q02_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_array_gallery",
+    shape="bounded",
     tags=("scalar", "array"),
     oracle="""
 SELECT vec_id,
@@ -102,6 +104,7 @@ def q_array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_argminmax",
+    shape="bounded",
     tags=("agg", "argmax"),
     oracle="""
 SELECT l_returnflag,
@@ -137,6 +140,7 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_range_frame",
+    shape="bounded",
     tags=("window", "range-frame"),
     oracle="""
 SELECT o_orderkey, o_custkey,
@@ -178,6 +182,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_unpivot",
+    shape="bounded",
     tags=("unpivot",),
     oracle="""
 SELECT c_custkey, metric, round(5e-10 + value, 4) AS value

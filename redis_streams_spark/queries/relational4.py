@@ -14,6 +14,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_rank_functions",
+    shape="bounded",
     tags=("window", "rank"),
     oracle="""
 SELECT s_suppkey, s_nationkey,
@@ -48,6 +49,7 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_value_windows",
+    shape="bounded",
     tags=("window", "value"),
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -89,6 +91,7 @@ def q_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouping_sets",
+    shape="bounded",
     tags=("agg", "grouping-sets"),
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -128,6 +131,7 @@ _HINT_AGG_SQL = """
 
 @register(
     "q_join_hints",
+    shape="bounded",
     tags=("join", "hints", "optimizer"),
     oracle="UNION ALL".join(
         _HINT_AGG_SQL.format(label=s) for s in ("broadcast", "merge", "shuffle_hash")
@@ -167,6 +171,7 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_regression_agg",
+    shape="bounded",
     tags=("agg", "stats", "regression"),
     oracle="""
 SELECT l_returnflag,

@@ -24,6 +24,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q07_volume_shipping",
+    shape="bounded",
     tags=("join", "agg"),
     oracle="""
 SELECT supp_nation, cust_nation, l_year, round(5e-10 + sum(volume), 2) AS revenue
@@ -88,6 +89,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q09_product_profit",
+    shape="bounded",
     tags=("join", "agg"),
     oracle="""
 SELECT nation, o_year, round(5e-10 + sum(amount), 2) AS sum_profit
@@ -138,6 +140,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_stock",
+    shape="bounded",
     tags=("agg", "scalar-subquery"),
     oracle="""
 WITH v AS (
@@ -182,6 +185,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q13_customer_distribution",
+    shape="bounded",
     tags=("join", "outer", "agg"),
     oracle="""
 WITH c_orders AS (
@@ -222,6 +226,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
+    shape="bounded",
     tags=("agg", "scalar-subquery"),
     oracle="""
 WITH revenue AS (
@@ -269,6 +274,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_supplier_cnt",
+    shape="bounded",
     tags=("join", "anti", "distinct-agg"),
     oracle="""
 SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
@@ -314,6 +320,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity",
+    shape="bounded",
     tags=("join", "correlated"),
     oracle="""
 SELECT round(5e-10 + sum(l_extendedprice) / 7.0, 2) AS avg_yearly
@@ -349,6 +356,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_part_promotion",
+    shape="bounded",
     tags=("join", "semi", "having"),
     oracle="""
 SELECT s_name, round(5e-10 + s_acctbal, 2) AS s_acctbal
@@ -393,6 +401,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_waiting_supplier",
+    shape="bounded",
     tags=("join", "exists", "anti"),
     oracle="""
 SELECT s_name, count(*) AS numwait
@@ -458,6 +467,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_datetime_gallery",
+    shape="bounded",
     tags=("scalar", "datetime"),
     oracle="""
 SELECT o_orderkey,
@@ -506,6 +516,7 @@ def q_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lateral_topn",
+    shape="bounded",
     tags=("join", "lateral", "topn"),
     oracle="""
 SELECT n.n_name, t.c_name, t.c_acctbal

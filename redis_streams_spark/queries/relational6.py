@@ -20,6 +20,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_cume_dist",
+    shape="bounded",
     tags=("window", "distribution"),
     oracle=f"""
 SELECT o_custkey, o_orderkey,
@@ -58,6 +59,7 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_string_funcs2",
+    shape="bounded",
     tags=("scalar", "strings"),
     oracle="""
 SELECT c_custkey,
@@ -95,6 +97,7 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_regexp_gallery",
+    shape="bounded",
     tags=("scalar", "regexp"),
     oracle=f"""
 SELECT event_type, count(*) AS n,
@@ -140,6 +143,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
 
 @register(
     "q_band_join",
+    shape="bounded",
     tags=("join", "banded"),
     oracle=f"""
 WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})

@@ -23,6 +23,7 @@ _GAP_MS = 30 * 60 * 1000
 
 @register(
     "q_intersect_except_all",
+    shape="bounded",
     tags=("setops", "bag-semantics"),
     oracle="""
 WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -77,6 +78,7 @@ def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_session_window_fn",
+    shape="bounded",
     tags=("event-time", "session", "builtin"),
     oracle=f"""
 WITH marked AS (
@@ -127,6 +129,7 @@ def q_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_encoding_audit",
+    shape="bounded",
     tags=("layout", "profile", "storage"),
     oracle=f"""
 WITH ordered AS (

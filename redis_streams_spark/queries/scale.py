@@ -15,6 +15,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_salted_agg",
+    shape="bounded",
     tags=("scale", "skew", "agg"),
     oracle="""
 SELECT l_returnflag,
@@ -56,6 +57,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_salted_join",
+    shape="bounded",
     tags=("scale", "skew", "join"),
     bench=True,
     oracle="""
@@ -96,6 +98,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_heavy_hitters",
+    shape="bounded",
     tags=("scale", "skew", "diagnostics"),
     oracle="""
 WITH per_key AS (
@@ -144,6 +147,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zorder_scan",
+    shape="bounded",
     tags=("scale", "layout", "data-skipping"),
     oracle="""
 WITH b AS (

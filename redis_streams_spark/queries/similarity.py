@@ -37,6 +37,7 @@ def _cos(av: str, an: str, bv: str, bn: str) -> str:
 
 @register(
     "sim_bruteforce_topk",
+    shape="per_row",
     tags=("similarity", "ann"),
     bench=True,
     oracle=f"""
@@ -67,6 +68,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
+    shape="per_row",
     tags=("similarity", "ann"),
     bench=True,
     oracle=f"""
@@ -129,6 +131,7 @@ def _ivf_indexed_oracle() -> str:
 
 @register(
     "sim_ivf_indexed",
+    shape="bounded",
     tags=("similarity", "ann", "index"),
     oracle=_ivf_indexed_oracle(),
 )
@@ -216,6 +219,7 @@ ORDER BY a_id, rank
 
 @register(
     "dedup_embedding_pairs",
+    shape="bounded",
     tags=("dedup", "similarity"),
     oracle=_embedding_pairs_oracle(),
 )
@@ -265,7 +269,7 @@ ORDER BY query_id, rank
 """
 
 
-@register("sim_lsh_topk", tags=("similarity", "ann", "lsh"), oracle=_signlsh_oracle())
+@register("sim_lsh_topk", shape="per_row", tags=("similarity", "ann", "lsh"), oracle=_signlsh_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (16 md5-derived hyperplanes, 4 bands of 4
     bits, exact cosine re-rank) — the training-free scale path; the
@@ -326,7 +330,7 @@ ORDER BY vec_id
     )
 
 
-@register("sim_kmeans_clusters", tags=("similarity", "clustering", "iterative"), oracle=_kmeans_oracle())
+@register("sim_kmeans_clusters", shape="bounded", tags=("similarity", "clustering", "iterative"), oracle=_kmeans_oracle())
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed KMeans (2 Lloyd rounds, 8 seeded
     centroids, cosine argmax) — an ITERATIVE algorithm verified value-
@@ -373,7 +377,7 @@ FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
 """
 
 
-@register("sim_recall_report", tags=("similarity", "ann", "quality"), oracle=_recall_oracle())
+@register("sim_recall_report", shape="bounded", tags=("similarity", "ann", "quality"), oracle=_recall_oracle())
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of EVERY ANN scale path against the exact brute-force
     baseline: IVF 2-probe, persisted-index IVF (real index build + pruned
@@ -468,6 +472,7 @@ def _bruteforce_oracle() -> str:
 
 @register(
     "sim_bruteforce_np",
+    shape="bounded",
     tags=("similarity", "ann", "vectorized"),
     oracle=_bruteforce_oracle(),
 )
@@ -488,6 +493,7 @@ def sim_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_norm_audit",
+    shape="bounded",
     tags=("embeddings", "quality", "llm-pipeline"),
     oracle=f"""
 WITH e AS (

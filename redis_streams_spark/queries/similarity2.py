@@ -22,6 +22,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "sim_knn_classify",
+    shape="bounded",
     tags=("similarity", "knn", "evaluation"),
     oracle=f"""
 WITH {_E_CTE},
@@ -108,6 +109,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_cos_histogram",
+    shape="bounded",
     tags=("similarity", "diagnostics", "histogram"),
     oracle=f"""
 WITH {_E_CTE},

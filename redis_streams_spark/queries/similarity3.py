@@ -103,6 +103,7 @@ ORDER BY query_id, position
 
 @register(
     "sim_mmr_rerank",
+    shape="bounded",
     tags=("similarity", "ann", "rerank", "llm-pipeline"),
     oracle=_mmr_oracle(),
 )
@@ -307,6 +308,7 @@ ORDER BY t.query_id
 
 @register(
     "sim_binary_hamming_recall",
+    shape="bounded",
     tags=("similarity", "ann", "quantization"),
     oracle=_hamming_recall_oracle(),
 )
@@ -442,6 +444,7 @@ ORDER BY bin
 
 @register(
     "sim_jl_distortion",
+    shape="bounded",
     tags=("similarity", "ann", "diagnostics", "projection"),
     oracle=_jl_oracle(),
 )

@@ -91,6 +91,7 @@ FROM perq
 
 @register(
     "sim_ndcg_mrr",
+    shape="bounded",
     tags=("similarity", "ann", "quality", "llm-pipeline"),
     oracle=_ndcg_oracle(),
 )
@@ -186,6 +187,7 @@ WHERE fused_rank <= 5
 
 @register(
     "sim_rrf_fusion",
+    shape="per_row",
     tags=("similarity", "rerank", "llm-pipeline"),
     oracle=_rrf_oracle(),
 )

@@ -74,6 +74,7 @@ _BUCKET_SQL = "({h} % {w})".format(
 
 @register(
     "q_cms_heavy_hitters",
+    shape="bounded",
     tags=("sketch", "approx", "scale"),
     oracle=f"""
 WITH cells AS (
@@ -178,7 +179,7 @@ FROM est
 """
 
 
-@register("q_hll_distinct", tags=("sketch", "hll"), oracle=_HLL_ORACLE)
+@register("q_hll_distinct", shape="bounded", tags=("sketch", "hll"), oracle=_HLL_ORACLE)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of users, built as a DataFrame
     computation from the repo's md5-derived h32 (Flajolet et al. 2007,
@@ -289,6 +290,7 @@ def _est_sql(sp: str = "sp", np: str = "np") -> str:
 
 @register(
     "q_hll_merge",
+    shape="bounded",
     tags=("sketch", "hll", "merge"),
     oracle=f"""
 WITH ra AS {_hll_regs_sql("click")},

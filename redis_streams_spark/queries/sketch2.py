@@ -86,7 +86,7 @@ ORDER BY type_a, type_b
 """
 
 
-@register("q_kmv_jaccard", tags=("sketch", "distinct", "jaccard"), oracle=_kmv_oracle())
+@register("q_kmv_jaccard", shape="bounded", tags=("sketch", "distinct", "jaccard"), oracle=_kmv_oracle())
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct sketches: keep the K smallest
     user-id hashes per event type; for each type pair, the K smallest of
@@ -221,6 +221,7 @@ FROM verdict
 
 @register(
     "q_bloom_prefilter_audit",
+    shape="bounded",
     tags=("sketch", "bloom", "join-prefilter"),
     oracle=_bloom_oracle(),
 )
@@ -304,6 +305,7 @@ FROM reps
 
 @register(
     "q_bootstrap_ci",
+    shape="bounded",
     tags=("stats", "bootstrap", "sketch"),
     oracle=_bootstrap_oracle(),
 )

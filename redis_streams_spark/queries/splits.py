@@ -42,6 +42,7 @@ def _split_col() -> F.Column:
 
 @register(
     "q_train_val_test",
+    shape="bounded",
     tags=("mixing", "splits", "llm-pipeline"),
     oracle=f"""
 WITH s AS (
@@ -86,6 +87,7 @@ def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cross_split_leakage",
+    shape="bounded",
     tags=("dedup", "splits", "llm-pipeline"),
     oracle=f"""
 WITH s AS (

@@ -54,6 +54,7 @@ def _daily2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_kendall_tau",
+    shape="bounded",
     tags=("stats", "correlation", "rank"),
     oracle=f"""
 WITH d AS ({_DAILY2_SQL}),
@@ -120,6 +121,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_spearman_daily",
+    shape="bounded",
     tags=("stats", "correlation", "rank"),
     oracle=f"""
 WITH d AS ({_DAILY2_SQL}),
@@ -159,6 +161,7 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mann_whitney",
+    shape="bounded+prefix_sum",
     tags=("stats", "hypothesis-test", "rank"),
     oracle=f"""
 WITH g AS (
@@ -320,6 +323,7 @@ def _ecdf_frames(spark: SparkSession, sf_dir: str):
 
 @register(
     "q_ks_test",
+    shape="bounded+prefix_sum",
     tags=("stats", "hypothesis-test", "distribution"),
     oracle=_ECDF_SQL
     + f"""
@@ -364,6 +368,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_wasserstein_1d",
+    shape="bounded+prefix_sum",
     tags=("stats", "distribution", "distance"),
     oracle=_ECDF_SQL
     + f""", gaps AS (
@@ -407,6 +412,7 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_anova_oneway",
+    shape="bounded",
     tags=("stats", "hypothesis-test"),
     oracle=f"""
 WITH g AS (
@@ -463,6 +469,7 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_runs_test",
+    shape="bounded",
     tags=("stats", "hypothesis-test", "timeseries"),
     oracle=f"""
 WITH d AS ({_DAILY2_SQL}),
@@ -538,6 +545,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_levene_test",
+    shape="bounded",
     tags=("stats", "hypothesis-test", "variance"),
     oracle=f"""
 WITH med AS (
@@ -601,6 +609,7 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cohens_d",
+    shape="bounded",
     tags=("stats", "effect-size"),
     oracle="""
 WITH two AS (
@@ -684,6 +693,7 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mix_drift",
+    shape="bounded",
     tags=("stats", "drift", "distribution"),
     oracle=f"""
 WITH c AS (

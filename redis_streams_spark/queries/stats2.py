@@ -32,6 +32,7 @@ _ALPHA = 0.05
 
 @register(
     "q_benjamini_hochberg",
+    shape="bounded",
     tags=("stats", "hypothesis-test", "multiple-testing"),
     oracle=f"""
 WITH b AS (

@@ -52,6 +52,7 @@ _MSGID_SQL = """
 
 @register(
     "q_stream_batch_collect",
+    shape="bounded",
     tags=("stream", "batching"),
     oracle=f"""
 WITH msgs AS ({_MSGID_SQL}),
@@ -102,6 +103,7 @@ def q_stream_batch_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_monitor_status",
+    shape="bounded",
     tags=("stream", "monitor"),
     oracle=f"""
 WITH per_consumer AS (
@@ -154,6 +156,7 @@ def q_monitor_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scaler_decision",
+    shape="bounded",
     tags=("stream", "scaler"),
     oracle=f"""
 WITH metrics AS (
@@ -251,6 +254,7 @@ def q_scaler_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_backlog_offsets",
+    shape="bounded",
     tags=("stream", "scaler"),
     oracle=f"""
 WITH msgs AS ({_MSGID_SQL}),
@@ -293,6 +297,7 @@ def q_backlog_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pending_entries",
+    shape="bounded",
     tags=("stream", "pel"),
     oracle=f"""
 WITH msgs AS ({_MSGID_SQL}),
@@ -340,6 +345,7 @@ def q_pending_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_eviction_plan",
+    shape="bounded",
     tags=("stream", "monitor"),
     oracle=f"""
 WITH per_consumer AS (
@@ -416,6 +422,7 @@ def q_eviction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stateful_running",
+    shape="bounded",
     tags=("streaming-sem", "stateful"),
     oracle="""
 WITH epochs AS (

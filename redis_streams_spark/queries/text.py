@@ -22,6 +22,7 @@ from redis_streams_spark.functions.textfns import (
     words_sql,
 )
 from redis_streams_spark.operators.dedup import shingle_sets
+from redis_streams_spark.operators.prefix import top_k_by_freq
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
@@ -32,6 +33,7 @@ _FP_PRIME = 1_000_000_007
 
 @register(
     "text_stats",
+    shape="per_row",
     tags=("text", "quality"),
     bench=True,
     oracle=f"""
@@ -139,6 +141,7 @@ def _langid_case_sql(de: str, en: str, es: str, fr: str) -> str:
 
 @register(
     "text_langid",
+    shape="per_row",
     tags=("text", "langid"),
     oracle=f"""
 WITH scored AS (
@@ -190,6 +193,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
+    shape="per_row",
     tags=("text", "fingerprint"),
     oracle=f"""
 WITH toks AS (
@@ -234,6 +238,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_vocabulary",
+    shape="bounded",
     tags=("text", "tokens"),
     oracle=f"""
 WITH toks AS (
@@ -267,6 +272,7 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_dup_ngram_fraction",
+    shape="per_row",
     tags=("text", "dedup", "quality"),
     oracle=f"""
 WITH toks AS (
@@ -332,6 +338,7 @@ _LM_VOCAB_K = 500  # in-vocabulary = the top-K corpus unigrams
 
 @register(
     "text_unigram_lm",
+    shape="per_row+prefix_sum",
     tags=("text", "quality", "lm", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -360,21 +367,25 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low avg_logprob / high oov_rate = unusual token mix, the standard
     drop/downweight signal in training-data pipelines.
 
-    Scale shape: one token-count aggregation (shuffle keyed on token),
-    a window over the vocabulary-cardinality aggregate, one equi-join of
-    token postings to frequencies (at 100 TB: the frequency table is
-    vocabulary-sized — broadcastable for real vocabularies — while
-    postings never leave their partitions), one per-doc aggregation."""
+    Scale shape (r10 rewrite, zero global windows): one token-count
+    aggregation (shuffle keyed on token); the corpus total is a plain
+    one-row aggregate broadcast back (not ``sum OVER ()`` — at 100 TB
+    the vocabulary aggregate is 10^8-10^9 hapax-heavy rows and a global
+    window serializes it); vocabulary membership comes from the
+    frequency-threshold top-k (operators/prefix.py::top_k_by_freq —
+    bucketed prefix sum over log-frequency buckets, only the
+    broadcast-sized survivors ranked); one equi-join of token postings
+    to frequencies, one per-doc aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w_all = W.partitionBy()
-    w_rank = W.partitionBy().orderBy(F.desc("n"), "tok")
-    vocab = freq.select(
-        "tok",
-        "n",
-        F.sum("n").over(w_all).alias("total"),
-        F.row_number().over(w_rank).alias("rnk"),
+    total = freq.agg(F.sum("n").alias("total"))
+    topv = top_k_by_freq(freq, "n", "tok", _LM_VOCAB_K).select(
+        "tok", F.lit(1).alias("__in_vocab")
+    )
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .join(F.broadcast(topv), "tok", "left")
     )
     return (
         toks.join(vocab, "tok")
@@ -385,7 +396,10 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_logprob"
             ),
             rnd(
-                F.avg(F.when(F.col("rnk") <= _LM_VOCAB_K, 0.0).otherwise(1.0)), 6
+                F.avg(
+                    F.when(F.col("__in_vocab").isNotNull(), 0.0).otherwise(1.0)
+                ),
+                6,
             ).alias("oov_rate"),
         )
     )
@@ -408,6 +422,7 @@ _LANGID_PRED_SQL = f"""
 
 @register(
     "text_langid_eval",
+    shape="bounded",
     tags=("text", "langid", "evaluation"),
     oracle=f"""
 WITH pred AS ({_LANGID_PRED_SQL}),

@@ -22,6 +22,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "text_entropy",
+    shape="per_row",
     tags=("text", "entropy"),
     oracle=f"""
 WITH toks AS (
@@ -79,6 +80,7 @@ _ZIPF_TOP = 100
 
 @register(
     "text_zipf",
+    shape="bounded",
     tags=("text", "zipf"),
     oracle=f"""
 WITH toks AS (

@@ -189,6 +189,7 @@ _RULE_NAMES = {
 
 @register(
     "text_gopher_rules",
+    shape="per_row",
     tags=("text", "quality", "llm-pipeline"),
     oracle=f"""
 WITH {_ORACLE_SIGNALS}
@@ -244,6 +245,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_gopher_report",
+    shape="bounded",
     tags=("text", "quality", "llm-pipeline"),
     oracle=f"""
 WITH {_ORACLE_SIGNALS}
@@ -317,6 +319,7 @@ ORDER BY b.doc_id
 
 @register(
     "text_bigram_lm",
+    shape="per_row",
     tags=("text", "quality", "lm", "llm-pipeline"),
     oracle=_BIGRAM_ORACLE,
 )

@@ -18,12 +18,14 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.functions.textfns import BPE_RE, words, words_sql
+from redis_streams_spark.operators.prefix import top_k_by_freq
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.session import load_table
 
 
 @register(
     "text_line_dedup",
+    shape="bounded",
     tags=("text", "dedup", "llm-pipeline"),
     oracle="""
 WITH lines AS (
@@ -73,6 +75,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_pmi_collocations",
+    shape="bounded",
     tags=("text", "collocations", "llm-pipeline"),
     oracle=f"""
 WITH base AS (
@@ -167,6 +170,7 @@ def _cc_sql(cls: str) -> str:
 
 @register(
     "text_charclass_profile",
+    shape="bounded",
     tags=("text", "quality", "llm-pipeline"),
     oracle=f"""
 WITH sig AS (
@@ -223,6 +227,7 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_token_fertility",
+    shape="bounded",
     tags=("text", "tokenizer", "llm-pipeline"),
     oracle=f"""
 WITH sig AS (
@@ -278,6 +283,7 @@ _COVERAGE_CUTOFFS = (100, 1000, 10000)
 
 @register(
     "text_vocab_coverage",
+    shape="bounded+prefix_sum",
     tags=("text", "tokenizer", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -308,16 +314,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-size budget curve tokenizer design starts from (the
     cumulative complement of text_zipf's rank-frequency view).
 
-    Scale shape: one vocabulary-sized count aggregate; the ranking
-    window is unpartitioned but runs over that aggregate (vocab grows
-    sub-linearly in corpus size — Heaps' law); the cutoff join fans the
-    ranked vocab against a 3-row literal frame."""
+    Scale shape (r10 rewrite, zero global windows): one
+    vocabulary-sized count aggregate; the top-10k selection is the
+    frequency-threshold prefix-sum top-k
+    (operators/prefix.py::top_k_by_freq) so no unpartitioned
+    ``row_number`` ever sees the full web-scale vocabulary — only the
+    ≤10k+ties survivors are ranked; totals are a one-row aggregate
+    broadcast back; the cutoff join fans the ranked survivors against a
+    3-row literal frame."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words("text")).alias("term"))
     vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    ranked = vc.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "term"))
-    )
+    ranked = top_k_by_freq(vc, "freq", "term", max(_COVERAGE_CUTOFFS))
     tot = vc.agg(
         (F.sum("freq") * 1.0).alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -348,6 +356,7 @@ _DIVERGENCE_TOPV = 200
 
 @register(
     "text_source_divergence",
+    shape="bounded+prefix_sum",
     tags=("text", "mixing", "llm-pipeline"),
     oracle=f"""
 WITH toks AS (
@@ -387,18 +396,18 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one smoothing — the drifted-source detector a mixing stage runs
     before trusting per-source weights.
 
-    Scale shape: token counts aggregate to vocabulary-sized frames; the
-    top-200 vocabulary and the |sources|×200 grid are broadcast-sized;
-    every join is an equi-join on the term or source key."""
+    Scale shape (r10 rewrite, zero global windows): token counts
+    aggregate to vocabulary-sized frames; the top-200 selection is the
+    frequency-threshold prefix-sum top-k
+    (operators/prefix.py::top_k_by_freq) so the full vocabulary never
+    crosses an unpartitioned window; the top-200 vocabulary and the
+    |sources|×200 grid are broadcast-sized; every join is an equi-join
+    on the term or source key."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(words("text")).alias("term"))
     corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
-    topv = (
-        corpus.withColumn(
-            "r", F.row_number().over(Window.orderBy(F.desc("cf"), "term"))
-        )
-        .where(F.col("r") <= _DIVERGENCE_TOPV)
-        .select("term", "cf")
+    topv = top_k_by_freq(corpus, "cf", "term", _DIVERGENCE_TOPV).select(
+        "term", "cf"
     )
     sc = (
         toks.join(F.broadcast(topv.select("term")), "term")

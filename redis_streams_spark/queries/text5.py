@@ -19,6 +19,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "text_ttr",
+    shape="bounded",
     tags=("text-quality", "llm-prep", "diversity"),
     oracle=f"""
 WITH tok AS (

@@ -47,6 +47,7 @@ ORDER BY rank
 
 @register(
     "text_bpe_merge_candidates",
+    shape="bounded",
     tags=("text", "tokenizer", "llm-pipeline"),
     oracle=_bpe_oracle(),
 )
@@ -123,6 +124,7 @@ ORDER BY t.threshold
 
 @register(
     "text_ppl_filter_curve",
+    shape="bounded",
     tags=("text", "quality", "lm", "llm-pipeline"),
     oracle=_ppl_curve_oracle(),
 )
@@ -194,6 +196,7 @@ ORDER BY bucket
 
 @register(
     "text_heaps_law",
+    shape="bounded",
     tags=("text", "vocabulary", "llm-pipeline"),
     oracle=_heaps_oracle(),
 )

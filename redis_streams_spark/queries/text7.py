@@ -18,6 +18,7 @@ _SENT_RE = "[.!?]+"
 
 @register(
     "text_sentence_stats",
+    shape="per_row",
     tags=("text", "quality", "llm-pipeline"),
     oracle=f"""
 WITH sents AS (

@@ -28,6 +28,7 @@ WIDTH_MS = 6 * 3600 * 1000
 
 @register(
     "q_tumbling_daily",
+    shape="bounded",
     tags=("event-time", "window-agg"),
     bench=True,
     oracle="""
@@ -61,6 +62,7 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sliding_windows",
+    shape="bounded",
     tags=("event-time", "window-agg"),
     oracle=f"""
 WITH slots AS (
@@ -101,6 +103,7 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sessionize",
+    shape="per_row",
     tags=("event-time", "session"),
     bench=True,
     oracle=f"""
@@ -175,6 +178,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_asof_join",
+    shape="per_row",
     tags=("join", "asof"),
     bench=True,
     oracle="""
@@ -266,6 +270,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_range_join_bucketed",
+    shape="bounded",
     tags=("join", "range"),
     oracle="""
 WITH o AS (
@@ -336,6 +341,7 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_interval_join",
+    shape="bounded",
     tags=("join", "stream-semantics"),
     oracle="""
 WITH c AS (

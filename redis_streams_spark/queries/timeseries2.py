@@ -35,6 +35,7 @@ _ASOF_TOL_MS = 30 * 60_000
 
 @register(
     "q_concurrency_curve",
+    shape="bounded",
     tags=("event-time", "prefix-sum"),
     oracle=f"""
 WITH iv AS (
@@ -126,6 +127,7 @@ def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_decay_score",
+    shape="bounded",
     tags=("event-time", "decay"),
     oracle=f"""
 WITH mx AS (
@@ -171,6 +173,7 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_weighted_avg",
+    shape="bounded",
     tags=("event-time", "twa"),
     oracle="""
 WITH seq AS (
@@ -227,6 +230,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ohlc_bars",
+    shape="bounded",
     tags=("event-time", "ohlc"),
     oracle=f"""
 WITH r AS (
@@ -326,6 +330,7 @@ def click_purchase_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 @register(
     "q_asof_tolerance",
+    shape="bounded",
     tags=("join", "asof"),
     oracle=f"""
 WITH {CLICK_PURCHASE_SQL}

@@ -27,6 +27,7 @@ _HOUR_MS = 3_600_000
 
 @register(
     "q_seasonal_residual",
+    shape="bounded",
     tags=("timeseries", "seasonality", "anomaly"),
     oracle=f"""
 WITH g AS (
@@ -92,6 +93,7 @@ def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_interarrival_stats",
+    shape="bounded",
     tags=("timeseries", "percentiles"),
     oracle=f"""
 WITH seq AS (
@@ -149,6 +151,7 @@ _YOY_SENTINEL = -99999.0
 
 @register(
     "q_yoy_growth",
+    shape="bounded",
     tags=("timeseries", "growth"),
     oracle=f"""
 WITH m AS (
@@ -194,6 +197,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rolling_corr",
+    shape="bounded",
     tags=("timeseries", "correlation"),
     oracle=f"""
 WITH d AS (
@@ -276,6 +280,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_activity_streaks",
+    shape="bounded",
     tags=("timeseries", "islands", "engagement"),
     oracle=f"""
 WITH days AS (

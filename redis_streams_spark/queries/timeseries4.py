@@ -39,6 +39,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_autocorr",
+    shape="bounded",
     tags=("timeseries", "autocorrelation"),
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),
@@ -98,6 +99,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rolling_slope",
+    shape="bounded",
     tags=("timeseries", "regression", "window"),
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),
@@ -161,6 +163,7 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_theil_sen",
+    shape="bounded",
     tags=("timeseries", "regression", "robust"),
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),
@@ -205,6 +208,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_markov2",
+    shape="bounded",
     tags=("analytics", "markov", "sequence"),
     oracle="""
 WITH s AS (
@@ -257,6 +261,7 @@ def q_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_order_to_ship_lag",
+    shape="bounded",
     tags=("relational", "percentiles", "join"),
     oracle=f"""
 SELECT o.o_orderpriority,

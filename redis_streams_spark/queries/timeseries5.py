@@ -60,7 +60,7 @@ ORDER BY event_type
 """
 
 
-@register("q_sax_symbols", tags=("timeseries", "symbolic"), oracle=_sax_oracle())
+@register("q_sax_symbols", shape="bounded", tags=("timeseries", "symbolic"), oracle=_sax_oracle())
 def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX (Symbolic Aggregate approXimation) of each event type's daily
     series: z-normalize per series, PAA into 8 equal-count segments,
@@ -172,6 +172,7 @@ ORDER BY event_type, bucket
 
 @register(
     "q_lttb_downsample",
+    shape="bounded",
     tags=("timeseries", "downsample", "viz"),
     oracle=_lttb_oracle(),
 )
@@ -275,6 +276,7 @@ _CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
 
 @register(
     "q_cross_correlation",
+    shape="bounded",
     tags=("timeseries", "stats", "correlation"),
     oracle=f"""
 WITH d AS (
@@ -329,6 +331,7 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_forecast_backtest",
+    shape="bounded",
     tags=("timeseries", "forecast", "model-eval"),
     oracle=f"""
 WITH d AS (

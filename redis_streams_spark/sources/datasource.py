@@ -174,20 +174,27 @@ def _append_staged(log, messages, maxlen: int | None) -> int:
     append them in ONE batch.  The file backend splices the lines
     byte-for-byte (``append_many_serialized`` — zero per-message
     parse/re-serialize); network backends fall back to parsed
-    ``append_many``.  Returns the number of rows appended."""
+    ``append_many``.  Returns the number of rows appended.
+
+    Staging files are removed only AFTER the append succeeds: if the
+    backend raises (lock contention, disk full, Redis error), the
+    epoch's staged rows stay on disk so a commit retry replays them and
+    ``abort()`` has something to clean (r09 advice)."""
     lines: list[str] = []
+    staged_paths: list[str] = []
     for msg in messages:
         if msg is None:
             continue
         with open(msg.staging_path) as f:
             lines.extend(ln.rstrip("\n") for ln in f if ln.strip())
-        os.remove(msg.staging_path)
-    if not lines:
-        return 0
-    if hasattr(log, "append_many_serialized"):
-        log.append_many_serialized(lines, maxlen=maxlen)
-    else:
-        log.append_many([json.loads(ln) for ln in lines], maxlen=maxlen)
+        staged_paths.append(msg.staging_path)
+    if lines:
+        if hasattr(log, "append_many_serialized"):
+            log.append_many_serialized(lines, maxlen=maxlen)
+        else:
+            log.append_many([json.loads(ln) for ln in lines], maxlen=maxlen)
+    for path in staged_paths:
+        os.remove(path)
     return len(lines)
 
 

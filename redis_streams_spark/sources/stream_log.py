@@ -198,9 +198,26 @@ class StreamLog:
         parse/re-serialize on the hot sink path (round-9: the Spark sink
         stages content JSON once at task side and the commit appends it
         byte-for-byte; the read path does the only json.loads).  One
-        buffered write + one meta write for the whole batch."""
+        buffered write + one meta write for the whole batch.
+
+        Payloads are spliced into the line-oriented log byte-for-byte,
+        so each is cheaply validated up front (must be a brace-delimited
+        JSON object with no raw newline) — a malformed payload from a
+        future caller raises here instead of silently corrupting the
+        log framing (r09 advice).  The zero-reparse fast path is kept:
+        no json.loads, just shape checks."""
         if not payloads:
             return []
+        for payload in payloads:
+            if (
+                "\n" in payload
+                or not payload.startswith("{")
+                or not payload.endswith("}")
+            ):
+                raise ValueError(
+                    "append_many_serialized payload must be single-line "
+                    f"JSON object text, got: {payload[:80]!r}"
+                )
         with self.stream_lock():
             m = self._meta()
             ms = int(time.time() * 1000)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import time
 from typing import Union
 
 from redis_streams_spark.sources.stream_log import StreamLog
@@ -15,6 +16,20 @@ class Producer(BaseStreamClass):
     (producer.py:37-51); ``maxlen`` = trim-on-write retention
     (producer.py:26-35).  Divergence: our trim is exact, not ``MAXLEN ~``
     approximate — a strictly stronger bound (noted in SURVEY S2).
+
+    Buffered mode (engine extension, OPT-IN — r09 verdict ask #5): the
+    default unbuffered ``add`` matches the reference's one-XADD-per-call
+    shape and pays one log+meta write per message (~2.7k msgs/s vs 216k
+    for ``add_many`` — SCALE.md §producer).  Passing ``buffer_size``
+    and/or ``buffer_ms`` turns ``add`` into an enqueue that flushes
+    through ``add_many`` when the count or age threshold is reached.
+    Documented divergence from the reference contract: a buffered ``add``
+    returns ``None`` (the msgid is assigned at flush time); ``flush()``
+    returns the flushed ids, and the producer is a context manager that
+    flushes on exit.  Messages sitting in the buffer are invisible to
+    consumers and are lost if the process dies before a flush — the same
+    at-most-once window any client-side batching has, which is why it is
+    opt-in rather than the default.
     """
 
     def __init__(
@@ -23,14 +38,55 @@ class Producer(BaseStreamClass):
         stream: str,
         consumer_group: str = "spark",
         maxlen: Union[int, None] = None,
+        buffer_size: Union[int, None] = None,
+        buffer_ms: Union[int, None] = None,
     ):
         super().__init__(log=log, stream=stream, consumer_group=consumer_group)
         self.maxlen = maxlen
+        if buffer_size is not None and buffer_size < 1:
+            raise ValueError("buffer_size must be >= 1")
+        if buffer_ms is not None and buffer_ms < 0:
+            raise ValueError("buffer_ms must be >= 0")
+        self.buffer_size = buffer_size
+        self.buffer_ms = buffer_ms
+        self._buffered = buffer_size is not None or buffer_ms is not None
+        self._buf: list[dict] = []
+        self._buf_t0: float | None = None
 
-    def add(self, data: dict) -> str:
+    def add(self, data: dict) -> Union[str, None]:
         """Publish one flat field→value message; returns its msgid
-        (``"<ms-epoch>-<seq>"``)."""
-        return self.log.append(data, maxlen=self.maxlen)
+        (``"<ms-epoch>-<seq>"``).  In buffered mode the message is
+        enqueued (flushing when a threshold trips) and ``None`` is
+        returned — see the class docstring for the contract."""
+        if not self._buffered:
+            return self.log.append(data, maxlen=self.maxlen)
+        now = time.monotonic()
+        if not self._buf:
+            self._buf_t0 = now
+        self._buf.append(data)
+        if (
+            self.buffer_size is not None and len(self._buf) >= self.buffer_size
+        ) or (
+            self.buffer_ms is not None
+            and (now - self._buf_t0) * 1000.0 >= self.buffer_ms
+        ):
+            self.flush()
+        return None
+
+    def flush(self) -> list[str]:
+        """Append any buffered messages in one batch; returns their
+        msgids (empty list when nothing is pending).  No-op in
+        unbuffered mode."""
+        if not self._buf:
+            return []
+        rows, self._buf, self._buf_t0 = self._buf, [], None
+        return self.log.append_many(rows, maxlen=self.maxlen)
+
+    def __enter__(self) -> "Producer":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.flush()
 
     def add_many(self, rows: list[dict]) -> list[str]:
         """Batch publish (engine extension): amortizes log+meta writes
@@ -39,7 +95,8 @@ class Producer(BaseStreamClass):
         return self.log.append_many(rows, maxlen=self.maxlen)
 
     def __repr__(self) -> str:
+        pending = f", pending={len(self._buf)}" if self._buffered else ""
         return (
             f"Producer(stream={self.stream}, maxlen={self.maxlen}, "
-            f"messages={self.log.xlen()})"
+            f"messages={self.log.xlen()}{pending})"
         )

@@ -163,3 +163,29 @@ def test_deeply_nested_container_bomb_raises_valueerror():
     moov = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
     with pytest.raises(ValueError, match="nested too deeply"):
         parse_mp4(ftyp + moov)
+
+
+def test_tkhd_trailing_padding_still_reads_real_dims():
+    """Width/height live at the version-implied fixed offset (76/88 into
+    the payload), so a tkhd padded past its spec size must yield the real
+    dims, not the padding bytes (r09 advice)."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_payload = (
+        struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, 1000, 2000) + b"\x00" * 76
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    tkhd_payload = (
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIII", 0, 0, 1, 0, 2000)
+        + b"\x00" * 52
+        + struct.pack(">II", 640 << 16, 360 << 16)
+        + b"\xff" * 24  # trailing junk past the 84-byte spec payload
+    )
+    tkhd = struct.pack(">I", 8 + len(tkhd_payload)) + b"tkhd" + tkhd_payload
+    stts_payload = struct.pack(">B3x", 0) + struct.pack(">III", 1, 4, 500)
+    stts = struct.pack(">I", 8 + len(stts_payload)) + b"stts" + stts_payload
+    trak = struct.pack(">I", 8 + len(tkhd + stts)) + b"trak" + tkhd + stts
+    moov = struct.pack(">I", 8 + len(mvhd + trak)) + b"moov" + mvhd + trak
+    mdat = struct.pack(">I", 8) + b"mdat"
+    w, h, n, dur, _ = parse_mp4(ftyp + moov + mdat)
+    assert (w, h, n, dur) == (640, 360, 4, 2.0)

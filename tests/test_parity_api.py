@@ -326,3 +326,40 @@ def test_monitor_long_idle_consumer_surfaces(log):
     names = [c.consumer_id for c in mon.collected_consumers_data]
     assert "idler" in names
     mon.print_monitoring_data("NonStream")
+
+
+def test_producer_buffered_mode_flushes_on_count(log):
+    """Opt-in buffered add (engine extension): enqueue returns None,
+    the count threshold flushes through add_many, flush() returns the
+    assigned ids, and the context manager drains the tail."""
+    p = Producer(log, "teststream", buffer_size=3)
+    assert p.add({"i": "0"}) is None
+    assert p.add({"i": "1"}) is None
+    assert log.xlen() == 0  # invisible until flush
+    p.add({"i": "2"})  # trips the threshold
+    assert log.xlen() == 3
+    with Producer(log, "teststream", buffer_size=100) as p2:
+        p2.add({"i": "3"})
+        assert log.xlen() == 3
+    assert log.xlen() == 4  # exit flushed the tail
+    assert Producer(log, "teststream", buffer_size=100).flush() == []
+
+
+def test_producer_buffered_mode_flushes_on_age(log):
+    import time as _time
+
+    p = Producer(log, "teststream", buffer_ms=30)
+    p.add({"i": "0"})
+    assert log.xlen() == 0
+    _time.sleep(0.05)
+    p.add({"i": "1"})  # age threshold trips at the next add
+    assert log.xlen() == 2
+
+
+def test_producer_unbuffered_default_unchanged(log):
+    """Without buffer args the reference one-XADD-per-call contract is
+    untouched: add returns the msgid immediately."""
+    p = Producer(log, "teststream")
+    msgid = p.add({"i": "0"})
+    assert isinstance(msgid, str) and "-" in msgid
+    assert log.xlen() == 1

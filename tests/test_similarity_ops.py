@@ -85,3 +85,24 @@ def test_rrf_fuse_scores_sentinels_and_order(spark):
     # by cand_id; here check the full deterministic order
     order = sorted(rows.values(), key=lambda r: r["fused_rank"])
     assert [r["cand_id"] for r in order] == [100, 200, 101, 102, 201]
+
+
+def test_rrf_fuse_rejects_missing_or_ambiguous_rank_columns(spark):
+    """Each rrf_fuse input must carry exactly one *_rank column — zero
+    or several raises a descriptive ValueError instead of a bare
+    IndexError / silent first-match pick (r09 advice)."""
+    import pytest
+
+    from redis_streams_spark.operators.similarity import rrf_fuse
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, cand_id long, exact_rank long"
+    )
+    no_rank = spark.createDataFrame(
+        [(1, 10, 0.5)], "query_id long, cand_id long, score double"
+    )
+    two_ranks = ranked.withColumn("lsh_rank", ranked.exact_rank)
+    with pytest.raises(ValueError, match="exactly one \\*_rank"):
+        rrf_fuse(ranked, no_rank)
+    with pytest.raises(ValueError, match="exactly one \\*_rank"):
+        rrf_fuse(two_ranks, ranked)

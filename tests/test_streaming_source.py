@@ -337,3 +337,57 @@ def test_batch_writer_null_content_rows(spark, tmp_path):
     )
     contents = sorted((dict(r["content"]) for r in back), key=len)
     assert contents == [{}, {"k": "v"}]
+
+
+def test_commit_failure_preserves_staged_rows_for_retry(tmp_path, monkeypatch):
+    """If the backend append raises mid-commit, the epoch's staged files
+    must survive so a commit retry replays them (r09 advice: the old path
+    deleted staging files while accumulating, losing the rows)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from redis_streams_spark.sources.datasource import (
+        RedisLogStreamWriter,
+        StagedCommit,
+    )
+    from redis_streams_spark.sources.stream_log import StreamLog
+
+    root = str(tmp_path)
+    writer = RedisLogStreamWriter({"path": root, "stream": "rf"})
+    d = _os.path.join(root, "rf", "staging")
+    _os.makedirs(d, exist_ok=True)
+    p = _os.path.join(d, "s1.jsonl")
+    with open(p, "w") as f:
+        f.write(_json.dumps({"k": "1"}) + "\n")
+    staged = StagedCommit(staging_path=p, n_rows=1)
+
+    def boom(self, payloads, maxlen=None):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(StreamLog, "append_many_serialized", boom)
+    with _pytest.raises(OSError):
+        writer.commit([staged], batchId=1)
+    assert _os.path.exists(p), "staged rows lost on failed append"
+    monkeypatch.undo()
+    writer.commit([staged], batchId=1)  # retry succeeds and cleans up
+    assert not _os.path.exists(p)
+    assert StreamLog(root, "rf").xlen() == 1
+
+
+def test_append_many_serialized_rejects_malformed_payloads(tmp_path):
+    """Pre-serialized payloads are spliced byte-for-byte into the
+    line-oriented log, so a newline-bearing or non-object payload must
+    raise instead of silently corrupting the framing (r09 advice)."""
+    import pytest as _pytest
+
+    from redis_streams_spark.sources.stream_log import StreamLog
+
+    log = StreamLog(str(tmp_path), "val")
+    ok = log.append_many_serialized(['{"k": "1"}', '{"k": "2"}'])
+    assert len(ok) == 2
+    for bad in ['{"k": "1"}\n{"k": "x"}', '"just a string"', "[1, 2]"]:
+        with _pytest.raises(ValueError, match="single-line JSON object"):
+            log.append_many_serialized([bad])
+    assert log.xlen() == 2  # nothing partial appended
