@@ -60,6 +60,7 @@ def _load_all() -> None:
         relational5,
         relational6,
         relational7,
+        retrieval,
         scale,
         similarity,
         similarity2,

@@ -1,0 +1,367 @@
+"""Lexical retrieval gallery: BM25 ranking, hybrid lexical fusion, and
+the Good-Turing frequency spectrum (round 10 — the keyword-retrieval
+counterpart to the vector `sim_*` family; production RAG stacks fuse
+exactly these two list kinds).
+
+All rankings round scores to 6 dp BEFORE the rank window and tie-break
+on doc_id, so Spark and DuckDB order identically (float-ulp ties are
+the classic cross-engine rank hazard).  Reference basis: none
+(redis-streams has no query surface; SURVEY §2.2 extension rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.rounding import rnd, rnd_sql
+from redis_streams_spark.functions.textfns import words, words_sql
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+# Three fixed keyword queries over the synthetic corpus vocabulary —
+# ONE constant feeding both the Spark frame and the SQL VALUES list.
+_BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "stream", "window"),
+    1: ("hash", "join", "merge"),
+    2: ("filter", "sort", "batch"),
+}
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 10
+
+_QTERMS_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES.items() for t in terms
+)
+
+# Shared oracle CTE prefix: tokens with doc length, query terms, tf per
+# (query, doc, term), per-term document frequency, corpus totals.
+_LEX_CTE = f"""
+base AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), dl AS (
+  SELECT doc_id, len(w)::BIGINT AS dl FROM base WHERE len(w) > 0
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM base
+), qterms(query_id, term) AS (VALUES {_QTERMS_VALUES}),
+tf AS (
+  SELECT q.query_id, t.doc_id, q.term, count(*) AS tf
+  FROM toks t JOIN qterms q ON q.term = t.tok
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT q.term, count(DISTINCT t.doc_id) AS df
+  FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q ON q.term = t.tok
+  GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+)"""
+
+_BM25_SCORE_SQL = f"""
+  SELECT f.query_id, f.doc_id,
+         {rnd_sql(
+             f"sum(ln((tot.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+             f" * (f.tf * {_K1 + 1.0})"
+             f" / (f.tf + {_K1} * ({1.0 - _B} + {_B} * dd.dl / tot.avgdl)))",
+             6,
+         )} AS bm25
+  FROM tf f
+  JOIN dfreq d ON d.term = f.term
+  JOIN dl dd ON dd.doc_id = f.doc_id
+  CROSS JOIN tot
+  GROUP BY 1, 2
+"""
+
+
+def _lex_frames(spark: SparkSession, sf_dir: str):
+    """Spark twins of the oracle CTEs: (dl, tf, dfreq, tot, qterms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", words("text").alias("w"))
+    dl = base.where(F.size("w") > 0).select(
+        "doc_id", F.size("w").cast("long").alias("dl")
+    )
+    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES.items() for t in terms],
+        "query_id INT, term STRING",
+    )
+    matched = toks.join(
+        F.broadcast(qterms), toks["tok"] == qterms["term"]
+    ).select("query_id", "doc_id", "term")
+    tf = matched.groupBy("query_id", "doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        toks.join(
+            F.broadcast(qterms.select("term").distinct()),
+            toks["tok"] == F.col("term"),
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    return dl, tf, dfreq, tot, qterms
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25) — scores rounded to 6 dp."""
+    dl, tf, dfreq, tot, _ = _lex_frames(spark, sf_dir)
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf")
+        + _K1 * ((1.0 - _B) + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id", "doc_id")
+        .agg(rnd(F.sum(term_score), 6).alias("bm25"))
+    )
+
+
+@register(
+    "text_bm25_topk",
+    shape="bounded",
+    tags=("text", "retrieval", "bm25", "llm-pipeline"),
+    oracle=f"""
+WITH {_LEX_CTE}, scored AS ({_BM25_SCORE_SQL}),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, bm25
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per keyword query (k1=1.2, b=0.75, Lucene idf
+    ln((N-df+0.5)/(df+0.5)+1)) over three fixed term queries — the
+    keyword half of hybrid retrieval.
+
+    Scale shape: postings never leave their partitions — the query-term
+    broadcast semi-joins the exploded tokens down to matched postings
+    only, tf is a (query, doc, term)-keyed partial aggregate, df and the
+    (N, avgdl) totals are broadcast-sized aggregates, and the only
+    window is partitioned per query over the matched-doc score frame."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "sim_hybrid_lexical_rrf",
+    shape="bounded",
+    tags=("similarity", "retrieval", "fusion", "llm-pipeline"),
+    oracle=f"""
+WITH {_LEX_CTE}, scored AS ({_BM25_SCORE_SQL}),
+bm25_list AS (
+  SELECT query_id, doc_id AS cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM scored QUALIFY bm25_rank <= {_TOP_K}
+), ndist AS (
+  SELECT doc_id, count(DISTINCT tok) AS nd FROM toks GROUP BY 1
+), jac AS (
+  SELECT f.query_id, f.doc_id,
+         {rnd_sql("count(*) * 1.0 / (3 + any_value(nd.nd) - count(*))", 6)}
+           AS jaccard
+  FROM tf f JOIN ndist nd ON nd.doc_id = f.doc_id
+  GROUP BY 1, 2
+), jac_list AS (
+  SELECT query_id, doc_id AS cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jaccard DESC, doc_id) AS jaccard_rank
+  FROM jac QUALIFY jaccard_rank <= {_TOP_K}
+), fused AS (
+  SELECT coalesce(b.query_id, j.query_id) AS query_id,
+         coalesce(b.cand_id, j.cand_id) AS cand_id,
+         coalesce(b.bm25_rank, -1)::BIGINT AS bm25_rank,
+         coalesce(j.jaccard_rank, -1)::BIGINT AS jaccard_rank,
+         {rnd_sql(
+             "coalesce(1.0 / (60 + b.bm25_rank), 0.0)"
+             " + coalesce(1.0 / (60 + j.jaccard_rank), 0.0)",
+             6,
+         )} AS rrf_score
+  FROM bm25_list b FULL OUTER JOIN jac_list j
+    ON j.query_id = b.query_id AND j.cand_id = b.cand_id
+)
+SELECT query_id, cand_id, bm25_rank, jaccard_rank, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, cand_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 5
+ORDER BY query_id, fused_rank
+""",
+)
+def sim_hybrid_lexical_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical retrieval: reciprocal-rank fusion of the BM25
+    top-10 with a query-token Jaccard top-10 (|overlap| / (|q| + distinct
+    doc tokens − |overlap|)) through the ranking-agnostic
+    ``operators.similarity.rrf_fuse`` — the same combiner the vector
+    pair uses, here composing two lexical scorers (the production
+    hybrid-search shape with both legs on the documents table).
+
+    Scale shape: both legs are matched-postings aggregates + per-query
+    windows over ≤top-k rows; the fusion is a (query, cand) full-outer
+    equi-join over n_queries × ≤2k rows regardless of corpus size."""
+    from redis_streams_spark.operators.similarity import rrf_fuse
+
+    _, tf, _, _, _ = _lex_frames(spark, sf_dir)
+    scored = _bm25_scored(spark, sf_dir)
+    wq = W.partitionBy("query_id")
+    bm25_list = (
+        scored.withColumn(
+            "bm25_rank",
+            F.row_number()
+            .over(wq.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("bm25_rank") <= _TOP_K)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "bm25_rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ndist = (
+        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("nd"))
+    )
+    jac = (
+        tf.join(ndist, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            rnd(
+                F.count(F.lit(1))
+                * 1.0
+                / (3 + F.first("nd") - F.count(F.lit(1))),
+                6,
+            ).alias("jaccard")
+        )
+    )
+    jac_list = (
+        jac.withColumn(
+            "jaccard_rank",
+            F.row_number()
+            .over(wq.orderBy(F.desc("jaccard"), "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("jaccard_rank") <= _TOP_K)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "jaccard_rank")
+    )
+    return rrf_fuse(bm25_list, jac_list, k=5).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+_SPECTRUM_MAX_R = 10
+
+
+@register(
+    "text_freq_spectrum",
+    shape="bounded+prefix_sum",
+    tags=("text", "vocabulary", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({words_sql('text')}) AS term FROM documents
+), vc AS (
+  SELECT term, count(*) AS freq FROM toks GROUP BY term
+), spectrum AS (
+  SELECT freq AS r, count(*) AS n_r FROM vc GROUP BY freq
+), ranked AS (
+  SELECT r, n_r, row_number() OVER (ORDER BY r) AS spectrum_rank
+  FROM spectrum
+), tot AS (
+  SELECT sum(freq)::BIGINT AS total_tokens, count(*)::BIGINT AS vocab
+  FROM vc
+)
+SELECT s.spectrum_rank::BIGINT AS spectrum_rank,
+       s.r::BIGINT AS r, s.n_r::BIGINT AS n_r,
+       {rnd_sql('s.n_r * 1.0 / tot.vocab', 6)} AS vocab_frac,
+       {rnd_sql('s.r * s.n_r * 1.0 / tot.total_tokens', 6)} AS mass_frac,
+       {rnd_sql('(s.r + 1) * coalesce(s2.n_r, 0) * 1.0 / s.n_r', 6)}
+         AS gt_rstar
+FROM ranked s
+LEFT JOIN spectrum s2 ON s2.r = s.r + 1
+CROSS JOIN tot
+WHERE s.spectrum_rank <= {_SPECTRUM_MAX_R}
+ORDER BY s.r
+""",
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum with Good-Turing smoothing:
+    for the 10 SMALLEST occurrence counts r in the corpus, the number
+    of vocabulary terms seen exactly r times, their vocabulary and
+    token-mass fractions, and the Good-Turing adjusted count
+    r* = (r+1)·n_{r+1}/n_r.  The lowest-r mass fraction is the
+    Good-Turing estimate of unseen-event probability — the
+    corpus-growth signal (with Heaps' law) that says how much new
+    vocabulary more crawling would buy.  ("Smallest 10 present", not
+    "r ≤ 10": on a fixed-vocabulary corpus no term may be rare, and an
+    always-empty report would be a silent no-op.)
+
+    Scale shape: token counts aggregate to the vocabulary frame, the
+    spectrum is an aggregate OF that aggregate (one row per distinct
+    occurrence count — O(sqrt(total tokens)) rows); the smallest-10
+    selection is an ascending bucketed prefix-sum rank over
+    log-frequency buckets (operators/prefix.py — no global window even
+    on the bounded spectrum); the r+1 lookup is a self-equi-join on the
+    tiny spectrum; totals broadcast back."""
+    from redis_streams_spark.operators.prefix import bucketed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spectrum = vc.groupBy(F.col("freq").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    ranked = bucketed_cumsum(
+        spectrum.withColumn("__lf", F.log(F.col("r").cast("double")))
+        .withColumn("__one", F.lit(1)),
+        "__lf",
+        [("__one", "spectrum_rank", True)],
+        width=0.5,
+    ).drop("__lf", "__one")
+    tot = vc.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        ranked.where(F.col("spectrum_rank") <= _SPECTRUM_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("spectrum_rank").cast("long").alias("spectrum_rank"),
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            rnd(F.col("n_r") * 1.0 / F.col("vocab"), 6).alias("vocab_frac"),
+            rnd(
+                F.col("r") * F.col("n_r") * 1.0 / F.col("total_tokens"), 6
+            ).alias("mass_frac"),
+            rnd(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r_next"), F.lit(0))
+                * 1.0
+                / F.col("n_r"),
+                6,
+            ).alias("gt_rstar"),
+        )
+        .orderBy("r")
+    )

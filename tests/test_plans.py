@@ -181,6 +181,10 @@ _BNLJ_OK = {
     "q_decile_lift",  # 1-row decile-bounds crossJoin (broadcast scalar)
     "text_vocab_coverage",  # rank<=cutoff inequality join vs broadcast 3-row literal
     "text_unigram_lm",  # 1-row total crossJoin + top_k_by_freq threshold/triangle (broadcast)
+    # -- round 10 --
+    "text_bm25_topk",  # 1-row (N, avgdl) crossJoin (broadcast scalar)
+    "sim_hybrid_lexical_rrf",  # same BM25 scalar crossJoin under the fusion
+    "text_freq_spectrum",  # 1-row totals crossJoin + prefix-sum triangle (broadcast)
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
     "q_band_join",  # range join vs a broadcast 4-row literal band table
     "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)
