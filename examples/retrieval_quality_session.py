@@ -54,6 +54,17 @@ def main() -> None:
     print("-- reciprocal-rank fusion of cosine + dot-product lists:")
     q["sim_rrf_fusion"].fn(spark, sf_dir).show(10, truncate=False)
 
+    # 3c. the lexical leg (round 10): BM25 keyword ranking — once from
+    # scratch, once against the persisted bucket-partitioned inverted
+    # index (value-identical, partition-pruned) — and the hybrid
+    # BM25 + token-Jaccard fusion through the same rrf_fuse combiner
+    print("-- BM25 top-10 per keyword query (from scratch):")
+    q["text_bm25_topk"].fn(spark, sf_dir).show(10, truncate=False)
+    print("-- BM25 against the persisted inverted index (same values):")
+    q["text_bm25_indexed"].fn(spark, sf_dir).show(10, truncate=False)
+    print("-- hybrid lexical fusion (BM25 x query-token Jaccard, RRF):")
+    q["sim_hybrid_lexical_rrf"].fn(spark, sf_dir).show(10, truncate=False)
+
     # 4. scoring-model quality: AUC, calibration, P/R at cutoffs
     print("-- ROC AUC of the relevance score (rank-sum identity,")
     print("   bucketed prefix sum — no single-task window):")

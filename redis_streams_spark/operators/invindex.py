@@ -1,0 +1,120 @@
+"""Persisted inverted index for keyword (BM25) retrieval — the lexical
+twin of the persisted IVF cell store (operators/similarity.py::
+build_ivf_index): build once, query many, with scan cost following the
+QUERY's term list instead of the corpus.
+
+Layout under ``path``:
+
+- ``postings/`` — (tok, doc_id, tf, dl) partitioned by
+  ``bucket = h32(tok) % N_TERM_BUCKETS``.  The per-document length is
+  DENORMALIZED into each posting row at build time, so query-time
+  scoring never joins the corpus-sized doc-length table — the only
+  corpus-sized work left at query time is reading the probed buckets.
+- ``terms/`` — per-term document frequency, same bucket partitioning.
+- ``stats/`` — one row: (n docs, avgdl).
+
+Query path: the query terms' buckets are computed driver-side with
+``h32_py`` (the Python twin of the same md5 hash the build used), and
+the bucket IN-filter lands in the scan's PartitionFilters — dynamic
+file pruning skips every unprobed bucket's files, so a 3-term query
+against a 64-bucket index reads ≤3/64ths of the postings regardless of
+corpus size (plan-asserted in tests/test_invindex.py).
+
+Reference basis: none (SURVEY §2.2 extension surface — the reference
+has no query layer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from redis_streams_spark.functions.hashing import h32, h32_py
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.functions.textfns import words
+
+__all__ = ["N_TERM_BUCKETS", "build_inverted_index", "bm25_topk_indexed"]
+
+N_TERM_BUCKETS = 64
+
+_K1 = 1.2
+_B = 0.75
+
+
+def build_inverted_index(docs: DataFrame, path: str) -> None:
+    """Write the bucket-partitioned postings/terms/stats layout for the
+    ``documents``-shaped frame (doc_id, text)."""
+    base = docs.select("doc_id", words("text").alias("w"))
+    dl = base.where(F.size("w") > 0).select(
+        "doc_id", F.size("w").cast("long").alias("dl")
+    )
+    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    postings = (
+        toks.groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+        .withColumn("bucket", h32("tok") % N_TERM_BUCKETS)
+    )
+    # one shuffle keyed on the partition column so each bucket writes
+    # from one task set instead of |tasks| x |buckets| small files
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    terms = (
+        postings.groupBy("tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartition("bucket")
+    )
+    terms.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/terms"
+    )
+    dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k per query against a persisted index — identical
+    arithmetic (and oracle) to the from-scratch ``text_bm25_topk``.
+
+    ``queries`` maps query_id → term tuple; only the terms' buckets are
+    read (driver-side ``h32_py``, matching the build's ``h32``)."""
+    pairs = [(qid, t) for qid, terms in queries.items() for t in terms]
+    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for _, t in pairs})
+    qterms = F.broadcast(
+        spark.createDataFrame(pairs, "query_id INT, term STRING")
+    )
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("bucket").isin(buckets)
+    )
+    terms = spark.read.parquet(f"{path}/terms").where(
+        F.col("bucket").isin(buckets)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+
+    matched = postings.join(qterms, postings["tok"] == qterms["term"])
+    dfreq = terms.join(
+        qterms.select("term").distinct(), terms["tok"] == F.col("term")
+    ).select(F.col("tok").alias("df_tok"), "df")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * ((1.0 - _B) + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), matched["tok"] == F.col("df_tok"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(rnd(F.sum(term_score), 6).alias("bm25"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )

@@ -265,6 +265,56 @@ def sim_hybrid_lexical_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = f"""
+WITH {_LEX_CTE}, scored AS ({_BM25_SCORE_SQL}),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, bm25
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "text_bm25_indexed",
+    shape="bounded",
+    tags=("text", "retrieval", "bm25", "index", "llm-pipeline"),
+    oracle=_BM25_ORACLE,
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 against a PERSISTED inverted index
+    (operators/invindex.py): postings partitioned by
+    h32(term) % 64 with per-doc lengths denormalized into the posting
+    rows, so the query path reads only the query terms' buckets
+    (partition pruning, plan-asserted in tests/test_invindex.py) and
+    never joins a corpus-sized table.  Same arithmetic and SAME oracle
+    as ``text_bm25_topk`` — a green driver row proves the persisted
+    layout is value-identical to the from-scratch scorer, exactly the
+    ``sim_ivf_indexed`` build-once/query-many adjudication."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from redis_streams_spark.operators.invindex import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp/spark-graft-invidx", f"{tag}-{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_inverted_index(docs, path)
+    return bm25_topk_indexed(spark, path, _BM25_QUERIES, k=_TOP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 _SPECTRUM_MAX_R = 10
 
 

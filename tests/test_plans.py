@@ -183,6 +183,7 @@ _BNLJ_OK = {
     "text_unigram_lm",  # 1-row total crossJoin + top_k_by_freq threshold/triangle (broadcast)
     # -- round 10 --
     "text_bm25_topk",  # 1-row (N, avgdl) crossJoin (broadcast scalar)
+    "text_bm25_indexed",  # same 1-row stats crossJoin read from the persisted index
     "sim_hybrid_lexical_rrf",  # same BM25 scalar crossJoin under the fusion
     "text_freq_spectrum",  # 1-row totals crossJoin + prefix-sum triangle (broadcast)
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
