@@ -127,6 +127,115 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_id")
 
 
+_HITS_ITERS = 2
+
+
+def _oracle_hits() -> str:
+    """Unrolled fixed-iteration HITS as chained CTEs (same arithmetic as
+    the Spark loop: full-double half-steps with L2 normalization, one
+    final scaled round)."""
+    its = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        its.append(
+            f"""a{i}r AS (
+  SELECT s, sum(p.h) AS a FROM base JOIN {prev_h} p USING (c) GROUP BY s
+), a{i}n AS (
+  SELECT sqrt(sum(a * a)) AS nrm FROM a{i}r
+), a{i} AS (
+  SELECT s, a / nrm AS a FROM a{i}r CROSS JOIN a{i}n
+), h{i}r AS (
+  SELECT c, sum(q.a) AS h FROM base JOIN a{i} q USING (s) GROUP BY c
+), h{i}n AS (
+  SELECT sqrt(sum(h * h)) AS nrm FROM h{i}r
+), h{i} AS (
+  SELECT c, h / nrm AS h FROM h{i}r CROSS JOIN h{i}n
+)"""
+        )
+        prev_h = f"h{i}"
+    k = _HITS_ITERS
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT DISTINCT c, 1.0 AS h FROM base
+), {", ".join(its)}
+SELECT c AS node_id, 'hub' AS role,
+       round(5e-10 + h * 1000, 6) AS score_permille
+FROM h{k}
+UNION ALL
+SELECT s AS node_id, 'authority' AS role,
+       round(5e-10 + a * 1000, 6) AS score_permille
+FROM a{k}
+"""
+
+
+@register(
+    "q_hits",
+    shape="per_row",
+    tags=("graph", "iterative", "hits"),
+    oracle=_oracle_hits(),
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs/authorities, 2 rounds) on
+    the bipartite customer→supplier trade graph — the natural HITS
+    structure: customers are pure hubs, suppliers pure authorities.
+    Each half-step is one equi-join + keyed sum followed by L2
+    normalization via a 1-row broadcast scalar; full doubles throughout,
+    ONE final scaled round (×1000 @ 6 dp), like q_pagerank.
+
+    Scale shape: the edge list is built once and persisted (scanned
+    2×iters times); every per-node frame stays distributed — norms are
+    the only global reductions and they are single-row aggregates.  No
+    windows, no sort (per-node output).
+
+    Reference basis: none (no graph ops in redis-streams); standard
+    HITS formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    hub = base.select("c").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for i in range(_HITS_ITERS):
+        a_raw = (
+            base.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        )
+        a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        auth = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "s", (F.col("a") / F.col("nrm")).alias("a")
+        )
+        if i == _HITS_ITERS - 1:
+            # the final auth frame feeds BOTH the last hub half-step and
+            # the output union — persist the tiny per-supplier frame so
+            # the union's two branches share one execution of the
+            # iteration chain instead of re-running it (q_kcore lesson)
+            auth = auth.persist()
+        h_raw = (
+            base.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+        )
+        h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        hub = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "c", (F.col("h") / F.col("nrm")).alias("h")
+        )
+    hubs = hub.select(
+        F.col("c").alias("node_id"),
+        F.lit("hub").alias("role"),
+        rnd(F.col("h") * 1000, 6).alias("score_permille"),
+    )
+    auths = auth.select(
+        F.col("s").alias("node_id"),
+        F.lit("authority").alias("role"),
+        rnd(F.col("a") * 1000, 6).alias("score_permille"),
+    )
+    return hubs.unionAll(auths)
+
+
 _TRI_ORACLE = """
 WITH e0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -186,6 +186,7 @@ _BNLJ_OK = {
     "text_bm25_indexed",  # same 1-row stats crossJoin read from the persisted index
     "sim_hybrid_lexical_rrf",  # same BM25 scalar crossJoin under the fusion
     "text_freq_spectrum",  # 1-row totals crossJoin + prefix-sum triangle (broadcast)
+    "q_hits",  # 1-row L2-norm crossJoins per half-step (broadcast scalars)
     "text_source_divergence",  # |sources| x top-200 grid crossJoin (both broadcast-sized)
     "q_band_join",  # range join vs a broadcast 4-row literal band table
     "q_dau_mau",  # 1-row corpus-max-day crossJoin (broadcast scalar)

@@ -112,3 +112,39 @@ def test_quantize_dial_bounds_state(spark, tmp_path):
     assert r.n_distinct == len(set(rounded))
     assert r.p50 == _exact_order_stat(rounded, 0.5)
     assert r.p99 == _exact_order_stat(rounded, 0.99)
+
+
+def test_streaming_exact_matches_testdata_batch(spark, tmp_path):
+    """Three-surface parity on the REAL events testdata (sf0.001, 1000
+    rows, 5 event types): stream the table through the log in 8
+    micro-batches and require the streaming exact quantiles to equal the
+    batch order statistics computed directly from the parquet — the
+    same rank definition the registered prefix-sum quantile family
+    uses."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT event_type, value FROM "
+        "'/root/testdata/sf0.001/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    by_key: dict[str, list[float]] = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(float(v))
+
+    log = StreamLog(str(tmp_path), "eq")
+    prod = Producer(log, "eq")
+    prod.add_many(
+        [{"event_type": k, "value": v} for k, v in rows]
+    )
+
+    final = _run(
+        spark, tmp_path, streaming_exact_quantiles, "eq_events",
+        batch_size=125,
+    )
+    assert set(final) == set(by_key)
+    for k, vals in by_key.items():
+        r = final[k]
+        assert r.n_seen == len(vals)
+        assert r.n_distinct == len(set(vals))
+        for q, got in zip(QUANTILES, (r.p50, r.p90, r.p99)):
+            assert got == _exact_order_stat(vals, q), (k, q)
