@@ -10,8 +10,21 @@ Layout under ``path``:
   DENORMALIZED into each posting row at build time, so query-time
   scoring never joins the corpus-sized doc-length table — the only
   corpus-sized work left at query time is reading the probed buckets.
-- ``terms/`` — per-term document frequency, same bucket partitioning.
-- ``stats/`` — one row: (n docs, avgdl).
+- ``terms/`` — per-term document-frequency PARTIALS, same bucket
+  partitioning.
+- ``stats/`` — corpus-stat partials: (n docs, sum of doc lengths).
+
+Every tier is APPEND-ONLY (the Lucene-segment discipline):
+``update_inverted_index`` adds a new batch of documents by appending
+that batch's postings, term-df partials, and one stats row — no
+read-modify-write of live files, so updates are safe while readers run
+and never rewrite corpus-sized data.  The query path merges partials at
+read time (df = sum per term over the probed buckets, avgdl = Σsum_dl /
+Σn — both bounded frames), which keeps queries value-identical to a
+from-scratch rebuild over the union corpus (tested).  Caller contract:
+a doc_id belongs to exactly one batch — re-adding a document
+double-counts it, exactly as appending a duplicate doc to any
+segment-based index would.
 
 Query path: the query terms' buckets are computed driver-side with
 ``h32_py`` (the Python twin of the same md5 hash the build used), and
@@ -33,7 +46,12 @@ from redis_streams_spark.functions.hashing import h32, h32_py
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.functions.textfns import words
 
-__all__ = ["N_TERM_BUCKETS", "build_inverted_index", "bm25_topk_indexed"]
+__all__ = [
+    "N_TERM_BUCKETS",
+    "build_inverted_index",
+    "update_inverted_index",
+    "bm25_topk_indexed",
+]
 
 N_TERM_BUCKETS = 64
 
@@ -41,9 +59,7 @@ _K1 = 1.2
 _B = 0.75
 
 
-def build_inverted_index(docs: DataFrame, path: str) -> None:
-    """Write the bucket-partitioned postings/terms/stats layout for the
-    ``documents``-shaped frame (doc_id, text)."""
+def _write_segment(docs: DataFrame, path: str, mode: str) -> None:
     base = docs.select("doc_id", words("text").alias("w"))
     dl = base.where(F.size("w") > 0).select(
         "doc_id", F.size("w").cast("long").alias("dl")
@@ -57,7 +73,7 @@ def build_inverted_index(docs: DataFrame, path: str) -> None:
     )
     # one shuffle keyed on the partition column so each bucket writes
     # from one task set instead of |tasks| x |buckets| small files
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+    postings.repartition("bucket").write.mode(mode).partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
     terms = (
@@ -65,13 +81,25 @@ def build_inverted_index(docs: DataFrame, path: str) -> None:
         .agg(F.count(F.lit(1)).alias("df"))
         .repartition("bucket")
     )
-    terms.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/terms"
-    )
+    terms.write.mode(mode).partitionBy("bucket").parquet(f"{path}/terms")
     dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("dl").alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode(mode).parquet(f"{path}/stats")
+
+
+def build_inverted_index(docs: DataFrame, path: str) -> None:
+    """Write the bucket-partitioned postings/terms/stats layout for the
+    ``documents``-shaped frame (doc_id, text)."""
+    _write_segment(docs, path, "overwrite")
+
+
+def update_inverted_index(docs_new: DataFrame, path: str) -> None:
+    """Append a new document batch as a segment: postings rows, term-df
+    partials, one corpus-stats partial — no existing file is read or
+    rewritten.  Queries merge partials at read time, so the updated
+    index answers exactly like a full rebuild over the union corpus."""
+    _write_segment(docs_new, path, "append")
 
 
 def bm25_topk_indexed(
@@ -96,12 +124,24 @@ def bm25_topk_indexed(
     terms = spark.read.parquet(f"{path}/terms").where(
         F.col("bucket").isin(buckets)
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    # merge the append-only segment partials at read time: per-term df
+    # over the probed buckets, (n, avgdl) over the stats partials — both
+    # bounded frames regardless of segment count
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    )
 
     matched = postings.join(qterms, postings["tok"] == qterms["term"])
-    dfreq = terms.join(
-        qterms.select("term").distinct(), terms["tok"] == F.col("term")
-    ).select(F.col("tok").alias("df_tok"), "df")
+    dfreq = (
+        terms.join(
+            qterms.select("term").distinct(), terms["tok"] == F.col("term")
+        )
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .select(F.col("tok").alias("df_tok"), "df")
+    )
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     term_score = idf * (F.col("tf") * (_K1 + 1.0)) / (
         F.col("tf") + _K1 * ((1.0 - _B) + _B * F.col("dl") / F.col("avgdl"))

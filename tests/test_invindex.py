@@ -11,6 +11,7 @@ from redis_streams_spark.operators.invindex import (
     N_TERM_BUCKETS,
     bm25_topk_indexed,
     build_inverted_index,
+    update_inverted_index,
 )
 
 _QUERIES = {0: ("spark", "stream", "window"), 1: ("hash", "join", "merge")}
@@ -92,3 +93,34 @@ def test_build_layout_and_denormalized_dl(spark, tmp_path):
         assert df_from_postings[r.tok] == r.df
     stats = spark.read.parquet(f"{path}/stats").collect()
     assert len(stats) == 1 and stats[0].n == docs.count()
+
+
+def test_incremental_update_matches_full_rebuild(spark, tmp_path):
+    """Segment-style maintenance: build on half the corpus, append the
+    other half with update_inverted_index, and require query results
+    IDENTICAL to a from-scratch build over the full corpus — the
+    read-time partial merge (df sums, avgdl from stats partials) must be
+    value-exact."""
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_inverted_index(docs.where(F.col("doc_id") % 2 == 0), inc_path)
+    update_inverted_index(docs.where(F.col("doc_id") % 2 == 1), inc_path)
+    build_inverted_index(docs, full_path)
+
+    def result(path):
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.bm25)
+            for r in bm25_topk_indexed(spark, path, _QUERIES, k=10).collect()
+        }
+
+    got, want = result(inc_path), result(full_path)
+    assert got == want and len(want) == 20
+    # two stats partials exist (one per segment) and merge to the corpus
+    stats = spark.read.parquet(f"{inc_path}/stats")
+    assert stats.count() == 2
+    assert (
+        stats.agg(F.sum("n")).first()[0]
+        == spark.read.parquet(f"{full_path}/stats").agg(F.sum("n")).first()[0]
+    )
