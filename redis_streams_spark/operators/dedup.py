@@ -327,7 +327,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         cands.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -386,7 +385,6 @@ def ngram_jaccard_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("a_id", "b_id")
     )
 
 

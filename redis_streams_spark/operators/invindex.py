@@ -65,27 +65,38 @@ def _write_segment(docs: DataFrame, path: str, mode: str) -> None:
         "doc_id", F.size("w").cast("long").alias("dl")
     )
     toks = base.select("doc_id", F.explode("w").alias("tok"))
+    # the postings lineage (tokenize + explode + groupBy + join) feeds
+    # all three writes — persist it once instead of re-tokenizing the
+    # corpus for the terms write; stats derives from the persisted
+    # postings too ((n, sum_dl) over one row per doc: dl rides on every
+    # posting, so min(dl) per doc_id == dl)
     postings = (
         toks.groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .join(dl, "doc_id")
         .withColumn("bucket", h32("tok") % N_TERM_BUCKETS)
+        .persist()
     )
-    # one shuffle keyed on the partition column so each bucket writes
-    # from one task set instead of |tasks| x |buckets| small files
-    postings.repartition("bucket").write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
-    terms = (
-        postings.groupBy("tok", "bucket")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .repartition("bucket")
-    )
-    terms.write.mode(mode).partitionBy("bucket").parquet(f"{path}/terms")
-    dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    ).write.mode(mode).parquet(f"{path}/stats")
+    try:
+        # one shuffle keyed on the partition column so each bucket writes
+        # from one task set instead of |tasks| x |buckets| small files
+        postings.repartition("bucket").write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(f"{path}/postings")
+        terms = (
+            postings.groupBy("tok", "bucket")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartition("bucket")
+        )
+        terms.write.mode(mode).partitionBy("bucket").parquet(
+            f"{path}/terms"
+        )
+        postings.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ).write.mode(mode).parquet(f"{path}/stats")
+    finally:
+        postings.unpersist()
 
 
 def build_inverted_index(docs: DataFrame, path: str) -> None:

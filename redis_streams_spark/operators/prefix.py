@@ -174,13 +174,25 @@ def top_k_by_freq(
        at-or-above count reaches k (one-row aggregate; falls back to the
        minimum frequency when the vocabulary holds fewer than k keys);
     3. survivors = keys with freq ≥ threshold — at most k plus the tie
-       class at the threshold, broadcast-sized for real corpora — ranked
-       exactly as (#keys strictly more frequent, from the same cum
-       frame) + row_number within the tie class (a window PARTITIONED by
-       frequency), then filtered to rank ≤ k.
+       class at the threshold — ranked exactly as (#keys strictly more
+       frequent, from the same cum frame) + the key's rank within its
+       tie class, then filtered to rank ≤ k.
+
+    The tie-class rank itself is parallel for string keys (the only
+    callers today): keys bucket by their 2-char prefix — substring is
+    ORDER-PRESERVING on strings, so (prefix, key) order == key order —
+    each (freq, prefix) bucket ranks in its own window task, and the
+    bucket offsets come from a broadcast triangle join over the tiny
+    (freq, prefix) count frame.  Without this, a threshold that lands
+    on a huge tie class (k-th frequency = 1 on a hapax-heavy corpus —
+    Good-Turing n₁ is ~half the vocabulary) would serialize the whole
+    class through one nominally-partitioned window task (r10 review
+    finding).  Non-string keys fall back to the per-frequency window,
+    where prefix bucketing would not preserve numeric order.
 
     The result column set is ``df``'s plus ``rank_name`` (int).
     """
+    from pyspark.sql.types import StringType
     hist = df.groupBy(freq_col).agg(F.count(F.lit(1)).alias("__tk_n"))
     hist = hist.withColumn(
         "__tk_lf", F.log(F.col(freq_col).cast("double"))
@@ -205,16 +217,45 @@ def top_k_by_freq(
         cum.join(F.broadcast(thr), F.col(freq_col) >= F.col("__tk_thr"))
         .select(freq_col, (F.col("__tk_ge") - F.col("__tk_n")).alias("__tk_gt"))
     )
-    w_tie = W.partitionBy(freq_col).orderBy(key_col)
-    return (
-        surv.join(F.broadcast(gt_surv), freq_col)
-        .withColumn(
+    if isinstance(df.schema[key_col].dataType, StringType):
+        s2 = surv.withColumn("__tk_pb", F.substring(F.col(key_col), 1, 2))
+        pcnt = s2.groupBy(freq_col, "__tk_pb").agg(
+            F.count(F.lit(1)).alias("__tk_pn")
+        )
+        prhs = pcnt.select(
+            F.col(freq_col).alias("__tk_f2"),
+            F.col("__tk_pb").alias("__tk_pb2"),
+            F.col("__tk_pn").alias("__tk_pn2"),
+        )
+        earlier_pb = (F.col("__tk_f2") == F.col(freq_col)) & (
+            F.col("__tk_pb2") < F.col("__tk_pb")
+        )
+        poff = (
+            pcnt.join(F.broadcast(prhs), earlier_pb, "left")
+            .groupBy(freq_col, "__tk_pb")
+            .agg(F.coalesce(F.sum("__tk_pn2"), F.lit(0)).alias("__tk_poff"))
+        )
+        w_tie = W.partitionBy(freq_col, "__tk_pb").orderBy(key_col)
+        ranked = (
+            s2.join(F.broadcast(poff), [freq_col, "__tk_pb"])
+            .join(F.broadcast(gt_surv), freq_col)
+            .withColumn(
+                rank_name,
+                (
+                    F.col("__tk_gt")
+                    + F.col("__tk_poff")
+                    + F.row_number().over(w_tie)
+                ).cast("int"),
+            )
+            .drop("__tk_pb", "__tk_poff")
+        )
+    else:
+        w_tie = W.partitionBy(freq_col).orderBy(key_col)
+        ranked = surv.join(F.broadcast(gt_surv), freq_col).withColumn(
             rank_name,
             (F.col("__tk_gt") + F.row_number().over(w_tie)).cast("int"),
         )
-        .where(F.col(rank_name) <= k)
-        .drop("__tk_gt")
-    )
+    return ranked.where(F.col(rank_name) <= k).drop("__tk_gt")
 
 
 def bucketed_lead(

@@ -120,7 +120,6 @@ def prefix_filter_pairs(
             rnd(jac, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= math.floor(t * 1e6) / 1e6)
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -181,5 +180,4 @@ def containment_pairs(
         # t itself isn't 6dp-representable (e.g. 1/3) — same guard as
         # prefix_filter_pairs
         .where(F.col("containment") >= math.floor(t * 1e6) / 1e6)
-        .orderBy("a_id", "b_id")
     )

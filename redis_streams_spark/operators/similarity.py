@@ -261,7 +261,6 @@ def embedding_neighbor_pairs(
         .where(F.col("rank") <= k)
         .withColumn("is_near_dup", F.col("cosine") >= near_dup_threshold)
         .select("a_id", "b_id", "label", "cosine", "rank", "is_near_dup")
-        .orderBy("a_id", "rank")
     )
 
 

@@ -455,7 +455,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zscore_anomaly",
-    shape="bounded",
+    shape="per_row",
     tags=("analytics", "anomaly"),
     oracle="""
 WITH stats AS (
@@ -491,13 +491,12 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("value"), 4).alias("value"),
             rnd(z, 4).alias("z"),
         )
-        .orderBy("event_id")
     )
 
 
 @register(
     "q_user_journey",
-    shape="bounded",
+    shape="per_row",
     tags=("analytics", "journey"),
     oracle="""
 WITH ranked AS (
@@ -553,5 +552,4 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
             (F.col("n_purchases") > 0).alias("converted"),
         )
-        .orderBy("user_id")
     )

@@ -137,7 +137,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cdc_compact",
-    shape="bounded",
+    shape="per_row",
     tags=("cdc", "compaction"),
     oracle="""
 WITH ranked AS (
@@ -181,7 +181,6 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
             (F.col("last.event_type") == "error").alias("is_tombstone"),
         )
-        .orderBy("user_id")
     )
 
 

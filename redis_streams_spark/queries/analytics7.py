@@ -80,7 +80,7 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_behavior_entropy",
-    shape="bounded",
+    shape="per_row",
     tags=("analytics", "entropy"),
     oracle=f"""
 WITH c AS (
@@ -117,7 +117,6 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
             rnd(F.sum(-p * F.log(p)), 6).alias("type_entropy"),
         )
-        .orderBy("user_id")
     )
 
 

@@ -133,7 +133,7 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_interval_merge",
-    shape="bounded",
+    shape="per_row",
     tags=("window", "islands", "sessionize"),
     oracle=f"""
 WITH iv AS (
@@ -211,13 +211,12 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
         )
         .select("user_id", "merged_start_ms", "merged_end_ms", "n_intervals")
-        .orderBy("user_id", "merged_start_ms")
     )
 
 
 @register(
     "q_window_ignore_nulls",
-    shape="bounded",
+    shape="per_row",
     tags=("window", "null-semantics", "gallery"),
     oracle=f"""
 WITH pv AS (
@@ -285,7 +284,6 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "second_purchase"
             ),
         )
-        .orderBy("user_id")
     )
 
 

@@ -63,7 +63,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_events",
-    shape="bounded",
+    shape="per_row",
     tags=("cdc", "scd2"),
     oracle=f"""
 WITH ordered AS (
@@ -104,7 +104,6 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to_ms"),
             "is_current",
         )
-        .orderBy("user_id", "valid_from_ms")
     )
 
 

@@ -167,7 +167,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    shape="bounded",
+    shape="per_row",
     tags=("dedup", "simhash"),
     oracle=f"""
 WITH {_SIMHASH_CORE}
@@ -195,7 +195,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    shape="bounded",
+    shape="per_row",
     tags=("dedup", "ngram"),
     oracle=f"""
 WITH norms AS (

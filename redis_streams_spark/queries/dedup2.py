@@ -41,7 +41,7 @@ ORDER BY a_id, b_id
 """
 
 
-@register("dedup_prefix_filter", shape="bounded", tags=("dedup", "setjoin"), oracle=_PREFIX_ORACLE)
+@register("dedup_prefix_filter", shape="per_row", tags=("dedup", "setjoin"), oracle=_PREFIX_ORACLE)
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-3-shingle Jaccard self-join at t = 0.5 via prefix
     filtering (rare-token prefixes + length filter + exact verify).
@@ -64,7 +64,7 @@ ORDER BY a_id, b_id
 """
 
 
-@register("text_containment", shape="bounded", tags=("dedup", "containment"), oracle=_CONTAIN_ORACLE)
+@register("text_containment", shape="per_row", tags=("dedup", "containment"), oracle=_CONTAIN_ORACLE)
 def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (|A∩B|/|A| ≥ 0.6, both directions)
     over the whole corpus via containment-prefix filtering — catches

@@ -109,7 +109,7 @@ ORDER BY p.event_id
 """
 
 
-@register("q_nearest_event", shape="bounded", tags=("join", "nearest"), oracle=_NEAREST_ORACLE)
+@register("q_nearest_event", shape="per_row", tags=("join", "nearest"), oracle=_NEAREST_ORACLE)
 def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-in-time match: each purchase pairs with its CLOSEST click
     either side within 1 h (pandas ``merge_asof(direction='nearest')``)
@@ -165,4 +165,4 @@ def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(use_next, d_next)
         .otherwise(F.lit(-1))
         .alias("abs_delta_ms"),
-    ).orderBy("event_id")
+    )

@@ -60,7 +60,7 @@ FROM {prev} ORDER BY node_id
 """
 
 
-@register("q_pagerank", shape="bounded", tags=("graph", "iterative"), oracle=_oracle_pagerank())
+@register("q_pagerank", shape="per_row", tags=("graph", "iterative"), oracle=_oracle_pagerank())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 3 rounds) over the bipartite
     customer↔supplier trade graph derived from lineitem⋈orders, edges in
@@ -124,8 +124,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("customer")
         .alias("node_type"),
         rnd(F.col("pr") * 1000, 6).alias("pr_permille"),
-    ).orderBy("node_id")
-
+    )
 
 _HITS_ITERS = 2
 
@@ -266,7 +265,7 @@ ORDER BY node
 """
 
 
-@register("q_triangles", shape="bounded", tags=("graph", "triangles"), oracle=_TRI_ORACLE)
+@register("q_triangles", shape="per_row", tags=("graph", "triangles"), oracle=_TRI_ORACLE)
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-purchase graph (parts
     appearing in the same order are linked) — the clustering-coefficient
@@ -321,7 +320,6 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nodes.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy("node")
     )
 
 
@@ -346,7 +344,7 @@ ORDER BY s_a, s_b
 """
 
 
-@register("q_link_prediction", shape="bounded", tags=("graph", "similarity"), oracle=_LINKPRED_ORACLE)
+@register("q_link_prediction", shape="per_row", tags=("graph", "similarity"), oracle=_LINKPRED_ORACLE)
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard link prediction between suppliers: two
     suppliers are similar when their customer sets overlap (common
@@ -392,5 +390,4 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
             ).alias("jaccard"),
         )
-        .orderBy("s_a", "s_b")
     )

@@ -50,7 +50,7 @@ ORDER BY node_type, node_id
 """
 
 
-@register("q_kcore", shape="bounded", tags=("graph", "iterative", "kcore"), oracle=_kcore_oracle())
+@register("q_kcore", shape="per_row", tags=("graph", "iterative", "kcore"), oracle=_kcore_oracle())
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round k-core peeling (k=3, 3 rounds) on the bipartite
     supplier-part graph from distinct lineitem pairs: each round drops
@@ -96,4 +96,4 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("node_id"),
         "degree",
     )
-    return deg_s.unionByName(deg_p).orderBy("node_type", "node_id")
+    return deg_s.unionByName(deg_p)

@@ -363,7 +363,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_customer_running",
-    shape="bounded",
+    shape="per_row",
     tags=("window",),
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -399,7 +399,6 @@ def q_customer_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.row_number().over(w).alias("order_seq"),
         )
-        .orderBy("o_custkey", "order_seq")
     )
 
 
@@ -549,7 +548,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scalar_gallery",
-    shape="bounded",
+    shape="per_row",
     tags=("scalar",),
     oracle="""
 SELECT p_partkey,
@@ -605,7 +604,6 @@ def q_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("p_size"), F.lit(25)).alias("size_floor25"),
             F.least(F.col("p_size"), F.lit(25)).alias("size_cap25"),
         )
-        .orderBy("p_partkey")
     )
 
 

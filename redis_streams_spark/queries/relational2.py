@@ -293,7 +293,7 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_map_json_functions",
-    shape="bounded",
+    shape="per_row",
     tags=("scalar", "json", "map"),
     oracle="""
 SELECT event_id,
@@ -319,5 +319,4 @@ def q_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("user_tag"),
         )
         .where(F.col("k_value") > 90)
-        .orderBy("event_id")
     )

@@ -140,7 +140,7 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_range_frame",
-    shape="bounded",
+    shape="per_row",
     tags=("window", "range-frame"),
     oracle="""
 SELECT o_orderkey, o_custkey,
@@ -176,7 +176,6 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             # arbitrary reals and straddles boundaries at high row counts
             rnd(F.sum("o_totalprice").over(w), 2).alias("sum_similar_price"),
         )
-        .orderBy("o_orderkey")
     )
 
 

@@ -14,7 +14,7 @@ from redis_streams_spark.session import load_table
 
 @register(
     "q_rank_functions",
-    shape="bounded",
+    shape="per_row",
     tags=("window", "rank"),
     oracle="""
 SELECT s_suppkey, s_nationkey,
@@ -43,13 +43,12 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
             rnd(F.cume_dist().over(w), 6).alias("cdist"),
         )
-        .orderBy("s_nationkey", "rnk", "s_suppkey")
     )
 
 
 @register(
     "q_value_windows",
-    shape="bounded",
+    shape="per_row",
     tags=("window", "value"),
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -85,7 +84,6 @@ def q_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "next_price"
             ),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 

@@ -23,7 +23,7 @@ _GAP_MS = 30 * 60 * 1000
 
 @register(
     "q_intersect_except_all",
-    shape="bounded",
+    shape="per_row",
     tags=("setops", "bag-semantics"),
     oracle="""
 WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -72,13 +72,12 @@ def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
             F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
         )
-        .orderBy("custkey")
     )
 
 
 @register(
     "q_session_window_fn",
-    shape="bounded",
+    shape="per_row",
     tags=("event-time", "session", "builtin"),
     oracle=f"""
 WITH marked AS (
@@ -123,7 +122,6 @@ def q_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "sess_start_ms")
     )
 
 

@@ -219,7 +219,7 @@ ORDER BY a_id, rank
 
 @register(
     "dedup_embedding_pairs",
-    shape="bounded",
+    shape="per_row",
     tags=("dedup", "similarity"),
     oracle=_embedding_pairs_oracle(),
 )

@@ -270,7 +270,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_range_join_bucketed",
-    shape="bounded",
+    shape="per_row",
     tags=("join", "range"),
     oracle="""
 WITH o AS (
@@ -335,7 +335,6 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0).cast("long")).alias("n_shipments"),
             rnd(F.coalesce("val", F.lit(0.0)), 2).alias("shipped_value"),
         )
-        .orderBy("o_orderkey")
     )
 
 

@@ -127,7 +127,7 @@ def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_decay_score",
-    shape="bounded",
+    shape="per_row",
     tags=("event-time", "decay"),
     oracle=f"""
 WITH mx AS (
@@ -167,13 +167,12 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("decayed_score"),
         )
-        .orderBy("user_id")
     )
 
 
 @register(
     "q_time_weighted_avg",
-    shape="bounded",
+    shape="per_row",
     tags=("event-time", "twa"),
     oracle="""
 WITH seq AS (
@@ -224,7 +223,6 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             rnd(F.avg("value"), 4).alias("plain_avg"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -330,7 +328,7 @@ def click_purchase_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 @register(
     "q_asof_tolerance",
-    shape="bounded",
+    shape="per_row",
     tags=("join", "asof"),
     oracle=f"""
 WITH {CLICK_PURCHASE_SQL}
@@ -386,5 +384,4 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce(F.when(within, stale), F.lit(-1)).alias("staleness_ms"),
         )
-        .orderBy("event_id")
     )

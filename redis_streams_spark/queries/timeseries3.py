@@ -280,7 +280,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_activity_streaks",
-    shape="bounded",
+    shape="per_row",
     tags=("timeseries", "islands", "engagement"),
     oracle=f"""
 WITH days AS (
@@ -322,5 +322,4 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_streaks"),
             F.max("len").alias("longest_streak"),
         )
-        .orderBy("user_id")
     )

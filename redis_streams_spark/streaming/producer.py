@@ -26,10 +26,13 @@ class Producer(BaseStreamClass):
     Documented divergence from the reference contract: a buffered ``add``
     returns ``None`` (the msgid is assigned at flush time); ``flush()``
     returns the flushed ids, and the producer is a context manager that
-    flushes on exit.  Messages sitting in the buffer are invisible to
-    consumers and are lost if the process dies before a flush — the same
-    at-most-once window any client-side batching has, which is why it is
-    opt-in rather than the default.
+    flushes on exit.  The age threshold is evaluated LAZILY at the next
+    ``add`` (no background timer thread): on a bursty-then-idle stream
+    the last burst stays buffered until the next add, an explicit
+    ``flush()``, or context exit.  Messages sitting in the buffer are
+    invisible to consumers and are lost if the process dies before a
+    flush — the same at-most-once window any client-side batching has,
+    which is why it is opt-in rather than the default.
     """
 
     def __init__(
@@ -76,11 +79,16 @@ class Producer(BaseStreamClass):
     def flush(self) -> list[str]:
         """Append any buffered messages in one batch; returns their
         msgids (empty list when nothing is pending).  No-op in
-        unbuffered mode."""
+        unbuffered mode.  The buffer is cleared only AFTER the append
+        succeeds: a transient backend error leaves the messages queued
+        so a retrying flush() re-sends them instead of losing them (the
+        same delete-after-append discipline as the sink's staged
+        commit)."""
         if not self._buf:
             return []
-        rows, self._buf, self._buf_t0 = self._buf, [], None
-        return self.log.append_many(rows, maxlen=self.maxlen)
+        ids = self.log.append_many(self._buf, maxlen=self.maxlen)
+        self._buf, self._buf_t0 = [], None
+        return ids
 
     def __enter__(self) -> "Producer":
         return self

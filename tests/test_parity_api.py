@@ -363,3 +363,22 @@ def test_producer_unbuffered_default_unchanged(log):
     msgid = p.add({"i": "0"})
     assert isinstance(msgid, str) and "-" in msgid
     assert log.xlen() == 1
+
+
+def test_producer_buffered_flush_failure_keeps_messages(log, monkeypatch):
+    """A failed backend append must leave the buffer intact so a
+    retrying flush() re-sends instead of silently losing messages."""
+    p = Producer(log, "teststream", buffer_size=100)
+    p.add({"i": "0"})
+    p.add({"i": "1"})
+    cls = type(log)
+
+    def boom(self, rows, maxlen=None):
+        raise OSError("backend down")
+
+    monkeypatch.setattr(cls, "append_many", boom)
+    with pytest.raises(OSError):
+        p.flush()
+    monkeypatch.undo()
+    assert len(p.flush()) == 2  # retry succeeds with nothing lost
+    assert log.xlen() == 2

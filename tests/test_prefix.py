@@ -166,3 +166,32 @@ def test_top_k_by_freq_ties_at_threshold_cut_by_key_order(spark):
         (r.term, r.rnk) for r in top_k_by_freq(df, "freq", "term", 3).collect()
     }
     assert got == {("z", 1), ("a", 2), ("m", 3)}
+
+
+def test_top_k_by_freq_huge_tie_class_across_prefixes(spark):
+    """The threshold lands on a tie class spanning many key prefixes
+    (the hapax-heavy worst case): ranks must still match the global
+    row_number exactly — the prefix-bucketed tie ranking is
+    order-preserving because substring is monotone on strings."""
+    from redis_streams_spark.operators.prefix import top_k_by_freq
+
+    rng = random.Random(5)
+    # 8 frequent keys + 300 hapaxes with diverse prefixes
+    rows = [(f"{chr(97 + rng.randrange(26))}{chr(97 + rng.randrange(26))}x{i}", 1)
+            for i in range(300)]
+    rows += [(f"hot{i}", 50 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "term string, freq long")
+    k = 40  # threshold = 1, tie class = all 300 hapaxes
+    w = W.orderBy(F.desc("freq"), "term")
+    expected = {
+        (r.term, r.rnk)
+        for r in df.select(
+            "term", F.row_number().over(w).alias("rnk")
+        ).collect()
+        if r.rnk <= k
+    }
+    got = {
+        (r.term, r.rnk)
+        for r in top_k_by_freq(df, "freq", "term", k).collect()
+    }
+    assert got == expected and len(got) == k
