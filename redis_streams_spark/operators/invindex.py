@@ -50,6 +50,7 @@ __all__ = [
     "N_TERM_BUCKETS",
     "build_inverted_index",
     "update_inverted_index",
+    "compact_inverted_index",
     "bm25_topk_indexed",
 ]
 
@@ -111,6 +112,38 @@ def update_inverted_index(docs_new: DataFrame, path: str) -> None:
     rewritten.  Queries merge partials at read time, so the updated
     index answers exactly like a full rebuild over the union corpus."""
     _write_segment(docs_new, path, "append")
+
+
+def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
+    """Rewrite an accumulated multi-segment index as one segment at
+    ``dst``: postings re-bucketed into one file set per bucket, term-df
+    partials collapsed to one row per (term, bucket), stats partials to
+    one row.  Compaction writes to a NEW path (the reader contract is
+    append-only files, so compact-in-place would race live readers) —
+    swap paths atomically at the catalog/config layer, then drop the old
+    tree.  Query results are value-identical before and after (tested)."""
+    postings = spark.read.parquet(f"{src}/postings")
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{dst}/postings")
+    (
+        spark.read.parquet(f"{src}/terms")
+        .groupBy("tok", "bucket")
+        .agg(F.sum("df").alias("df"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{dst}/terms")
+    )
+    (
+        spark.read.parquet(f"{src}/stats")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/stats")
+    )
 
 
 def bm25_topk_indexed(

@@ -124,3 +124,30 @@ def test_incremental_update_matches_full_rebuild(spark, tmp_path):
         stats.agg(F.sum("n")).first()[0]
         == spark.read.parquet(f"{full_path}/stats").agg(F.sum("n")).first()[0]
     )
+
+
+def test_compaction_collapses_segments_and_preserves_results(spark, tmp_path):
+    """Build + two segment updates, then compact to a new path: query
+    results identical, terms collapse to one row per (term, bucket),
+    stats to one row."""
+    from redis_streams_spark.operators.invindex import compact_inverted_index
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src, dst = str(tmp_path / "multi"), str(tmp_path / "compacted")
+    build_inverted_index(docs.where(F.col("doc_id") % 3 == 0), src)
+    update_inverted_index(docs.where(F.col("doc_id") % 3 == 1), src)
+    update_inverted_index(docs.where(F.col("doc_id") % 3 == 2), src)
+    assert spark.read.parquet(f"{src}/stats").count() == 3
+    compact_inverted_index(spark, src, dst)
+
+    def result(path):
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.bm25)
+            for r in bm25_topk_indexed(spark, path, _QUERIES, k=10).collect()
+        }
+
+    assert result(dst) == result(src)
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
+    terms = spark.read.parquet(f"{dst}/terms")
+    assert terms.count() == terms.select("tok").distinct().count()
