@@ -151,3 +151,64 @@ def test_compaction_collapses_segments_and_preserves_results(spark, tmp_path):
     assert spark.read.parquet(f"{dst}/stats").count() == 1
     terms = spark.read.parquet(f"{dst}/terms")
     assert terms.count() == terms.select("tok").distinct().count()
+
+
+def test_streaming_ingest_builds_queryable_index(spark, tmp_path):
+    """The continuously-indexed-corpus shape: documents arrive on the
+    stream log, each micro-batch appends a segment via
+    update_inverted_index inside foreachBatch, and the resulting index
+    answers BM25 queries identically to a batch build over the same
+    documents — the reference's batch-collecting consumer surface
+    feeding the engine's retrieval index end-to-end."""
+    from redis_streams_spark.session import load_table
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+    from redis_streams_spark.streaming.windows import project
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 200
+    )
+    rows = docs.select("doc_id", "text").collect()
+    log = StreamLog(str(tmp_path), "docs")
+    Producer(log, "docs").add_many(
+        [{"doc_id": r.doc_id, "text": r.text} for r in rows]
+    )
+
+    idx_path = str(tmp_path / "stream_idx")
+
+    def index_batch(batch_df, batch_id):
+        update_inverted_index(
+            batch_df.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            ),
+            idx_path,
+        )
+
+    src = open_stream(spark, str(tmp_path), "docs", group="ix", batch_size=60)
+    typed = project(src, {"doc_id": "long", "text": "string"}).select(
+        "doc_id", "text"
+    )
+    q = (
+        typed.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # >= 2 micro-batch segments landed (200 docs / batch_size 60)
+    assert spark.read.parquet(f"{idx_path}/stats").count() >= 2
+    batch_path = str(tmp_path / "batch_idx")
+    build_inverted_index(docs, batch_path)
+
+    def result(path):
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.bm25)
+            for r in bm25_topk_indexed(spark, path, _QUERIES, k=10).collect()
+        }
+
+    assert result(idx_path) == result(batch_path)
