@@ -315,6 +315,82 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed test phrases (bigrams over the corpus vocabulary) — one
+# constant feeding both engines, like _BM25_QUERIES.
+_PHRASES: dict[int, tuple[str, str]] = {
+    0: ("spark", "stream"),
+    1: ("hash", "join"),
+    2: ("window", "batch"),
+}
+_PHRASE_VALUES = ", ".join(
+    f"({pid}, '{a}', '{b}')" for pid, (a, b) in _PHRASES.items()
+)
+
+
+@register(
+    "text_phrase_match",
+    shape="per_row",
+    tags=("text", "retrieval", "phrase", "llm-pipeline"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+  FROM base
+), phrases(phrase_id, t1, t2) AS (VALUES {_PHRASE_VALUES})
+SELECT p.phrase_id, a.doc_id, count(*)::BIGINT AS n_occurrences
+FROM phrases p
+JOIN toks a ON a.tok = p.t1
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = p.t2
+GROUP BY 1, 2
+""",
+)
+def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (adjacent-bigram) matching via positional postings:
+    documents containing each fixed two-word phrase, with occurrence
+    counts — the positional-index query BM25's bag-of-words scoring
+    cannot answer.
+
+    Scale shape: positions come from one in-row ``posexplode``; each
+    phrase's two term-posting sets are filtered by a broadcast semi-join
+    BEFORE the adjacency join, so the (doc_id, pos) equi-join runs over
+    matched postings only — never corpus × corpus.  Per-(phrase, doc)
+    output, no sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    phrases = spark.createDataFrame(
+        [(pid, a, b) for pid, (a, b) in _PHRASES.items()],
+        "phrase_id INT, t1 STRING, t2 STRING",
+    )
+    first = toks.join(
+        F.broadcast(phrases), toks["tok"] == phrases["t1"]
+    ).select("phrase_id", "doc_id", "pos", "t2")
+    second = (
+        toks.join(
+            F.broadcast(phrases.select("t2").distinct()),
+            toks["tok"] == F.col("t2"),
+            "semi",
+        )
+        .select(
+            F.col("doc_id").alias("b_doc"),
+            F.col("pos").alias("b_pos"),
+            F.col("tok").alias("b_tok"),
+        )
+    )
+    return (
+        first.join(
+            second,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_pos") == F.col("pos") + 1)
+            & (F.col("b_tok") == F.col("t2")),
+        )
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
 _SPECTRUM_MAX_R = 10
 
 
