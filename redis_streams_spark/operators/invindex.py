@@ -6,19 +6,23 @@ QUERY's term list instead of the corpus.
 Layout under ``path``:
 
 - ``postings/`` — (tok, doc_id, tf, dl) partitioned by
-  ``bucket = h32(tok) % N_TERM_BUCKETS``.  The per-document length is
-  DENORMALIZED into each posting row at build time, so query-time
-  scoring never joins the corpus-sized doc-length table — the only
-  corpus-sized work left at query time is reading the probed buckets.
-- ``terms/`` — per-term document-frequency PARTIALS, same bucket
-  partitioning.
-- ``stats/`` — corpus-stat partials: (n docs, sum of doc lengths).
+  ``(segment, bucket)`` with ``bucket = h32(tok) % N_TERM_BUCKETS``.
+  The per-document length is DENORMALIZED into each posting row at
+  build time, so query-time scoring never joins the corpus-sized
+  doc-length table — the only corpus-sized work left at query time is
+  reading the probed buckets.
+- ``terms/`` — per-term document-frequency PARTIALS, same
+  (segment, bucket) partitioning.
+- ``stats/`` — corpus-stat partials: (n docs, sum of doc lengths),
+  one row per segment.
 
-Every tier is APPEND-ONLY (the Lucene-segment discipline):
-``update_inverted_index`` adds a new batch of documents by appending
-that batch's postings, term-df partials, and one stats row — no
-read-modify-write of live files, so updates are safe while readers run
-and never rewrite corpus-sized data.  The query path merges partials at
+Segments follow the Lucene discipline: ``update_inverted_index`` adds
+a batch of documents as its own segment partition — no other segment
+is read or rewritten, so updates are safe while readers run and never
+touch corpus-sized data.  With a caller-supplied deterministic segment
+name the write is a DYNAMIC partition overwrite, so a re-delivered
+micro-batch (foreachBatch is at-least-once) replaces its own segment
+instead of double-counting it.  The query path merges partials at
 read time (df = sum per term over the probed buckets, avgdl = Σsum_dl /
 Σn — both bounded frames), which keeps queries value-identical to a
 from-scratch rebuild over the union corpus (tested).  Caller contract:
@@ -60,7 +64,13 @@ _K1 = 1.2
 _B = 0.75
 
 
-def _write_segment(docs: DataFrame, path: str, mode: str) -> None:
+def _write_segment(
+    docs: DataFrame,
+    path: str,
+    mode: str,
+    segment: str,
+    dynamic: bool = False,
+) -> None:
     base = docs.select("doc_id", words("text").alias("w"))
     dl = base.where(F.size("w") > 0).select(
         "doc_id", F.size("w").cast("long").alias("dl")
@@ -76,42 +86,67 @@ def _write_segment(docs: DataFrame, path: str, mode: str) -> None:
         .agg(F.count(F.lit(1)).alias("tf"))
         .join(dl, "doc_id")
         .withColumn("bucket", h32("tok") % N_TERM_BUCKETS)
+        .withColumn("segment", F.lit(segment))
         .persist()
     )
+    # dynamic partition overwrite: an "overwrite" write replaces ONLY
+    # the partitions it produces (this segment's), never other segments
+    # — the idempotent-replay mechanism for streaming ingestion.  The
+    # initial build keeps STATIC mode so it clears the whole tree
+    # (dynamic would leave stale segments from a previous index alive).
+    owm = ("partitionOverwriteMode", "dynamic" if dynamic else "static")
     try:
         # one shuffle keyed on the partition column so each bucket writes
         # from one task set instead of |tasks| x |buckets| small files
-        postings.repartition("bucket").write.mode(mode).partitionBy(
-            "bucket"
+        postings.repartition("bucket").write.mode(mode).option(*owm).partitionBy(
+            "segment", "bucket"
         ).parquet(f"{path}/postings")
         terms = (
-            postings.groupBy("tok", "bucket")
+            postings.groupBy("tok", "segment", "bucket")
             .agg(F.count(F.lit(1)).alias("df"))
             .repartition("bucket")
         )
-        terms.write.mode(mode).partitionBy("bucket").parquet(
-            f"{path}/terms"
-        )
+        terms.write.mode(mode).option(*owm).partitionBy(
+            "segment", "bucket"
+        ).parquet(f"{path}/terms")
         postings.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("dl").cast("long").alias("sum_dl"),
-        ).write.mode(mode).parquet(f"{path}/stats")
+        ).withColumn("segment", F.lit(segment)).write.mode(mode).option(
+            *owm
+        ).partitionBy("segment").parquet(f"{path}/stats")
     finally:
         postings.unpersist()
 
 
 def build_inverted_index(docs: DataFrame, path: str) -> None:
     """Write the bucket-partitioned postings/terms/stats layout for the
-    ``documents``-shaped frame (doc_id, text)."""
-    _write_segment(docs, path, "overwrite")
+    ``documents``-shaped frame (doc_id, text) as segment ``base``."""
+    _write_segment(docs, path, "overwrite", "base")
 
 
-def update_inverted_index(docs_new: DataFrame, path: str) -> None:
-    """Append a new document batch as a segment: postings rows, term-df
-    partials, one corpus-stats partial — no existing file is read or
+def update_inverted_index(
+    docs_new: DataFrame, path: str, segment: str | None = None
+) -> None:
+    """Add a new document batch as a segment: postings rows, term-df
+    partials, one corpus-stats partial — no existing segment is read or
     rewritten.  Queries merge partials at read time, so the updated
-    index answers exactly like a full rebuild over the union corpus."""
-    _write_segment(docs_new, path, "append")
+    index answers exactly like a full rebuild over the union corpus.
+
+    ``segment`` names the batch's partition.  Pass a DETERMINISTIC name
+    (e.g. the foreachBatch ``batchId``) for replay-safe streaming
+    ingestion: the write uses dynamic partition overwrite, so a
+    re-delivered micro-batch REPLACES its own segment instead of
+    double-counting it (Spark's foreachBatch is at-least-once — r10
+    review finding).  With ``segment=None`` a plain append is performed
+    under an opaque unique name, which is only safe for exactly-once
+    callers."""
+    if segment is not None:
+        _write_segment(docs_new, path, "overwrite", segment, dynamic=True)
+    else:
+        import uuid
+
+        _write_segment(docs_new, path, "append", uuid.uuid4().hex[:12])
 
 
 def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
@@ -122,17 +157,20 @@ def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
     append-only files, so compact-in-place would race live readers) —
     swap paths atomically at the catalog/config layer, then drop the old
     tree.  Query results are value-identical before and after (tested)."""
-    postings = spark.read.parquet(f"{src}/postings")
+    postings = spark.read.parquet(f"{src}/postings").withColumn(
+        "segment", F.lit("base")
+    )
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
+        "segment", "bucket"
     ).parquet(f"{dst}/postings")
     (
         spark.read.parquet(f"{src}/terms")
         .groupBy("tok", "bucket")
         .agg(F.sum("df").alias("df"))
+        .withColumn("segment", F.lit("base"))
         .repartition("bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("segment", "bucket")
         .parquet(f"{dst}/terms")
     )
     (
@@ -141,7 +179,9 @@ def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
             F.sum("n").cast("long").alias("n"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
+        .withColumn("segment", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("segment")
         .parquet(f"{dst}/stats")
     )
 

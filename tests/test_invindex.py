@@ -81,7 +81,7 @@ def test_build_layout_and_denormalized_dl(spark, tmp_path):
     per-term df consistent with the postings."""
     docs, path = _build(spark, tmp_path)
     postings = spark.read.parquet(f"{path}/postings")
-    assert set(postings.columns) == {"tok", "doc_id", "tf", "dl", "bucket"}
+    assert set(postings.columns) == {"tok", "doc_id", "tf", "dl", "bucket", "segment"}
     terms = spark.read.parquet(f"{path}/terms")
     df_from_postings = {
         (r.tok): r.n
@@ -178,11 +178,12 @@ def test_streaming_ingest_builds_queryable_index(spark, tmp_path):
     idx_path = str(tmp_path / "stream_idx")
 
     def index_batch(batch_df, batch_id):
+        # deterministic segment name = replay-safe: a re-delivered
+        # micro-batch overwrites its own segment (at-least-once sink)
         update_inverted_index(
-            batch_df.select(
-                F.col("doc_id").cast("long").alias("doc_id"), "text"
-            ),
+            batch_df.select("doc_id", "text"),
             idx_path,
+            segment=f"b{batch_id}",
         )
 
     src = open_stream(spark, str(tmp_path), "docs", group="ix", batch_size=60)
@@ -211,4 +212,12 @@ def test_streaming_ingest_builds_queryable_index(spark, tmp_path):
             for r in bm25_topk_indexed(spark, path, _QUERIES, k=10).collect()
         }
 
+    assert result(idx_path) == result(batch_path)
+    # replay a batch (at-least-once delivery): the deterministic segment
+    # name makes the re-write idempotent — results must not change
+    update_inverted_index(
+        docs.where(F.col("doc_id") < 60).select("doc_id", "text"),
+        idx_path,
+        segment="b0",
+    )
     assert result(idx_path) == result(batch_path)
