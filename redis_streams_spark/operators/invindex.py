@@ -5,12 +5,14 @@ QUERY's term list instead of the corpus.
 
 Layout under ``path``:
 
-- ``postings/`` — (tok, doc_id, tf, dl) partitioned by
+- ``postings/`` — (tok, doc_id, tf, dl, positions) partitioned by
   ``(segment, bucket)`` with ``bucket = h32(tok) % N_TERM_BUCKETS``.
   The per-document length is DENORMALIZED into each posting row at
   build time, so query-time scoring never joins the corpus-sized
   doc-length table — the only corpus-sized work left at query time is
-  reading the probed buckets.
+  reading the probed buckets.  ``positions`` is the sorted 1-based
+  token-position list (tf = its size), making the index POSITIONAL:
+  phrase adjacency is an in-row array intersect at query time.
 - ``terms/`` — per-term document-frequency PARTIALS, same
   (segment, bucket) partitioning.
 - ``stats/`` — corpus-stat partials: (n docs, sum of doc lengths),
@@ -56,6 +58,7 @@ __all__ = [
     "update_inverted_index",
     "compact_inverted_index",
     "bm25_topk_indexed",
+    "phrase_match_indexed",
 ]
 
 N_TERM_BUCKETS = 64
@@ -75,7 +78,9 @@ def _write_segment(
     dl = base.where(F.size("w") > 0).select(
         "doc_id", F.size("w").cast("long").alias("dl")
     )
-    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    toks = base.select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).cast("long").alias("pos"))
     # the postings lineage (tokenize + explode + groupBy + join) feeds
     # all three writes — persist it once instead of re-tokenizing the
     # corpus for the terms write; stats derives from the persisted
@@ -83,7 +88,10 @@ def _write_segment(
     # posting, so min(dl) per doc_id == dl)
     postings = (
         toks.groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
         .join(dl, "doc_id")
         .withColumn("bucket", h32("tok") % N_TERM_BUCKETS)
         .withColumn("segment", F.lit(segment))
@@ -147,6 +155,57 @@ def update_inverted_index(
         import uuid
 
         _write_segment(docs_new, path, "append", uuid.uuid4().hex[:12])
+
+
+def phrase_match_indexed(
+    spark: SparkSession,
+    path: str,
+    phrases: dict[int, tuple[str, str]],
+) -> DataFrame:
+    """Exact two-word phrase matching against the persisted positional
+    index: read only the phrase terms' buckets, equi-join the two term
+    posting lists per document, and count adjacencies with an IN-ROW
+    array intersect (positions of t1 shifted by one ∩ positions of t2)
+    — no positional explode, no corpus-sized join.  Returns
+    (phrase_id, doc_id, n_occurrences), the same frame as the
+    from-scratch ``text_phrase_match``."""
+    terms = {t for pair in phrases.values() for t in pair}
+    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for t in terms})
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("bucket").isin(buckets)
+    )
+    pf = F.broadcast(
+        spark.createDataFrame(
+            [(pid, a, b) for pid, (a, b) in phrases.items()],
+            "phrase_id INT, t1 STRING, t2 STRING",
+        )
+    )
+    first = postings.join(pf, postings["tok"] == pf["t1"]).select(
+        "phrase_id", "doc_id", F.col("positions").alias("p1"), "t2"
+    )
+    second = postings.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("tok").alias("b_tok"),
+        F.col("positions").alias("p2"),
+    )
+    n_adj = F.size(
+        F.array_intersect(
+            F.transform(F.col("p1"), lambda x: x + 1), F.col("p2")
+        )
+    )
+    return (
+        first.join(
+            second,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_tok") == F.col("t2")),
+        )
+        .select(
+            "phrase_id",
+            "doc_id",
+            n_adj.cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
 
 
 def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:

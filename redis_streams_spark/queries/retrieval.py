@@ -326,12 +326,7 @@ _PHRASE_VALUES = ", ".join(
     f"({pid}, '{a}', '{b}')" for pid, (a, b) in _PHRASES.items()
 )
 
-
-@register(
-    "text_phrase_match",
-    shape="per_row",
-    tags=("text", "retrieval", "phrase", "llm-pipeline"),
-    oracle=f"""
+_PHRASE_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, {words_sql('text')} AS w FROM documents
 ), toks AS (
@@ -343,7 +338,14 @@ FROM phrases p
 JOIN toks a ON a.tok = p.t1
 JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = p.t2
 GROUP BY 1, 2
-""",
+"""
+
+
+@register(
+    "text_phrase_match",
+    shape="per_row",
+    tags=("text", "retrieval", "phrase", "llm-pipeline"),
+    oracle=_PHRASE_ORACLE,
 )
 def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase (adjacent-bigram) matching via positional postings:
@@ -389,6 +391,39 @@ def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+@register(
+    "text_phrase_indexed",
+    shape="per_row",
+    tags=("text", "retrieval", "phrase", "index", "llm-pipeline"),
+    oracle=_PHRASE_ORACLE,
+)
+def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase matching against the PERSISTED positional index
+    (operators/invindex.py): postings carry sorted position lists, so
+    adjacency is an in-row array intersect over the two terms' posting
+    rows — only the phrase terms' buckets are read (partition pruning),
+    and no positional explode happens at query time.  Same oracle as
+    the from-scratch ``text_phrase_match``, so a green driver row
+    proves the positional layout is value-identical — the
+    ``text_bm25_indexed`` adjudication applied to phrase queries."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from redis_streams_spark.operators.invindex import (
+        build_inverted_index,
+        phrase_match_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp/spark-graft-invidx-p", f"{tag}-{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_inverted_index(docs, path)
+    return phrase_match_indexed(spark, path, _PHRASES)
 
 
 _SPECTRUM_MAX_R = 10

@@ -81,7 +81,7 @@ def test_build_layout_and_denormalized_dl(spark, tmp_path):
     per-term df consistent with the postings."""
     docs, path = _build(spark, tmp_path)
     postings = spark.read.parquet(f"{path}/postings")
-    assert set(postings.columns) == {"tok", "doc_id", "tf", "dl", "bucket", "segment"}
+    assert set(postings.columns) == {"tok", "doc_id", "tf", "dl", "positions", "bucket", "segment"}
     terms = spark.read.parquet(f"{path}/terms")
     df_from_postings = {
         (r.tok): r.n
