@@ -64,6 +64,8 @@ def main() -> None:
     q["text_bm25_indexed"].fn(spark, sf_dir).show(10, truncate=False)
     print("-- hybrid lexical fusion (BM25 x query-token Jaccard, RRF):")
     q["sim_hybrid_lexical_rrf"].fn(spark, sf_dir).show(10, truncate=False)
+    print("-- exact phrase matching (positional index, bucket-pruned):")
+    q["text_phrase_indexed"].fn(spark, sf_dir).show(6, truncate=False)
 
     # 4. scoring-model quality: AUC, calibration, P/R at cutoffs
     print("-- ROC AUC of the relevance score (rank-sum identity,")
