@@ -71,6 +71,7 @@ def bucketed_cumsum(
     width: float,
     descending: bool = False,
     partition_cols: Sequence[str] = (),
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Append exact cumulative sums to ``df`` without any
     empty-partition window.
@@ -88,6 +89,15 @@ def bucketed_cumsum(
     splits across its value buckets instead of one window task.  All
     other columns pass through unchanged.
 
+    ``bucket_col`` (default ``order_col``) is the column bucketed by
+    ``floor(bucket_col / width)``; it must be MONOTONE NON-DECREASING in
+    ``order_col`` so bucket-major order is the global order.  Pass a
+    derived column (e.g. ``log(freq)``) to spread a heavy-tailed domain
+    evenly across buckets while still ORDERING by the exact raw value —
+    a lossy derivation (two distinct frequencies rounding to the same
+    double) then only merges buckets, never corrupts the sort
+    (r10 ADVICE fix).
+
     Sizing contract: the offset frame holds |partitions| x |occupied
     buckets| rows and is broadcast — right for few-to-thousands of
     groups (the skewed-group case this solves).  For millions of tiny
@@ -96,7 +106,9 @@ def bucketed_cumsum(
     be the new bottleneck.
     """
     pcols = list(partition_cols)
-    bucket = F.floor(F.col(order_col) / F.lit(width)).cast("long")
+    bucket = F.floor(F.col(bucket_col or order_col) / F.lit(width)).cast(
+        "long"
+    )
     b = df.withColumn(_BK, bucket)
 
     srcs = sorted({src for src, _, _ in specs})
@@ -197,12 +209,18 @@ def top_k_by_freq(
     hist = hist.withColumn(
         "__tk_lf", F.log(F.col(freq_col).cast("double"))
     )
+    # bucket by log(freq) (even spread over the heavy tail) but ORDER by
+    # the exact integer freq: at extreme counts two distinct frequencies
+    # can round to the same double log, which would make a log-ordered
+    # cumsum nondeterministic for the pair (r10 ADVICE fix) — with raw
+    # ordering a log collision only merges their bucket, never the sort
     cum = bucketed_cumsum(
         hist,
-        "__tk_lf",
+        freq_col,
         [("__tk_n", "__tk_ge", True)],
         width=log_width,
         descending=True,
+        bucket_col="__tk_lf",
     )
     thr = cum.agg(
         F.coalesce(

@@ -174,11 +174,19 @@ bm25_list AS (
   FROM scored QUALIFY bm25_rank <= {_TOP_K}
 ), ndist AS (
   SELECT doc_id, count(DISTINCT tok) AS nd FROM toks GROUP BY 1
+), qlen AS (
+  SELECT query_id, count(*) AS qlen FROM qterms GROUP BY 1
 ), jac AS (
   SELECT f.query_id, f.doc_id,
-         {rnd_sql("count(*) * 1.0 / (3 + any_value(nd.nd) - count(*))", 6)}
+         {rnd_sql(
+             "count(*) * 1.0"
+             " / (any_value(ql.qlen) + any_value(nd.nd) - count(*))",
+             6,
+         )}
            AS jaccard
-  FROM tf f JOIN ndist nd ON nd.doc_id = f.doc_id
+  FROM tf f
+  JOIN ndist nd ON nd.doc_id = f.doc_id
+  JOIN qlen ql ON ql.query_id = f.query_id
   GROUP BY 1, 2
 ), jac_list AS (
   SELECT query_id, doc_id AS cand_id,
@@ -238,14 +246,23 @@ def sim_hybrid_lexical_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("tok").alias("nd"))
     )
+    # |q| derived from the ONE query constant (not a literal 3): editing
+    # _BM25_QUERIES to a different term count keeps both engines honest
+    # because the oracle derives qlen from the same VALUES list (r10
+    # ADVICE fix)
+    qlen = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _BM25_QUERIES.items()],
+        "query_id INT, qlen INT",
+    )
     jac = (
         tf.join(ndist, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
         .groupBy("query_id", "doc_id")
         .agg(
             rnd(
                 F.count(F.lit(1))
                 * 1.0
-                / (3 + F.first("nd") - F.count(F.lit(1))),
+                / (F.first("qlen") + F.first("nd") - F.count(F.lit(1))),
                 6,
             ).alias("jaccard")
         )
@@ -278,6 +295,37 @@ FROM ranked WHERE rank <= {_TOP_K}
 ORDER BY query_id, rank
 """
 
+# One persisted index per (process, sf_dir), shared by every indexed
+# query.  Build-once-and-reuse (r10 ADVICE fix): the old per-query
+# static-overwrite rebuild could delete parquet files out from under a
+# lazy DataFrame returned by an earlier call in the same process.  The
+# uuid suffix keeps a recycled pid from colliding with a dead process's
+# leftover tree.
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _shared_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import atexit
+        import os
+        import shutil
+        import uuid
+
+        from redis_streams_spark.operators.invindex import (
+            build_inverted_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(
+            "/tmp/spark-graft-invidx",
+            f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
+        )
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_inverted_index(docs, path)
+        _INDEX_CACHE[sf_dir] = path
+    return path
+
 
 @register(
     "text_bm25_indexed",
@@ -295,21 +343,9 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``text_bm25_topk`` — a green driver row proves the persisted
     layout is value-identical to the from-scratch scorer, exactly the
     ``sim_ivf_indexed`` build-once/query-many adjudication."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
+    from redis_streams_spark.operators.invindex import bm25_topk_indexed
 
-    from redis_streams_spark.operators.invindex import (
-        bm25_topk_indexed,
-        build_inverted_index,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join("/tmp/spark-graft-invidx", f"{tag}-{os.getpid()}")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    build_inverted_index(docs, path)
+    path = _shared_index(spark, sf_dir)
     return bm25_topk_indexed(spark, path, _BM25_QUERIES, k=_TOP_K).orderBy(
         "query_id", "rank"
     )
@@ -408,21 +444,9 @@ def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the from-scratch ``text_phrase_match``, so a green driver row
     proves the positional layout is value-identical — the
     ``text_bm25_indexed`` adjudication applied to phrase queries."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
+    from redis_streams_spark.operators.invindex import phrase_match_indexed
 
-    from redis_streams_spark.operators.invindex import (
-        build_inverted_index,
-        phrase_match_indexed,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join("/tmp/spark-graft-invidx-p", f"{tag}-{os.getpid()}")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    build_inverted_index(docs, path)
+    path = _shared_index(spark, sf_dir)
     return phrase_match_indexed(spark, path, _PHRASES)
 
 
@@ -493,9 +517,10 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bucketed_cumsum(
         spectrum.withColumn("__lf", F.log(F.col("r").cast("double")))
         .withColumn("__one", F.lit(1)),
-        "__lf",
+        "r",
         [("__one", "spectrum_rank", True)],
         width=0.5,
+        bucket_col="__lf",
     ).drop("__lf", "__one")
     tot = vc.agg(
         F.sum("freq").cast("long").alias("total_tokens"),

@@ -26,10 +26,13 @@ class Producer(BaseStreamClass):
     Documented divergence from the reference contract: a buffered ``add``
     returns ``None`` (the msgid is assigned at flush time); ``flush()``
     returns the flushed ids, and the producer is a context manager that
-    flushes on exit.  The age threshold is evaluated LAZILY at the next
-    ``add`` (no background timer thread): on a bursty-then-idle stream
-    the last burst stays buffered until the next add, an explicit
-    ``flush()``, or context exit.  Messages sitting in the buffer are
+    flushes on CLEAN exit (a with-body exception skips the flush and
+    keeps the buffer — see ``__exit__``).  The age threshold is
+    evaluated LAZILY at the next ``add`` (no background timer thread):
+    on a bursty-then-idle stream the last burst stays buffered until the
+    next add, an explicit ``flush()``, or clean context exit.
+    ``add_many`` flushes the pending buffer first so append order always
+    matches call order.  Messages sitting in the buffer are
     invisible to consumers and are lost if the process dies before a
     flush — the same at-most-once window any client-side batching has,
     which is why it is opt-in rather than the default.
@@ -94,12 +97,27 @@ class Producer(BaseStreamClass):
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        self.flush()
+        """Flush the buffer on CLEAN exit only.  When the with-body
+        raised, publishing its partially-built buffer would make a
+        half-finished batch visible on an error path the caller never
+        chose to commit — the buffer is left intact instead (r10 ADVICE
+        fix), so an except-handler that decides the messages are still
+        wanted can call ``flush()`` explicitly; otherwise they are
+        dropped with the producer (the documented at-most-once
+        window)."""
+        if exc_type is None:
+            self.flush()
 
     def add_many(self, rows: list[dict]) -> list[str]:
         """Batch publish (engine extension): amortizes log+meta writes
         over the batch — the client-side batching the reference's
-        one-XADD-per-call design leaves on the table."""
+        one-XADD-per-call design leaves on the table.
+
+        In buffered mode any pending ``add`` buffer is flushed FIRST, so
+        the log's append order always matches call order — without this,
+        ``add(a); add_many([b]); flush()`` would land ``b`` before ``a``
+        (r10 ADVICE fix)."""
+        self.flush()
         return self.log.append_many(rows, maxlen=self.maxlen)
 
     def __repr__(self) -> str:

@@ -365,6 +365,40 @@ def test_producer_unbuffered_default_unchanged(log):
     assert log.xlen() == 1
 
 
+def test_producer_buffered_exception_skips_exit_flush(log):
+    """A with-body exception must NOT publish the partially-built buffer
+    (r10 ADVICE fix): the error path never chose to commit.  The buffer
+    survives, so a handler that still wants the messages can flush
+    explicitly."""
+    p = Producer(log, "teststream", buffer_size=100)
+    with pytest.raises(RuntimeError):
+        with p:
+            p.add({"i": "0"})
+            raise RuntimeError("mid-stream failure")
+    assert log.xlen() == 0  # nothing published on the error path
+    assert len(p.flush()) == 1  # explicit opt-in still possible
+    assert log.xlen() == 1
+
+
+def test_producer_buffered_add_many_preserves_call_order(log):
+    """add_many drains the pending add buffer first, so append order ==
+    call order even when the two APIs interleave (r10 ADVICE fix)."""
+    p = Producer(log, "teststream", buffer_size=100)
+    p.add({"i": "a"})
+    p.add_many([{"i": "b"}])
+    p.flush()
+    vals = [m.content["i"] for m in _drain(log)]
+    assert vals == ["a", "b"]
+
+
+def _drain(log):
+    from redis_streams_spark.streaming import Consumer
+
+    return Consumer(
+        log, "teststream", "ordergrp", batch_size=100, max_wait_time_ms=50
+    ).get_items()
+
+
 def test_producer_buffered_flush_failure_keeps_messages(log, monkeypatch):
     """A failed backend append must leave the buffer intact so a
     retrying flush() re-sends instead of silently losing messages."""
