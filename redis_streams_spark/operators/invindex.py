@@ -3,7 +3,8 @@ twin of the persisted IVF cell store (operators/similarity.py::
 build_ivf_index): build once, query many, with scan cost following the
 QUERY's term list instead of the corpus.
 
-Layout under ``path``:
+Layout under ``path`` (one index GENERATION; see the manifest section
+for the managed multi-generation layout):
 
 - ``postings/`` — (tok, doc_id, tf, dl, positions) partitioned by
   ``(segment, bucket)`` with ``bucket = h32(tok) % N_TERM_BUCKETS``.
@@ -13,10 +14,20 @@ Layout under ``path``:
   reading the probed buckets.  ``positions`` is the sorted 1-based
   token-position list (tf = its size), making the index POSITIONAL:
   phrase adjacency is an in-row array intersect at query time.
-- ``terms/`` — per-term document-frequency PARTIALS, same
-  (segment, bucket) partitioning.
+- ``terms/`` — per-term PARTIALS, same (segment, bucket) partitioning:
+  document frequency ``df`` plus ``max_tf``, the segment's largest
+  term frequency — the build-time ingredient of the MaxScore upper
+  bound (see ``bm25_topk_maxscore``).
 - ``stats/`` — corpus-stat partials: (n docs, sum of doc lengths),
   one row per segment.
+- ``tombstones/`` — document DELETION partials (r10 verdict ask #1),
+  partitioned by ``tseg`` (the delete batch's own segment name); rows
+  are ``(doc_id, segment)`` — the EXACT postings segment a dead
+  document lived in.  Deletion never rewrites postings: the query
+  path drops dead rows with a broadcast anti-join on
+  (doc_id, segment), and the delete batch writes NEGATIVE df/stats
+  partials under its own segment so the existing read-time partial
+  sums net out the dead documents with zero query-path changes.
 
 Segments follow the Lucene discipline: ``update_inverted_index`` adds
 a batch of documents as its own segment partition — no other segment
@@ -27,10 +38,30 @@ micro-batch (foreachBatch is at-least-once) replaces its own segment
 instead of double-counting it.  The query path merges partials at
 read time (df = sum per term over the probed buckets, avgdl = Σsum_dl /
 Σn — both bounded frames), which keeps queries value-identical to a
-from-scratch rebuild over the union corpus (tested).  Caller contract:
-a doc_id belongs to exactly one batch — re-adding a document
-double-counts it, exactly as appending a duplicate doc to any
-segment-based index would.
+from-scratch rebuild over the union corpus (tested).
+
+Document lifecycle (r11): a live doc_id belongs to exactly one
+segment.  ``delete_from_inverted_index`` tombstones documents;
+``update_inverted_index(..., replace=True)`` re-ingests changed
+documents (tombstone the old copy, add the new one as this batch's
+segment) — the dedup-refresh pipeline's upsert.  Both are replay-safe
+under the same deterministic-segment dynamic-overwrite discipline,
+assuming the sequential single-writer that foreachBatch provides
+(maintenance ops from one writer; queries are the concurrent
+readers — Lucene's IndexWriter contract).  ``compact_inverted_index``
+physically drops tombstoned rows and dead vocabulary.
+
+Manifest (r10 verdict ask #5): an index ROOT may be MANAGED — built
+with ``build_inverted_index(..., managed=True)``, it holds generation
+subdirectories (``g00000001``, …) plus a one-line ``MANIFEST`` file
+naming the current generation, written LAST via an atomic rename.
+Every reader resolves through the manifest, so
+``compact_inverted_index(spark, root)`` (no dst) can write the
+compacted generation NEXT TO the live one and flip the pointer while
+queries run: a DataFrame captured before the flip keeps reading the
+old generation's (still present) files; the next call resolves the new
+one.  On local/HDFS filesystems the rename is atomic; object stores
+need their conditional-put equivalent at the same seam.
 
 Query path: the query terms' buckets are computed driver-side with
 ``h32_py`` (the Python twin of the same md5 hash the build used), and
@@ -44,27 +75,71 @@ has no query layer)."""
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from redis_streams_spark.functions.hashing import h32, h32_py
 from redis_streams_spark.functions.rounding import rnd
-from redis_streams_spark.functions.textfns import words
 
 __all__ = [
     "N_TERM_BUCKETS",
     "build_inverted_index",
     "update_inverted_index",
+    "delete_from_inverted_index",
     "compact_inverted_index",
     "bm25_topk_indexed",
+    "bm25_topk_maxscore",
     "phrase_match_indexed",
+    "resolve_index_path",
 ]
 
 N_TERM_BUCKETS = 64
 
 _K1 = 1.2
 _B = 0.75
+
+_MANIFEST = "MANIFEST"
+
+
+# ---------------------------------------------------------------- manifest
+
+
+def resolve_index_path(path: str) -> str:
+    """Resolve an index root to its current generation directory: if a
+    ``MANIFEST`` pointer exists the root is managed and the pointer
+    names the live generation; otherwise the root IS the index.  Every
+    reader and maintenance op resolves through this, which is what
+    makes compaction's pointer flip atomic from the reader's side."""
+    m = os.path.join(path, _MANIFEST)
+    if os.path.isfile(m):
+        with open(m, encoding="utf-8") as fh:
+            gen = fh.read().strip()
+        return os.path.join(path, gen)
+    return path
+
+
+def _write_manifest(path: str, gen: str) -> None:
+    # written LAST, via rename: readers see either the old pointer or
+    # the new one, never a partial file (POSIX/HDFS rename is atomic;
+    # an object-store port would use a conditional put here)
+    tmp = os.path.join(path, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(gen + "\n")
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _next_generation(path: str) -> str:
+    cur = os.path.basename(resolve_index_path(path))
+    n = int(cur[1:]) if cur.startswith("g") and cur[1:].isdigit() else 0
+    return f"g{n + 1:08d}"
+
+
+# ------------------------------------------------------------------ build
 
 
 def _write_segment(
@@ -74,6 +149,8 @@ def _write_segment(
     segment: str,
     dynamic: bool = False,
 ) -> None:
+    from redis_streams_spark.functions.textfns import words
+
     base = docs.select("doc_id", words("text").alias("w"))
     dl = base.where(F.size("w") > 0).select(
         "doc_id", F.size("w").cast("long").alias("dl")
@@ -109,9 +186,15 @@ def _write_segment(
         postings.repartition("bucket").write.mode(mode).option(*owm).partitionBy(
             "segment", "bucket"
         ).parquet(f"{path}/postings")
+        # df partial + the segment's max term frequency: max_tf feeds the
+        # MaxScore upper bound (an UPPER bound stays sound if loose, so
+        # compaction takes max() and delete partials contribute 0)
         terms = (
             postings.groupBy("tok", "segment", "bucket")
-            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.max("tf").alias("max_tf"),
+            )
             .repartition("bucket")
         )
         terms.write.mode(mode).option(*owm).partitionBy(
@@ -127,14 +210,31 @@ def _write_segment(
         postings.unpersist()
 
 
-def build_inverted_index(docs: DataFrame, path: str) -> None:
+def build_inverted_index(
+    docs: DataFrame, path: str, managed: bool = False
+) -> str:
     """Write the bucket-partitioned postings/terms/stats layout for the
-    ``documents``-shaped frame (doc_id, text) as segment ``base``."""
+    ``documents``-shaped frame (doc_id, text) as segment ``base``.
+
+    With ``managed=True`` the index is built under a generation
+    subdirectory and a ``MANIFEST`` pointer is written last, enabling
+    atomic pointer-flip compaction (``compact_inverted_index`` with no
+    dst).  Returns the generation path actually written."""
+    if managed:
+        gen = "g00000001"
+        os.makedirs(path, exist_ok=True)
+        _write_segment(docs, os.path.join(path, gen), "overwrite", "base")
+        _write_manifest(path, gen)
+        return os.path.join(path, gen)
     _write_segment(docs, path, "overwrite", "base")
+    return path
 
 
 def update_inverted_index(
-    docs_new: DataFrame, path: str, segment: str | None = None
+    docs_new: DataFrame,
+    path: str,
+    segment: str | None = None,
+    replace: bool = False,
 ) -> None:
     """Add a new document batch as a segment: postings rows, term-df
     partials, one corpus-stats partial — no existing segment is read or
@@ -148,92 +248,231 @@ def update_inverted_index(
     double-counting it (Spark's foreachBatch is at-least-once — r10
     review finding).  With ``segment=None`` a plain append is performed
     under an opaque unique name, which is only safe for exactly-once
-    callers."""
+    callers.
+
+    ``replace=True`` is the UPSERT: any live copy of this batch's
+    doc_ids is tombstoned first (under segment ``<segment>.del``), then
+    the batch lands as its own segment — the dedup-refresh pipeline's
+    re-ingest of changed documents, which the plain caller contract
+    (one segment per doc_id) forbids.  Replay-safe for deterministic
+    segments: the delete pass ignores this batch's own prior
+    tombstones and its own postings segment, so a re-run recomputes
+    the same corrections and dynamic-overwrite replaces them."""
+    spark = docs_new.sparkSession
+    gpath = resolve_index_path(path)
+    seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    if replace:
+        _apply_delete(
+            spark,
+            gpath,
+            docs_new.select("doc_id").distinct(),
+            tseg=f"{seg}.del",
+            exclude_segment=seg,
+        )
     if segment is not None:
-        _write_segment(docs_new, path, "overwrite", segment, dynamic=True)
+        _write_segment(docs_new, gpath, "overwrite", seg, dynamic=True)
     else:
-        import uuid
-
-        _write_segment(docs_new, path, "append", uuid.uuid4().hex[:12])
+        _write_segment(docs_new, gpath, "append", seg)
 
 
-def phrase_match_indexed(
+# ----------------------------------------------------------------- delete
+
+
+def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
+    """Read a parquet tree that may not exist yet (no tombstones were
+    ever written) — driver-side existence probe.  Local paths short-
+    circuit on os.path (keeps the JVM from logging FileNotFound noise
+    on every query of a delete-free index); non-local schemes fall
+    through to the read with the AnalysisException fallback."""
+    local = p[7:] if p.startswith("file://") else p
+    if "://" not in local and not os.path.isdir(local):
+        return None
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException:
+        return None
+
+
+def _tombstones(spark: SparkSession, gpath: str) -> DataFrame | None:
+    t = _read_optional(spark, f"{gpath}/tombstones")
+    return None if t is None else t.select("doc_id", "segment")
+
+
+def _live_postings(postings: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop tombstoned rows.  The tombstone frame is deletion-churn
+    sized (and compaction periodically empties it), so the anti-join
+    broadcasts; postings never move."""
+    if tomb is None:
+        return postings
+    return postings.join(
+        F.broadcast(tomb), ["doc_id", "segment"], "left_anti"
+    )
+
+
+def _apply_delete(
+    spark: SparkSession,
+    gpath: str,
+    ids: DataFrame,
+    tseg: str,
+    exclude_segment: str | None = None,
+) -> None:
+    """Tombstone the LIVE postings of ``ids`` as delete batch ``tseg``:
+
+    - ``tombstones/tseg=…`` rows (doc_id, segment) naming the exact
+      postings rows now dead — the query path's anti-join key;
+    - NEGATIVE df partials into ``terms/`` and a negative (n, sum_dl)
+      partial into ``stats/`` under the same ``tseg``, so the existing
+      read-time partial sums net out the dead docs unchanged.
+
+    Liveness is computed against the CURRENT index state minus this
+    batch's own prior output (``tseg`` tombstones, ``exclude_segment``
+    postings), which is what makes a replay recompute — and dynamic-
+    overwrite replace — identical corrections instead of compounding
+    them.  Cost: one postings scan per delete batch (Lucene pays the
+    same to apply deletes); query cost is unchanged."""
+    postings = _read_optional(spark, f"{gpath}/postings")
+    if postings is None:
+        return  # empty index (first replace-mode batch): nothing to kill
+    if exclude_segment is not None:
+        postings = postings.where(F.col("segment") != exclude_segment)
+    prev = _read_optional(spark, f"{gpath}/tombstones")
+    if prev is not None:
+        prev = prev.where(F.col("tseg") != tseg).select("doc_id", "segment")
+    live = _live_postings(
+        postings.join(ids.hint("broadcast"), "doc_id", "semi"), prev
+    ).persist()
+    owm = ("partitionOverwriteMode", "dynamic")
+    try:
+        (
+            live.select("doc_id", "segment")
+            .distinct()
+            .withColumn("tseg", F.lit(tseg))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option(*owm)
+            .partitionBy("tseg")
+            .parquet(f"{gpath}/tombstones")
+        )
+        (
+            live.groupBy("tok", "bucket")
+            .agg(
+                (-F.count(F.lit(1))).alias("df"),
+                # a dead doc may have held the segment max: 0 keeps the
+                # merged max_tf an upper bound (loose but sound)
+                F.lit(0).cast("long").alias("max_tf"),
+            )
+            .withColumn("segment", F.lit(tseg))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option(*owm)
+            .partitionBy("segment", "bucket")
+            .parquet(f"{gpath}/terms")
+        )
+        (
+            live.groupBy("doc_id")
+            .agg(F.min("dl").alias("dl"))
+            .agg(
+                (-F.count(F.lit(1))).cast("long").alias("n"),
+                (-F.coalesce(F.sum("dl"), F.lit(0)))
+                .cast("long")
+                .alias("sum_dl"),
+            )
+            .where(F.col("n") < 0)  # no live rows -> write nothing
+            .withColumn("segment", F.lit(tseg))
+            .write.mode("overwrite")
+            .option(*owm)
+            .partitionBy("segment")
+            .parquet(f"{gpath}/stats")
+        )
+    finally:
+        live.unpersist()
+
+
+def delete_from_inverted_index(
     spark: SparkSession,
     path: str,
-    phrases: dict[int, tuple[str, str]],
-) -> DataFrame:
-    """Exact two-word phrase matching against the persisted positional
-    index: read only the phrase terms' buckets, equi-join the two term
-    posting lists per document, and count adjacencies with an IN-ROW
-    array intersect (positions of t1 shifted by one ∩ positions of t2)
-    — no positional explode, no corpus-sized join.  Returns
-    (phrase_id, doc_id, n_occurrences), the same frame as the
-    from-scratch ``text_phrase_match``."""
-    terms = {t for pair in phrases.values() for t in pair}
-    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for t in terms})
-    postings = spark.read.parquet(f"{path}/postings").where(
-        F.col("bucket").isin(buckets)
-    )
-    pf = F.broadcast(
-        spark.createDataFrame(
-            [(pid, a, b) for pid, (a, b) in phrases.items()],
-            "phrase_id INT, t1 STRING, t2 STRING",
+    delete_ids,
+    segment: str | None = None,
+) -> None:
+    """Tombstone documents without rewriting any postings segment.
+
+    ``delete_ids`` is a list of doc_ids or a DataFrame with a
+    ``doc_id`` column.  ``segment`` names the delete batch — pass a
+    deterministic name for replay-safe streaming deletes (same
+    dynamic-overwrite idempotency as ``update_inverted_index``).
+    Queries over the index immediately exclude the dead documents AND
+    their df/avgdl contributions (negative partials), value-identical
+    to a from-scratch rebuild over the surviving corpus (tested);
+    ``compact_inverted_index`` later drops the dead rows physically."""
+    gpath = resolve_index_path(path)
+    if isinstance(delete_ids, DataFrame):
+        ids = delete_ids.select("doc_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], "doc_id BIGINT"
         )
-    )
-    first = postings.join(pf, postings["tok"] == pf["t1"]).select(
-        "phrase_id", "doc_id", F.col("positions").alias("p1"), "t2"
-    )
-    second = postings.select(
-        F.col("doc_id").alias("b_doc"),
-        F.col("tok").alias("b_tok"),
-        F.col("positions").alias("p2"),
-    )
-    n_adj = F.size(
-        F.array_intersect(
-            F.transform(F.col("p1"), lambda x: x + 1), F.col("p2")
-        )
-    )
-    return (
-        first.join(
-            second,
-            (F.col("b_doc") == F.col("doc_id"))
-            & (F.col("b_tok") == F.col("t2")),
-        )
-        .select(
-            "phrase_id",
-            "doc_id",
-            n_adj.cast("long").alias("n_occurrences"),
-        )
-        .where(F.col("n_occurrences") > 0)
-    )
+    tseg = segment if segment is not None else "del-" + uuid.uuid4().hex[:12]
+    _apply_delete(spark, gpath, ids, tseg=tseg)
 
 
-def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
-    """Rewrite an accumulated multi-segment index as one segment at
-    ``dst``: postings re-bucketed into one file set per bucket, term-df
-    partials collapsed to one row per (term, bucket), stats partials to
-    one row.  Compaction writes to a NEW path (the reader contract is
-    append-only files, so compact-in-place would race live readers) —
-    swap paths atomically at the catalog/config layer, then drop the old
-    tree.  Query results are value-identical before and after (tested)."""
-    postings = spark.read.parquet(f"{src}/postings").withColumn(
-        "segment", F.lit("base")
-    )
+# ---------------------------------------------------------------- compact
+
+
+def compact_inverted_index(
+    spark: SparkSession, src: str, dst: str | None = None
+) -> str:
+    """Rewrite an accumulated multi-segment index as one segment:
+    postings re-bucketed into one file set per bucket with tombstoned
+    rows PHYSICALLY dropped, term partials collapsed to one NET row per
+    (term, bucket) (delete batches wrote negative df, so the sum nets;
+    fully-deleted vocabulary rows vanish), stats partials to one row,
+    and no tombstones carried over.  Query results are value-identical
+    before and after (tested).
+
+    Two modes:
+
+    - ``dst`` given: compact the index at ``src`` (root or generation)
+      into the explicit ``dst`` tree — the caller owns the swap.
+    - ``dst=None`` (managed root): compact the CURRENT generation into
+      the next ``gNNNNNNNN`` sibling and flip ``MANIFEST`` last — the
+      atomic swap.  Readers that captured a DataFrame before the flip
+      keep reading the old generation's intact files; new calls
+      resolve the new one (compact-while-querying is tested).  Old
+      generations are left for the caller to garbage-collect once
+      their readers drain.
+
+    Returns the directory the compacted index was written to."""
+    gsrc = resolve_index_path(src)
+    if dst is None:
+        if not os.path.isfile(os.path.join(src, _MANIFEST)):
+            raise ValueError(
+                f"compact_inverted_index: {src!r} is not a managed index "
+                "root (no MANIFEST) — pass an explicit dst instead"
+            )
+        gen = _next_generation(src)
+        gdst = os.path.join(src, gen)
+    else:
+        gdst = dst
+    tomb = _tombstones(spark, gsrc)
+    postings = _live_postings(
+        spark.read.parquet(f"{gsrc}/postings"), tomb
+    ).withColumn("segment", F.lit("base"))
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "segment", "bucket"
-    ).parquet(f"{dst}/postings")
+    ).parquet(f"{gdst}/postings")
     (
-        spark.read.parquet(f"{src}/terms")
+        spark.read.parquet(f"{gsrc}/terms")
         .groupBy("tok", "bucket")
-        .agg(F.sum("df").alias("df"))
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .where(F.col("df") > 0)
         .withColumn("segment", F.lit("base"))
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("segment", "bucket")
-        .parquet(f"{dst}/terms")
+        .parquet(f"{gdst}/terms")
     )
     (
-        spark.read.parquet(f"{src}/stats")
+        spark.read.parquet(f"{gsrc}/stats")
         .agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
@@ -241,50 +480,46 @@ def compact_inverted_index(spark: SparkSession, src: str, dst: str) -> None:
         .withColumn("segment", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("segment")
-        .parquet(f"{dst}/stats")
+        .parquet(f"{gdst}/stats")
     )
+    if dst is None:
+        _write_manifest(src, gen)
+    return gdst
 
 
-def bm25_topk_indexed(
-    spark: SparkSession,
-    path: str,
-    queries: dict[int, tuple[str, ...]],
-    k: int = 10,
-) -> DataFrame:
-    """Okapi BM25 top-k per query against a persisted index — identical
-    arithmetic (and oracle) to the from-scratch ``text_bm25_topk``.
+# ----------------------------------------------------------------- query
 
-    ``queries`` maps query_id → term tuple; only the terms' buckets are
-    read (driver-side ``h32_py``, matching the build's ``h32``)."""
-    pairs = [(qid, t) for qid, terms in queries.items() for t in terms]
-    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for _, t in pairs})
-    qterms = F.broadcast(
-        spark.createDataFrame(pairs, "query_id INT, term STRING")
+
+def _query_frames(
+    spark: SparkSession, gpath: str, terms: set[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bucket-pruned, tombstone-filtered (postings, term-partials,
+    stats) for a query's term set — the shared read path."""
+    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for t in terms})
+    tomb = _tombstones(spark, gpath)
+    postings = _live_postings(
+        spark.read.parquet(f"{gpath}/postings").where(
+            F.col("bucket").isin(buckets)
+        ),
+        tomb,
     )
-    postings = spark.read.parquet(f"{path}/postings").where(
+    tpart = spark.read.parquet(f"{gpath}/terms").where(
         F.col("bucket").isin(buckets)
     )
-    terms = spark.read.parquet(f"{path}/terms").where(
-        F.col("bucket").isin(buckets)
-    )
-    # merge the append-only segment partials at read time: per-term df
-    # over the probed buckets, (n, avgdl) over the stats partials — both
-    # bounded frames regardless of segment count
     stats = (
-        spark.read.parquet(f"{path}/stats")
+        spark.read.parquet(f"{gpath}/stats")
         .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
         .select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
     )
+    return postings, tpart, stats
 
-    matched = postings.join(qterms, postings["tok"] == qterms["term"])
-    dfreq = (
-        terms.join(
-            qterms.select("term").distinct(), terms["tok"] == F.col("term")
-        )
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .select(F.col("tok").alias("df_tok"), "df")
-    )
+
+def _score_topk(
+    matched: DataFrame, dfreq: DataFrame, stats: DataFrame, k: int
+) -> DataFrame:
+    """Exact BM25 scoring + per-query top-k over matched postings —
+    shared verbatim by the exact and MaxScore paths so the pruned
+    variant is arithmetically identical where it scores."""
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     term_score = idf * (F.col("tf") * (_K1 + 1.0)) / (
         F.col("tf") + _K1 * ((1.0 - _B) + _B * F.col("dl") / F.col("avgdl"))
@@ -300,4 +535,295 @@ def bm25_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k per query against a persisted index — identical
+    arithmetic (and oracle) to the from-scratch ``text_bm25_topk``.
+
+    ``queries`` maps query_id → term tuple; only the terms' buckets are
+    read (driver-side ``h32_py``, matching the build's ``h32``)."""
+    gpath = resolve_index_path(path)
+    pairs = [(qid, t) for qid, terms in queries.items() for t in terms]
+    qterms = F.broadcast(
+        spark.createDataFrame(pairs, "query_id INT, term STRING")
+    )
+    postings, tpart, stats = _query_frames(
+        spark, gpath, {t for _, t in pairs}
+    )
+    matched = postings.join(qterms, postings["tok"] == qterms["term"])
+    # merge the append-only segment partials at read time: per-term df
+    # over the probed buckets (delete batches contribute negative
+    # rows), (n, avgdl) over the stats partials — both bounded frames
+    # regardless of segment count
+    dfreq = (
+        tpart.join(
+            qterms.select("term").distinct(), tpart["tok"] == F.col("term")
+        )
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .select(F.col("tok").alias("df_tok"), "df")
+    )
+    return _score_topk(matched, dfreq, stats, k)
+
+
+def bm25_topk_maxscore(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    margin: float = 2e-6,
+    return_plan: bool = False,
+):
+    """BM25 top-k with static MaxScore pruning (Turtle & Flood 1995) —
+    value-identical to ``bm25_topk_indexed`` (same oracle) while
+    scoring only a fraction of the matched postings when the query
+    mixes rare and common terms.
+
+    Build-time ingredient: ``terms/`` stores each segment's per-term
+    ``max_tf``.  Query-time, per term, an avgdl-free UPPER BOUND on
+    any document's contribution is
+
+        ub(t) = idf(t) · (k1+1) · mtf / (mtf + k1·(1−b))
+
+    (the true contribution idf·(k1+1)·tf/(tf + k1·(1−b + b·dl/avgdl))
+    is increasing in tf and bounded by the dl→0 limit, so mtf gives a
+    sound bound whatever avgdl becomes as segments accrue).
+
+    Plan (driver-side over |query-terms| metadata rows — the bounded
+    collect adjudication of similarity.py's probes):
+
+    1. Seed a threshold θ per query: the k-th best SINGLE-TERM score of
+       the highest-ub term — a lower bound on the true k-th final
+       score, since each of those k docs' full scores only grow.
+    2. Non-essential terms: the maximal ascending-ub prefix whose ub
+       sum stays below θ − margin.  A doc containing ONLY non-essential
+       terms scores below θ − margin, so (with margin ≫ the 6-dp
+       rounding step and float ulps) it can neither reach the k-th
+       score nor tie it — top-k docs all touch an essential term.
+    3. Candidates = docs in the essential terms' postings; exact
+       scoring (shared ``_score_topk``) runs over ALL query terms but
+       only for candidate docs (semi-join), so the common terms'
+       postings shrink to the candidates' rows instead of scoring
+       their full lists.
+
+    With ``return_plan=True`` returns ``(df, plan)`` where plan maps
+    query_id → {theta, essential, skipped} for tests and SCALE
+    accounting."""
+    gpath = resolve_index_path(path)
+    all_terms = {t for terms in queries.values() for t in terms}
+    postings, tpart, _ = _query_frames(spark, gpath, all_terms)
+    # the MaxScore plan makes THREE passes over the bucket-pruned
+    # postings (seed top-k, candidate harvest, final scoring); each
+    # pass re-scans, but the explicit skinny projection keeps every
+    # scan bucket-pruned AND column-pruned — BM25 never touches
+    # ``positions``, the bulk of a positional index.  (A persist of
+    # the working set was measured SLOWER at 100×: the cache write
+    # costs more than two extra 4-column parquet scans — SCALE.md r11.)
+    postings = postings.select("tok", "doc_id", "tf", "dl")
+    stats_row = (
+        spark.read.parquet(f"{gpath}/stats")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .first()
+    )
+    n_docs = stats_row["n"] or 0
+    avgdl = (stats_row["sdl"] or 0) * 1.0 / n_docs if n_docs else 1.0
+    trows = (
+        tpart.where(F.col("tok").isin(sorted(all_terms)))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
+        .collect()
+    )
+    import math
+
+    meta = {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
+
+    def _idf(df_t: int) -> float:
+        return math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    ub = {
+        t: _idf(d) * (_K1 + 1.0) * m / (m + _K1 * (1.0 - _B))
+        for t, (d, m) in meta.items()
+    }
+    # 1. seed thresholds: one job scoring each query's top-ub term alone
+    seed_terms = {
+        qid: max((t for t in terms if t in ub), key=ub.get, default=None)
+        for qid, terms in queries.items()
+    }
+    seed_pairs = [(q, t) for q, t in seed_terms.items() if t is not None]
+    theta: dict[int, float] = {}
+    if seed_pairs and n_docs:
+        sframe = F.broadcast(
+            spark.createDataFrame(seed_pairs, "query_id INT, term STRING")
+        )
+        idf_lit = F.broadcast(
+            spark.createDataFrame(
+                [(t, _idf(d)) for t, (d, _) in meta.items()],
+                "i_tok STRING, idf DOUBLE",
+            )
+        )
+        single = (
+            postings.join(sframe, postings["tok"] == F.col("term"))
+            .join(idf_lit, postings["tok"] == F.col("i_tok"))
+            .withColumn(
+                "s1",
+                F.col("idf")
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1 * ((1.0 - _B) + _B * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        wq = W.partitionBy("query_id").orderBy(F.desc("s1"))
+        kth = (
+            single.withColumn("r", F.row_number().over(wq))
+            .where(F.col("r") == k)
+            .select("query_id", "s1")
+            .collect()
+        )
+        theta = {r["query_id"]: r["s1"] for r in kth}
+    # 2. split essential / skippable per query
+    plan: dict[int, dict] = {}
+    ess_pairs: list[tuple[int, str]] = []
+    for qid, terms in queries.items():
+        present = [t for t in terms if t in ub]
+        th = theta.get(qid)
+        skipped: list[str] = []
+        if th is not None:
+            acc = 0.0
+            for t in sorted(present, key=ub.get):
+                if acc + ub[t] < th - margin:
+                    acc += ub[t]
+                    skipped.append(t)
+                else:
+                    break
+        essential = [t for t in present if t not in skipped]
+        plan[qid] = {"theta": th, "essential": essential, "skipped": skipped}
+        ess_pairs.extend((qid, t) for t in essential)
+    pruned_qids = [q for q, p in plan.items() if p["skipped"]]
+    if not pruned_qids:
+        out = bm25_topk_indexed(spark, path, queries, k=k)
+        return (out, plan) if return_plan else out
+    # 3. candidates from essential postings, for the PRUNED queries
+    # only — a query whose terms are all essential gains nothing from
+    # the candidate restriction, so it scores straight (otherwise its
+    # candidate set is every matched doc and the semi-join is pure
+    # overhead).  Pruned queries' candidates are bounded by their
+    # essential terms' document frequencies — rare by construction
+    # (that's what made their bounds dominate) — so the semi-join
+    # broadcasts instead of shuffling the common terms' postings.
+    eframe = F.broadcast(
+        spark.createDataFrame(
+            [(q, t) for q, t in ess_pairs if q in pruned_qids],
+            "query_id INT, term STRING",
+        )
+    )
+    cand = (
+        postings.join(eframe, postings["tok"] == F.col("term"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    qpairs = [(qid, t) for qid, terms in queries.items() for t in terms]
+    qterms = F.broadcast(
+        spark.createDataFrame(qpairs, "query_id INT, term STRING")
+    )
+    all_matched = postings.join(qterms, postings["tok"] == qterms["term"])
+    matched = all_matched.where(
+        F.col("query_id").isin(pruned_qids)
+    ).join(F.broadcast(cand), ["query_id", "doc_id"], "semi")
+    if len(pruned_qids) < len(queries):
+        matched = matched.unionByName(
+            all_matched.where(~F.col("query_id").isin(pruned_qids))
+        )
+    dfreq = (
+        tpart.join(
+            qterms.select("term").distinct(), tpart["tok"] == F.col("term")
+        )
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .select(F.col("tok").alias("df_tok"), "df")
+    )
+    stats = (
+        spark.read.parquet(f"{gpath}/stats")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    )
+    out = _score_topk(matched, dfreq, stats, k)
+    return (out, plan) if return_plan else out
+
+
+def phrase_match_indexed(
+    spark: SparkSession,
+    path: str,
+    phrases: dict[int, tuple[str, ...]],
+) -> DataFrame:
+    """Exact n-word phrase matching against the persisted positional
+    index (bigrams through arbitrary-length phrases — r10 verdict ask
+    #2 generalized the original two-word shape): read only the phrase
+    terms' buckets, collect each matched term's position list per
+    document, and fold a chained IN-ROW array intersect
+
+        starts = ∩_i (positions(term_i) − i)
+
+    so a surviving entry is a phrase START position — no positional
+    explode, no corpus-sized join, and repeated terms inside a phrase
+    (e.g. "batch batch batch") fall out naturally because each phrase
+    slot intersects its own shifted copy of the shared posting row.
+    Returns (phrase_id, doc_id, n_occurrences), the same frame as the
+    from-scratch ``text_phrase_ngram``."""
+    gpath = resolve_index_path(path)
+    rows = [
+        (pid, i, t, len(terms))
+        for pid, terms in phrases.items()
+        for i, t in enumerate(terms)
+    ]
+    postings, _, _ = _query_frames(spark, gpath, {t for _, _, t, _ in rows})
+    pf = F.broadcast(
+        spark.createDataFrame(
+            rows, "phrase_id INT, idx INT, term STRING, plen INT"
+        )
+    )
+    matched = postings.join(pf, postings["tok"] == pf["term"]).select(
+        "phrase_id", "doc_id", "idx", "positions", "plen"
+    )
+    per_doc = (
+        matched.groupBy("phrase_id", "doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "positions"))
+            ).alias("pl"),
+            F.first("plen").alias("plen"),
+        )
+        # every phrase slot must have matched (distinct idx per row)
+        .where(F.size("pl") == F.col("plen"))
+    )
+    first = F.col("pl").getItem(0)
+    starts = F.aggregate(
+        F.slice(F.col("pl"), 2, F.size("pl") - 1),
+        F.transform(
+            first.getField("positions"),
+            lambda p: p - first.getField("idx").cast("long"),
+        ),
+        lambda acc, x: F.array_intersect(
+            acc,
+            F.transform(
+                x.getField("positions"),
+                lambda p: p - x.getField("idx").cast("long"),
+            ),
+        ),
+    )
+    return (
+        per_doc.select(
+            "phrase_id",
+            "doc_id",
+            F.size(starts).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
     )

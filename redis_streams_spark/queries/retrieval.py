@@ -37,14 +37,20 @@ _QTERMS_VALUES = ", ".join(
 
 # Shared oracle CTE prefix: tokens with doc length, query terms, tf per
 # (query, doc, term), per-term document frequency, corpus totals.
-_LEX_CTE = f"""
+# Parameterized by the query-terms VALUES list so every BM25 variant
+# (exact, indexed, MaxScore with its own rare/common query mix) derives
+# its oracle from ONE template.
+
+
+def _lex_cte(qterms_values: str) -> str:
+    return f"""
 base AS (
   SELECT doc_id, {words_sql('text')} AS w FROM documents
 ), dl AS (
   SELECT doc_id, len(w)::BIGINT AS dl FROM base WHERE len(w) > 0
 ), toks AS (
   SELECT doc_id, unnest(w) AS tok FROM base
-), qterms(query_id, term) AS (VALUES {_QTERMS_VALUES}),
+), qterms(query_id, term) AS (VALUES {qterms_values}),
 tf AS (
   SELECT q.query_id, t.doc_id, q.term, count(*) AS tf
   FROM toks t JOIN qterms q ON q.term = t.tok
@@ -56,6 +62,9 @@ tf AS (
 ), tot AS (
   SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
 )"""
+
+
+_LEX_CTE = _lex_cte(_QTERMS_VALUES)
 
 _BM25_SCORE_SQL = f"""
   SELECT f.query_id, f.doc_id,
@@ -282,8 +291,9 @@ def sim_hybrid_lexical_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_ORACLE = f"""
-WITH {_LEX_CTE}, scored AS ({_BM25_SCORE_SQL}),
+def _bm25_oracle(qterms_values: str) -> str:
+    return f"""
+WITH {_lex_cte(qterms_values)}, scored AS ({_BM25_SCORE_SQL}),
 ranked AS (
   SELECT query_id, doc_id, bm25,
          row_number() OVER (PARTITION BY query_id
@@ -294,6 +304,9 @@ SELECT query_id, rank, doc_id, bm25
 FROM ranked WHERE rank <= {_TOP_K}
 ORDER BY query_id, rank
 """
+
+
+_BM25_ORACLE = _bm25_oracle(_QTERMS_VALUES)
 
 # One persisted index per (process, sf_dir), shared by every indexed
 # query.  Build-once-and-reuse (r10 ADVICE fix): the old per-query
@@ -550,4 +563,209 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gt_rstar"),
         )
         .orderBy("r")
+    )
+
+
+# N-word phrases: a mix of 3- and 4-grams over the corpus vocabulary,
+# including a repeated-term phrase (the degenerate case a bigram-only
+# matcher can't even express) — one constant feeding both engines.
+_NGRAM_PHRASES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "scan", "join"),
+    1: ("data", "line", "join"),
+    2: ("batch", "batch", "batch"),
+    3: ("order", "sort", "table", "scan"),
+}
+_NGRAM_VALUES = ", ".join(
+    f"({pid}, {i}, '{t}')"
+    for pid, terms in _NGRAM_PHRASES.items()
+    for i, t in enumerate(terms)
+)
+
+# Start-position formulation shared by the oracle and the from-scratch
+# Spark twin: a token matching phrase slot idx at position pos votes
+# for phrase start pos - idx; a start with ALL slots voting (count of
+# DISTINCT idx = phrase length) is an occurrence.  Repeated terms vote
+# for several slots from the same token row, which is exactly right.
+_NGRAM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+  FROM base
+), pterms(phrase_id, idx, term) AS (VALUES {_NGRAM_VALUES}),
+plen AS (
+  SELECT phrase_id, count(*) AS plen FROM pterms GROUP BY 1
+), cand AS (
+  SELECT p.phrase_id, t.doc_id, t.pos - p.idx AS start, p.idx
+  FROM toks t JOIN pterms p ON p.term = t.tok
+), hits AS (
+  SELECT c.phrase_id, c.doc_id, c.start
+  FROM cand c JOIN plen l ON l.phrase_id = c.phrase_id
+  GROUP BY c.phrase_id, c.doc_id, c.start, l.plen
+  HAVING count(DISTINCT c.idx) = l.plen
+)
+SELECT phrase_id, doc_id, count(*)::BIGINT AS n_occurrences
+FROM hits GROUP BY 1, 2
+"""
+
+
+@register(
+    "text_phrase_ngram",
+    shape="per_row",
+    tags=("text", "retrieval", "phrase", "llm-pipeline"),
+    oracle=_NGRAM_ORACLE,
+)
+def text_phrase_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact N-WORD phrase matching (3- and 4-grams, incl. a
+    repeated-term phrase) from scratch — r10 verdict ask #2: the
+    bigram-shaped ``text_phrase_match`` generalized.  Each matched
+    token votes for a phrase START (pos − slot); starts with every
+    slot voting are occurrences, so overlapping matches and repeated
+    terms fall out of the same group-by.
+
+    Scale shape: tokens are filtered by a broadcast semi-join on the
+    phrase vocabulary BEFORE any aggregation, so the start-vote
+    group-by runs over matched postings only — never the corpus cross
+    itself; per-(phrase, doc) output, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    pt = spark.createDataFrame(
+        [
+            (pid, i, t)
+            for pid, terms in _NGRAM_PHRASES.items()
+            for i, t in enumerate(terms)
+        ],
+        "phrase_id INT, idx INT, term STRING",
+    )
+    plen = spark.createDataFrame(
+        [(pid, len(t)) for pid, t in _NGRAM_PHRASES.items()],
+        "phrase_id INT, plen INT",
+    )
+    cand = toks.join(F.broadcast(pt), toks["tok"] == pt["term"]).select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("idx")).alias("start"),
+        "idx",
+    )
+    hits = (
+        cand.join(F.broadcast(plen), "phrase_id")
+        .groupBy("phrase_id", "doc_id", "start", "plen")
+        .agg(F.countDistinct("idx").alias("m"))
+        .where(F.col("m") == F.col("plen"))
+    )
+    return hits.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+@register(
+    "text_phrase_ngram_indexed",
+    shape="per_row",
+    tags=("text", "retrieval", "phrase", "index", "llm-pipeline"),
+    oracle=_NGRAM_ORACLE,
+)
+def text_phrase_ngram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-word phrase matching against the PERSISTED positional index:
+    per-term position lists fold through a chained in-row intersect
+    (positions of slot i shifted by −i), so a surviving entry is a
+    phrase start — only the phrase terms' buckets are read, no
+    positional explode at query time.  Same oracle as the from-scratch
+    ``text_phrase_ngram``: a green driver row proves the positional
+    layout answers arbitrary-length phrases value-identically."""
+    from redis_streams_spark.operators.invindex import phrase_match_indexed
+
+    path = _shared_index(spark, sf_dir)
+    return phrase_match_indexed(spark, path, _NGRAM_PHRASES)
+
+
+# MaxScore query mix: the corpus has exactly one rare term ("dup",
+# df ≈ 5%) amid ~30 common ones — query 0 and 2 pair it with common
+# terms (their upper bounds fall below the rare term's 10th-best
+# score, so their full posting lists are skipped), query 1 is
+# all-common (no pruning possible: the exact-fallback path).
+_MAXSCORE_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("dup", "the", "a"),
+    1: ("spark", "stream", "window"),
+    2: ("dup", "vector"),
+}
+_MAXSCORE_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in _MAXSCORE_QUERIES.items()
+    for t in terms
+)
+
+
+@register(
+    "text_bm25_maxscore",
+    shape="bounded",
+    tags=("text", "retrieval", "bm25", "index", "llm-pipeline"),
+    oracle=_bm25_oracle(_MAXSCORE_VALUES),
+)
+def text_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with static MaxScore pruning against the persisted
+    index (r10 verdict ask #3): ``terms/`` carries each segment's
+    per-term max tf, the query plans an avgdl-free idf-weighted upper
+    bound per term, seeds a threshold from the best term's k-th
+    single-term score, and skips scoring the full posting lists of
+    terms whose cumulative bound can't reach it — docs touching only
+    those terms can't enter the top-k.  The oracle is the plain
+    exhaustive BM25 over the same (rare ∪ common) query mix, so a
+    green driver row proves the pruning is lossless."""
+    from redis_streams_spark.operators.invindex import bm25_topk_maxscore
+
+    path = _shared_index(spark, sf_dir)
+    return bm25_topk_maxscore(
+        spark, path, _MAXSCORE_QUERIES, k=_TOP_K
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "text_bm25_replace",
+    shape="bounded",
+    tags=("text", "retrieval", "bm25", "index", "llm-pipeline"),
+    oracle=_BM25_ORACLE,
+)
+def text_bm25_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 against an index that went through the DOCUMENT
+    REFRESH lifecycle (r10 verdict ask #1): build over the full corpus,
+    then re-ingest a slice of documents with
+    ``update_inverted_index(..., replace=True)`` — tombstone the old
+    copies, land the batch as a new segment, with negative df/avgdl
+    partials netting the dead rows out at read time.  The re-ingested
+    text is unchanged, so the final corpus equals the original and the
+    oracle is plain exhaustive BM25: a green driver row proves the
+    tombstone path is value-identical to a rebuild — the dedup-refresh
+    re-ingest the r09 caller contract forbade.
+
+    Builds a private throwaway index per call (a mutating query must
+    never share ``_shared_index``'s read-only tree); unique path +
+    atexit cleanup per the r10 index-reuse advice."""
+    import atexit
+    import os
+    import shutil
+    import uuid
+
+    from redis_streams_spark.operators.invindex import (
+        bm25_topk_indexed,
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp/spark-graft-invidx",
+        f"replace-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_inverted_index(docs, path)
+    update_inverted_index(
+        docs.where(F.col("doc_id") % 7 == 3),
+        path,
+        segment="refresh1",
+        replace=True,
+    )
+    return bm25_topk_indexed(spark, path, _BM25_QUERIES, k=_TOP_K).orderBy(
+        "query_id", "rank"
     )

@@ -221,3 +221,287 @@ def test_streaming_ingest_builds_queryable_index(spark, tmp_path):
         segment="b0",
     )
     assert result(idx_path) == result(batch_path)
+
+
+# ------------------------------------------------------- r11: lifecycle
+
+
+def _bm25(spark, path, queries=_QUERIES, k=10):
+    return {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, path, queries, k=k).collect()
+    }
+
+
+def test_delete_matches_rebuild_on_survivors(spark, tmp_path):
+    """Tombstone delete (no postings rewrite) must answer exactly like
+    a from-scratch rebuild over the surviving corpus: the anti-join
+    drops the dead postings and the negative df/stats partials net
+    their document-frequency and avgdl contributions out."""
+    from redis_streams_spark.operators.invindex import (
+        delete_from_inverted_index,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full, ref = str(tmp_path / "full"), str(tmp_path / "ref")
+    build_inverted_index(docs, full)
+    dead = [r.doc_id for r in docs.where(F.col("doc_id") % 5 == 0).collect()]
+    delete_from_inverted_index(spark, full, dead, segment="d1")
+    build_inverted_index(docs.where(F.col("doc_id") % 5 != 0), ref)
+    got, want = _bm25(spark, full), _bm25(spark, ref)
+    assert got == want and len(want) == 20
+    assert not any(doc in dead for (doc, _) in got.values())
+    # replay the delete batch (at-least-once): dynamic overwrite of its
+    # own tseg partitions keeps the corrections idempotent
+    delete_from_inverted_index(spark, full, dead, segment="d1")
+    assert _bm25(spark, full) == want
+
+
+def test_replace_reingest_matches_full_rebuild(spark, tmp_path):
+    """The dedup-refresh upsert: re-ingesting CHANGED documents with
+    replace=True (tombstone old copy + new segment) must answer exactly
+    like a rebuild over the refreshed corpus — the op the plain caller
+    contract (one segment per doc_id) forbade."""
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    build_inverted_index(docs, idx)
+    changed = docs.where(F.col("doc_id") % 7 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" merge merge dup"))
+    )
+    update_inverted_index(changed, idx, segment="r1", replace=True)
+    refreshed = docs.where(F.col("doc_id") % 7 != 3).unionByName(changed)
+    build_inverted_index(refreshed, ref)
+    got, want = _bm25(spark, idx), _bm25(spark, ref)
+    assert got == want and len(want) == 20
+    # replay the refresh batch: same segment name, same result
+    update_inverted_index(changed, idx, segment="r1", replace=True)
+    assert _bm25(spark, idx) == want
+    # second refresh of the SAME doc_ids (doc lives in segment r1 now):
+    # replace must chase the copy into its current segment
+    changed2 = changed.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" window"))
+    )
+    update_inverted_index(changed2, idx, segment="r2", replace=True)
+    ref2 = str(tmp_path / "ref2")
+    build_inverted_index(
+        docs.where(F.col("doc_id") % 7 != 3).unionByName(changed2), ref2
+    )
+    assert _bm25(spark, idx) == _bm25(spark, ref2)
+
+
+def test_compact_drops_tombstoned_rows_physically(spark, tmp_path):
+    """Compaction after deletes: dead postings rows vanish, net-zero
+    vocabulary rows vanish, no tombstones are carried, and results are
+    unchanged."""
+    from redis_streams_spark.operators.invindex import (
+        compact_inverted_index,
+        delete_from_inverted_index,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    build_inverted_index(docs, src)
+    dead = [r.doc_id for r in docs.where(F.col("doc_id") % 4 == 1).collect()]
+    delete_from_inverted_index(spark, src, dead, segment="d1")
+    want = _bm25(spark, src)
+    compact_inverted_index(spark, src, dst)
+    assert _bm25(spark, dst) == want
+    import os
+
+    assert not os.path.isdir(f"{dst}/tombstones")
+    compacted = spark.read.parquet(f"{dst}/postings")
+    assert compacted.where(F.col("doc_id").isin(dead[:50])).count() == 0
+    # net document count: stats collapse to one exact row
+    stats = spark.read.parquet(f"{dst}/stats").collect()
+    assert len(stats) == 1
+    assert stats[0].n == docs.count() - len(dead)
+    terms = spark.read.parquet(f"{dst}/terms")
+    assert terms.where(F.col("df") <= 0).count() == 0
+
+
+def test_manifest_compact_while_querying(spark, tmp_path):
+    """Managed index: compaction writes the next generation beside the
+    live one and flips MANIFEST last — a DataFrame captured before the
+    flip keeps reading the old generation's intact files, and the next
+    call resolves the compacted one with identical values."""
+    import os
+
+    from redis_streams_spark.operators.invindex import (
+        compact_inverted_index,
+        delete_from_inverted_index,
+        resolve_index_path,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path / "managed")
+    build_inverted_index(docs, root, managed=True)
+    assert resolve_index_path(root).endswith("g00000001")
+    update_inverted_index(
+        docs.limit(0), root, segment="noop"
+    )  # updates resolve through the manifest too
+    delete_from_inverted_index(
+        spark, root, [0, 1, 2, 3, 4, 5, 6, 7], segment="d1"
+    )
+    before = bm25_topk_indexed(spark, root, _QUERIES, k=10)  # lazy, old gen
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in before.collect()
+    }
+    new_gen = compact_inverted_index(spark, root)  # no dst: pointer flip
+    assert new_gen.endswith("g00000002")
+    assert resolve_index_path(root) == new_gen
+    with open(os.path.join(root, "MANIFEST"), encoding="utf-8") as fh:
+        assert fh.read().strip() == "g00000002"
+    # the pre-flip DataFrame still reads the old generation's files
+    again = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in before.collect()
+    }
+    assert again == want
+    # a fresh call resolves the compacted generation, value-identical
+    assert _bm25(spark, root) == want
+    # old generation still on disk for draining readers
+    assert os.path.isdir(os.path.join(root, "g00000001"))
+
+
+def test_ngram_phrase_handcrafted_counts(spark, tmp_path):
+    """Arbitrary-length phrases with repeated terms and overlapping
+    occurrences: known-by-hand counts through the positional index."""
+    from redis_streams_spark.operators.invindex import phrase_match_indexed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # (a,b,a) starts at 1 and 3
+            (2, "x a b a y"),  # one occurrence
+            (3, "a b"),  # prefix only
+            (4, "a a a a"),  # (a,a,a) starts at 1 and 2
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "tiny")
+    build_inverted_index(docs, path)
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_match_indexed(
+            spark, path, {0: ("a", "b", "a"), 1: ("a", "a", "a")}
+        ).collect()
+    }
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 4): 2}
+
+
+def test_maxscore_equals_exact_and_prunes(spark, tmp_path):
+    """MaxScore pruning is lossless AND real: with one rare high-idf
+    term and one everywhere-term, the common term's posting list is
+    skipped (it appears in the plan's skipped set) while the top-k is
+    value-identical to exhaustive scoring."""
+    from redis_streams_spark.operators.invindex import bm25_topk_maxscore
+
+    rows = []
+    for i in range(200):
+        text = "common filler words " + ("rare special " if i % 13 == 0 else "") + "common tail"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "ms")
+    build_inverted_index(docs, path)
+    queries = {0: ("rare", "common"), 1: ("common", "filler")}
+    exact = _bm25(spark, path, queries, k=5)
+    pruned_df, plan = bm25_topk_maxscore(
+        spark, path, queries, k=5, return_plan=True
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in pruned_df.collect()
+    }
+    assert got == exact
+    assert plan[0]["skipped"] == ["common"]  # rare term carries query 0
+    assert plan[1]["skipped"] == []  # all-common query: no pruning
+    # registry-grade identity on the real corpus too (rare+common mix)
+    from redis_streams_spark.session import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cpath = str(tmp_path / "corpus")
+    build_inverted_index(corpus, cpath)
+    q = {0: ("dup", "the", "a"), 1: ("spark", "stream", "window")}
+    assert _bm25(spark, cpath, q) == {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in bm25_topk_maxscore(spark, cpath, q, k=10).collect()
+    }
+
+
+def test_streaming_upsert_refresh_matches_rebuild(spark, tmp_path):
+    """The dedup-refresh composition end-to-end: documents arrive on the
+    stream log, batch 0 seeds the index, a LATER micro-batch re-delivers
+    CHANGED copies of some of the same doc_ids and is applied with
+    replace=True — the r09 caller contract forbade exactly this.  The
+    final index must answer like a batch build over the final corpus
+    (old copies tombstoned, df/avgdl netted), and replaying the upsert
+    batch must be a no-op."""
+    from redis_streams_spark.session import load_table
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+    from redis_streams_spark.streaming.windows import project
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 120
+    )
+    base_rows = docs.collect()
+    changed = {r.doc_id: r.text + " dup window" for r in base_rows[:40]}
+    log = StreamLog(str(tmp_path), "docs")
+    p = Producer(log, "docs")
+    p.add_many(
+        [{"doc_id": r.doc_id, "text": r.text} for r in base_rows]
+    )
+    p.add_many(
+        [{"doc_id": d, "text": t} for d, t in changed.items()]
+    )
+
+    idx = str(tmp_path / "idx")
+
+    def upsert_batch(batch_df, batch_id):
+        update_inverted_index(
+            batch_df.select("doc_id", "text"),
+            idx,
+            segment=f"b{batch_id}",
+            replace=True,
+        )
+
+    src = open_stream(
+        spark, str(tmp_path), "docs", group="up", batch_size=120
+    )
+    typed = project(src, {"doc_id": "long", "text": "string"}).select(
+        "doc_id", "text"
+    )
+    q = (
+        typed.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.createDataFrame(
+        [
+            (r.doc_id, changed.get(r.doc_id, r.text))
+            for r in base_rows
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    ref = str(tmp_path / "ref")
+    build_inverted_index(final, ref)
+    got, want = _bm25(spark, idx), _bm25(spark, ref)
+    assert got == want
+    # replay the upsert micro-batch (at-least-once): idempotent
+    upsert_batch(
+        spark.createDataFrame(
+            [(d, t) for d, t in changed.items()],
+            "doc_id BIGINT, text STRING",
+        ),
+        1,
+    )
+    assert _bm25(spark, idx) == want

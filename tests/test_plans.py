@@ -198,6 +198,9 @@ _BNLJ_OK = {
     "q_autocorr",  # 1-row mean/denom + 3-row lag frames (broadcast scalars)
     "q_theil_sen",  # pairwise-slope inequality join over the ≤n_days daily aggregate
     "mix_epoch_allocation",  # 1-row totals/redistribution crossJoins (broadcast scalars)
+    # -- round 11 --
+    "text_bm25_maxscore",  # same 1-row stats crossJoin as text_bm25_indexed
+    "text_bm25_replace",  # same 1-row stats crossJoin as text_bm25_indexed
     # -- round 8 --
     "q_kmv_jaccard",  # |types|² pair build over the 5-row type frame (persisted)
     "q_bootstrap_ci",  # 1-row point-mean crossJoin (broadcast scalar)
