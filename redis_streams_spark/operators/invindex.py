@@ -51,17 +51,28 @@ assuming the sequential single-writer that foreachBatch provides
 readers — Lucene's IndexWriter contract).  ``compact_inverted_index``
 physically drops tombstoned rows and dead vocabulary.
 
-Manifest (r10 verdict ask #5): an index ROOT may be MANAGED — built
-with ``build_inverted_index(..., managed=True)``, it holds generation
-subdirectories (``g00000001``, …) plus a one-line ``MANIFEST`` file
-naming the current generation, written LAST via an atomic rename.
-Every reader resolves through the manifest, so
-``compact_inverted_index(spark, root)`` (no dst) can write the
-compacted generation NEXT TO the live one and flip the pointer while
-queries run: a DataFrame captured before the flip keeps reading the
-old generation's (still present) files; the next call resolves the new
-one.  On local/HDFS filesystems the rename is atomic; object stores
-need their conditional-put equivalent at the same seam.
+Manifest (r10 verdict ask #5, extended to a COMMIT POINT in r11): an
+index ROOT may be MANAGED — built with
+``build_inverted_index(..., managed=True)``, it holds generation
+subdirectories (``g00000001``, …) plus a ``MANIFEST`` file — JSON
+``{"generation": …, "dead": […], "pending": […]}`` — always written
+LAST via an atomic rename.  Every reader resolves the generation
+through it AND excludes the ``dead``/``pending`` segments with a
+partition-pruned NOT-IN, which buys three O(metadata) maintenance
+ops on top of pointer-flip compaction:
+
+- ``drop_segment`` — retention: an ingest batch disappears (postings,
+  df partials, corpus stats all at once) for the price of one
+  manifest flip — the index-side analog of the stream log's maxlen;
+- ``merge_segments`` — tiered merge: small segments collapse into one
+  (cost follows the merged batches, not the corpus), staged on
+  ``pending`` so readers see either the inputs or the merged output,
+  never both;
+- ``gc_index`` — reclaims swapped-out generations and dead segment
+  partitions after the reader-drain window.
+
+On local/HDFS filesystems the manifest rename is atomic; object
+stores need their conditional-put equivalent at the same seam.
 
 Query path: the query terms' buckets are computed driver-side with
 ``h32_py`` (the Python twin of the same md5 hash the build used), and
@@ -91,6 +102,9 @@ __all__ = [
     "build_inverted_index",
     "update_inverted_index",
     "delete_from_inverted_index",
+    "drop_segment",
+    "merge_segments",
+    "gc_index",
     "compact_inverted_index",
     "bm25_topk_indexed",
     "bm25_topk_maxscore",
@@ -109,27 +123,83 @@ _MANIFEST = "MANIFEST"
 # ---------------------------------------------------------------- manifest
 
 
+def _read_manifest(path: str) -> dict | None:
+    """Parse the MANIFEST commit point: ``{"generation": g, "dead":
+    [...], "pending": [...]}``, or the legacy one-line generation
+    pointer, or None for an unmanaged root.
+
+    ``dead`` segments have been dropped or merged away — readers
+    exclude their partitions (a partition-pruned NOT-IN, so exclusion
+    is free); ``pending`` segments are mid-commit (a merge staged its
+    output but has not flipped yet) and are excluded the same way, so
+    a crash between staging and commit leaves the index exactly as it
+    was."""
+    m = os.path.join(path, _MANIFEST)
+    if not os.path.isfile(m):
+        return None
+    with open(m, encoding="utf-8") as fh:
+        raw = fh.read().strip()
+    if raw.startswith("{"):
+        import json
+
+        d = json.loads(raw)
+        return {
+            "generation": d["generation"],
+            "dead": list(d.get("dead", [])),
+            "pending": list(d.get("pending", [])),
+        }
+    return {"generation": raw, "dead": [], "pending": []}
+
+
 def resolve_index_path(path: str) -> str:
     """Resolve an index root to its current generation directory: if a
     ``MANIFEST`` pointer exists the root is managed and the pointer
     names the live generation; otherwise the root IS the index.  Every
     reader and maintenance op resolves through this, which is what
     makes compaction's pointer flip atomic from the reader's side."""
-    m = os.path.join(path, _MANIFEST)
-    if os.path.isfile(m):
-        with open(m, encoding="utf-8") as fh:
-            gen = fh.read().strip()
-        return os.path.join(path, gen)
-    return path
+    man = _read_manifest(path)
+    return os.path.join(path, man["generation"]) if man else path
 
 
-def _write_manifest(path: str, gen: str) -> None:
-    # written LAST, via rename: readers see either the old pointer or
-    # the new one, never a partial file (POSIX/HDFS rename is atomic;
-    # an object-store port would use a conditional put here)
+def _open_index(path: str) -> tuple[str, list[str]]:
+    """(generation path, segments to EXCLUDE) for an index root —
+    excluded = manifest dead + pending (see _read_manifest)."""
+    man = _read_manifest(path)
+    if man is None:
+        return path, []
+    return (
+        os.path.join(path, man["generation"]),
+        man["dead"] + man["pending"],
+    )
+
+
+def _drop_dead(df: DataFrame, dead: list[str]) -> DataFrame:
+    # partition-pruned NOT-IN on the segment partition column
+    return df if not dead else df.where(~F.col("segment").isin(dead))
+
+
+def _write_manifest(
+    path: str,
+    gen: str,
+    dead: list[str] | tuple[str, ...] = (),
+    pending: list[str] | tuple[str, ...] = (),
+) -> None:
+    # written LAST, via rename: readers see either the old commit
+    # point or the new one, never a partial file (POSIX/HDFS rename is
+    # atomic; an object-store port would use a conditional put here)
+    import json
+
     tmp = os.path.join(path, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(gen + "\n")
+        json.dump(
+            {
+                "generation": gen,
+                "dead": sorted(dead),
+                "pending": sorted(pending),
+            },
+            fh,
+        )
+        fh.write("\n")
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
@@ -259,8 +329,14 @@ def update_inverted_index(
     tombstones and its own postings segment, so a re-run recomputes
     the same corrections and dynamic-overwrite replaces them."""
     spark = docs_new.sparkSession
-    gpath = resolve_index_path(path)
+    gpath, dead = _open_index(path)
     seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    if seg in dead or f"{seg}.del" in dead:
+        raise ValueError(
+            f"update_inverted_index: segment {seg!r} is dead in the "
+            "MANIFEST (dropped or merged away) — its partitions are "
+            "invisible to readers; pick a fresh segment name"
+        )
     if replace:
         _apply_delete(
             spark,
@@ -268,6 +344,7 @@ def update_inverted_index(
             docs_new.select("doc_id").distinct(),
             tseg=f"{seg}.del",
             exclude_segment=seg,
+            dead=dead,
         )
     if segment is not None:
         _write_segment(docs_new, gpath, "overwrite", seg, dynamic=True)
@@ -315,6 +392,7 @@ def _apply_delete(
     ids: DataFrame,
     tseg: str,
     exclude_segment: str | None = None,
+    dead: list[str] = (),
 ) -> None:
     """Tombstone the LIVE postings of ``ids`` as delete batch ``tseg``:
 
@@ -333,6 +411,7 @@ def _apply_delete(
     postings = _read_optional(spark, f"{gpath}/postings")
     if postings is None:
         return  # empty index (first replace-mode batch): nothing to kill
+    postings = _drop_dead(postings, list(dead))
     if exclude_segment is not None:
         postings = postings.where(F.col("segment") != exclude_segment)
     prev = _read_optional(spark, f"{gpath}/tombstones")
@@ -404,7 +483,7 @@ def delete_from_inverted_index(
     their df/avgdl contributions (negative partials), value-identical
     to a from-scratch rebuild over the surviving corpus (tested);
     ``compact_inverted_index`` later drops the dead rows physically."""
-    gpath = resolve_index_path(path)
+    gpath, dead = _open_index(path)
     if isinstance(delete_ids, DataFrame):
         ids = delete_ids.select("doc_id").distinct()
     else:
@@ -412,7 +491,7 @@ def delete_from_inverted_index(
             [(int(i),) for i in delete_ids], "doc_id BIGINT"
         )
     tseg = segment if segment is not None else "del-" + uuid.uuid4().hex[:12]
-    _apply_delete(spark, gpath, ids, tseg=tseg)
+    _apply_delete(spark, gpath, ids, tseg=tseg, dead=dead)
 
 
 # ---------------------------------------------------------------- compact
@@ -442,7 +521,7 @@ def compact_inverted_index(
       their readers drain.
 
     Returns the directory the compacted index was written to."""
-    gsrc = resolve_index_path(src)
+    gsrc, dead = _open_index(src)
     if dst is None:
         if not os.path.isfile(os.path.join(src, _MANIFEST)):
             raise ValueError(
@@ -455,13 +534,13 @@ def compact_inverted_index(
         gdst = dst
     tomb = _tombstones(spark, gsrc)
     postings = _live_postings(
-        spark.read.parquet(f"{gsrc}/postings"), tomb
+        _drop_dead(spark.read.parquet(f"{gsrc}/postings"), dead), tomb
     ).withColumn("segment", F.lit("base"))
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "segment", "bucket"
     ).parquet(f"{gdst}/postings")
     (
-        spark.read.parquet(f"{gsrc}/terms")
+        _drop_dead(spark.read.parquet(f"{gsrc}/terms"), dead)
         .groupBy("tok", "bucket")
         .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
         .where(F.col("df") > 0)
@@ -472,11 +551,8 @@ def compact_inverted_index(
         .parquet(f"{gdst}/terms")
     )
     (
-        spark.read.parquet(f"{gsrc}/stats")
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
-        )
+        _stats_totals(spark, gsrc, dead)
+        .select("n", F.col("sdl").cast("long").alias("sum_dl"))
         .withColumn("segment", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("segment")
@@ -487,31 +563,210 @@ def compact_inverted_index(
     return gdst
 
 
+def _require_managed(path: str, op: str) -> dict:
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"{op}: {path!r} is not a managed index root (no MANIFEST) — "
+            "build with managed=True"
+        )
+    return man
+
+
+def _check_untangled(
+    spark: SparkSession, gpath: str, segments: list[str], op: str
+) -> None:
+    """Refuse segment-level ops on segments entangled with tombstones:
+    a segment TARGETED by tombstones has negative df/stats corrections
+    living in OTHER partitions (dropping it would double-subtract),
+    and a delete batch's own partitions carry corrections for postings
+    that live elsewhere (dropping it would resurrect them).  Either
+    case needs ``compact_inverted_index`` (which nets everything out)
+    instead of the O(1) manifest flip."""
+    tomb = _read_optional(spark, f"{gpath}/tombstones")
+    if tomb is None:
+        return
+    hit = tomb.where(
+        F.col("tseg").isin(segments) | F.col("segment").isin(segments)
+    ).limit(1).count()
+    if hit:
+        raise ValueError(
+            f"{op}: segment(s) {segments} are entangled with tombstones "
+            "(targeted by, or themselves, a delete batch) — run "
+            "compact_inverted_index instead"
+        )
+
+
+def drop_segment(spark: SparkSession, path: str, segment: str) -> None:
+    """O(1) segment retention (the index-side analog of the stream
+    log's bounded retention, SURVEY S2/S19): mark an ingest segment
+    dead in the MANIFEST — one atomic pointer flip, no data read or
+    written.  Readers exclude dead segments with a partition-pruned
+    NOT-IN on the segment partition column, and the read-time partial
+    sums (df, n, sum_dl) lose the segment's contributions with them,
+    so queries answer exactly like a rebuild over the remaining
+    batches (tested).  A time-partitioned corpus drops its oldest
+    batch this way for the price of a metadata write.
+
+    Refused for tombstone-entangled segments (see _check_untangled);
+    physical reclamation happens at ``gc_index`` or the next full
+    compaction."""
+    man = _require_managed(path, "drop_segment")
+    gpath = os.path.join(path, man["generation"])
+    if segment in man["dead"]:
+        return  # idempotent
+    _check_untangled(spark, gpath, [segment], "drop_segment")
+    _write_manifest(
+        path, man["generation"], man["dead"] + [segment], man["pending"]
+    )
+
+
+def merge_segments(
+    spark: SparkSession,
+    path: str,
+    segments: list[str],
+    merged: str | None = None,
+) -> str:
+    """Tiered merge (Lucene's merge policy for this layout): collapse a
+    set of SMALL segments into one without touching the rest of the
+    index — compaction cost follows the merged batches, not the
+    corpus.  Two manifest flips bracket the data write:
+
+    1. stage: the merged name goes on the manifest's ``pending`` list
+       (readers exclude it), then the merged partitions are written
+       with the usual dynamic overwrite;
+    2. commit: one atomic flip moves the inputs to ``dead`` and clears
+       ``pending`` — readers see either the inputs or the merged
+       segment, never both, and a crash anywhere leaves the index
+       answering exactly as before.
+
+    Inputs must be live and tombstone-untangled (else use the full
+    ``compact_inverted_index``).  Returns the merged segment name."""
+    man = _require_managed(path, "merge_segments")
+    gpath = os.path.join(path, man["generation"])
+    segments = sorted(set(segments))
+    if len(segments) < 2:
+        raise ValueError("merge_segments: need at least two segments")
+    if merged is None:
+        import hashlib
+
+        digest = hashlib.md5("|".join(segments).encode()).hexdigest()[:12]
+        merged = f"m-{digest}"
+    gone = set(segments) & set(man["dead"] + man["pending"])
+    if gone == set(segments) and merged not in man["dead"] + man["pending"]:
+        return merged  # already committed: idempotent replay
+    if gone:
+        raise ValueError(f"merge_segments: {sorted(gone)} not live")
+    _check_untangled(spark, gpath, segments, "merge_segments")
+    _write_manifest(
+        path, man["generation"], man["dead"], man["pending"] + [merged]
+    )
+    owm = ("partitionOverwriteMode", "dynamic")
+    postings = (
+        spark.read.parquet(f"{gpath}/postings")
+        .where(F.col("segment").isin(segments))
+        .withColumn("segment", F.lit(merged))
+    )
+    postings.repartition("bucket").write.mode("overwrite").option(
+        *owm
+    ).partitionBy("segment", "bucket").parquet(f"{gpath}/postings")
+    (
+        spark.read.parquet(f"{gpath}/terms")
+        .where(F.col("segment").isin(segments))
+        .groupBy("tok", "bucket")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .withColumn("segment", F.lit(merged))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option(*owm)
+        .partitionBy("segment", "bucket")
+        .parquet(f"{gpath}/terms")
+    )
+    (
+        spark.read.parquet(f"{gpath}/stats")
+        .where(F.col("segment").isin(segments))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .withColumn("segment", F.lit(merged))
+        .write.mode("overwrite")
+        .option(*owm)
+        .partitionBy("segment")
+        .parquet(f"{gpath}/stats")
+    )
+    _write_manifest(path, man["generation"], man["dead"] + segments, [])
+    return merged
+
+
+def gc_index(path: str) -> list[str]:
+    """Reclaim a managed index's unreferenced storage: generation
+    directories other than the current one, and the current
+    generation's dead/pending segment partitions.  Driver-side
+    filesystem walk (the local/HDFS seam; an object store lists
+    prefixes instead).  DESTRUCTIVE for readers still draining those
+    files — run it after the reader-drain window, like dropping any
+    swapped-out generation.  Returns the paths removed; finishes by
+    committing a clean manifest (dead and pending emptied)."""
+    import re
+    import shutil
+
+    man = _require_managed(path, "gc_index")
+    removed: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if (
+            os.path.isdir(full)
+            and re.fullmatch(r"g\d{8}", entry)
+            and entry != man["generation"]
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    gpath = os.path.join(path, man["generation"])
+    for sub in ("postings", "terms", "stats"):
+        for seg in man["dead"] + man["pending"]:
+            part = os.path.join(gpath, sub, f"segment={seg}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                removed.append(part)
+    _write_manifest(path, man["generation"], [], [])
+    return removed
+
+
 # ----------------------------------------------------------------- query
 
 
 def _query_frames(
-    spark: SparkSession, gpath: str, terms: set[str]
+    spark: SparkSession, gpath: str, terms: set[str], dead: list[str]
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Bucket-pruned, tombstone-filtered (postings, term-partials,
-    stats) for a query's term set — the shared read path."""
+    """Bucket-pruned, tombstone-filtered, dead-segment-excluded
+    (postings, term-partials, stats) for a query's term set — the
+    shared read path."""
     buckets = sorted({h32_py(t) % N_TERM_BUCKETS for t in terms})
     tomb = _tombstones(spark, gpath)
     postings = _live_postings(
-        spark.read.parquet(f"{gpath}/postings").where(
-            F.col("bucket").isin(buckets)
-        ),
+        _drop_dead(
+            spark.read.parquet(f"{gpath}/postings"), dead
+        ).where(F.col("bucket").isin(buckets)),
         tomb,
     )
-    tpart = spark.read.parquet(f"{gpath}/terms").where(
+    tpart = _drop_dead(spark.read.parquet(f"{gpath}/terms"), dead).where(
         F.col("bucket").isin(buckets)
     )
-    stats = (
-        spark.read.parquet(f"{gpath}/stats")
-        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
-        .select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    stats = _stats_totals(spark, gpath, dead).select(
+        "n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl")
     )
     return postings, tpart, stats
+
+
+def _stats_totals(
+    spark: SparkSession, gpath: str, dead: list[str]
+) -> DataFrame:
+    """One-row (n, sdl) corpus totals over the live stats partials."""
+    return (
+        _drop_dead(spark.read.parquet(f"{gpath}/stats"), dead)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
+    )
 
 
 def _score_topk(
@@ -549,13 +804,13 @@ def bm25_topk_indexed(
 
     ``queries`` maps query_id → term tuple; only the terms' buckets are
     read (driver-side ``h32_py``, matching the build's ``h32``)."""
-    gpath = resolve_index_path(path)
+    gpath, dead = _open_index(path)
     pairs = [(qid, t) for qid, terms in queries.items() for t in terms]
     qterms = F.broadcast(
         spark.createDataFrame(pairs, "query_id INT, term STRING")
     )
     postings, tpart, stats = _query_frames(
-        spark, gpath, {t for _, t in pairs}
+        spark, gpath, {t for _, t in pairs}, dead
     )
     matched = postings.join(qterms, postings["tok"] == qterms["term"])
     # merge the append-only segment partials at read time: per-term df
@@ -616,9 +871,9 @@ def bm25_topk_maxscore(
     With ``return_plan=True`` returns ``(df, plan)`` where plan maps
     query_id → {theta, essential, skipped} for tests and SCALE
     accounting."""
-    gpath = resolve_index_path(path)
+    gpath, dead = _open_index(path)
     all_terms = {t for terms in queries.values() for t in terms}
-    postings, tpart, _ = _query_frames(spark, gpath, all_terms)
+    postings, tpart, _ = _query_frames(spark, gpath, all_terms, dead)
     # the MaxScore plan makes THREE passes over the bucket-pruned
     # postings (seed top-k, candidate harvest, final scoring); each
     # pass re-scans, but the explicit skinny projection keeps every
@@ -627,11 +882,7 @@ def bm25_topk_maxscore(
     # the working set was measured SLOWER at 100×: the cache write
     # costs more than two extra 4-column parquet scans — SCALE.md r11.)
     postings = postings.select("tok", "doc_id", "tf", "dl")
-    stats_row = (
-        spark.read.parquet(f"{gpath}/stats")
-        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
-        .first()
-    )
+    stats_row = _stats_totals(spark, gpath, dead).first()
     n_docs = stats_row["n"] or 0
     avgdl = (stats_row["sdl"] or 0) * 1.0 / n_docs if n_docs else 1.0
     trows = (
@@ -750,10 +1001,8 @@ def bm25_topk_maxscore(
         .agg(F.sum("df").alias("df"))
         .select(F.col("tok").alias("df_tok"), "df")
     )
-    stats = (
-        spark.read.parquet(f"{gpath}/stats")
-        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
-        .select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    stats = _stats_totals(spark, gpath, dead).select(
+        "n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl")
     )
     out = _score_topk(matched, dfreq, stats, k)
     return (out, plan) if return_plan else out
@@ -778,13 +1027,15 @@ def phrase_match_indexed(
     slot intersects its own shifted copy of the shared posting row.
     Returns (phrase_id, doc_id, n_occurrences), the same frame as the
     from-scratch ``text_phrase_ngram``."""
-    gpath = resolve_index_path(path)
+    gpath, dead = _open_index(path)
     rows = [
         (pid, i, t, len(terms))
         for pid, terms in phrases.items()
         for i, t in enumerate(terms)
     ]
-    postings, _, _ = _query_frames(spark, gpath, {t for _, _, t, _ in rows})
+    postings, _, _ = _query_frames(
+        spark, gpath, {t for _, _, t, _ in rows}, dead
+    )
     pf = F.broadcast(
         spark.createDataFrame(
             rows, "phrase_id INT, idx INT, term STRING, plen INT"

@@ -354,8 +354,11 @@ def test_manifest_compact_while_querying(spark, tmp_path):
     new_gen = compact_inverted_index(spark, root)  # no dst: pointer flip
     assert new_gen.endswith("g00000002")
     assert resolve_index_path(root) == new_gen
+    import json
+
     with open(os.path.join(root, "MANIFEST"), encoding="utf-8") as fh:
-        assert fh.read().strip() == "g00000002"
+        man = json.loads(fh.read())
+    assert man == {"generation": "g00000002", "dead": [], "pending": []}
     # the pre-flip DataFrame still reads the old generation's files
     again = {
         (r.query_id, r.rank): (r.doc_id, r.bm25) for r in before.collect()
@@ -505,3 +508,121 @@ def test_streaming_upsert_refresh_matches_rebuild(spark, tmp_path):
         1,
     )
     assert _bm25(spark, idx) == want
+
+
+def test_drop_segment_matches_rebuild_without_batch(spark, tmp_path):
+    """O(1) retention: dropping an ingest segment via the manifest must
+    answer exactly like a rebuild over the remaining batches, cost one
+    metadata write, and be idempotent; writing into a dead name is
+    refused."""
+    import pytest
+
+    from redis_streams_spark.operators.invindex import drop_segment
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.where(F.col("doc_id") % 3 == 0)
+    keep = docs.where(F.col("doc_id") % 3 != 0)
+    root, ref = str(tmp_path / "root"), str(tmp_path / "ref")
+    build_inverted_index(old, root, managed=True)
+    update_inverted_index(keep.where(F.col("doc_id") % 3 == 1), root, segment="b1")
+    update_inverted_index(keep.where(F.col("doc_id") % 3 == 2), root, segment="b2")
+    drop_segment(spark, root, "base")  # retention: oldest batch out
+    drop_segment(spark, root, "base")  # idempotent
+    build_inverted_index(keep, ref)
+    assert _bm25(spark, root) == _bm25(spark, ref)
+    # stats partials: the dropped batch's corpus contribution is gone
+    from redis_streams_spark.operators.invindex import (
+        _open_index,
+        _stats_totals,
+    )
+
+    gpath, dead = _open_index(root)
+    assert dead == ["base"]
+    assert _stats_totals(spark, gpath, dead).first()["n"] == keep.count()
+    with pytest.raises(ValueError, match="dead"):
+        update_inverted_index(keep.limit(1), root, segment="base")
+
+
+def test_drop_segment_refuses_tombstone_entangled(spark, tmp_path):
+    import pytest
+
+    from redis_streams_spark.operators.invindex import (
+        delete_from_inverted_index,
+        drop_segment,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path / "root")
+    build_inverted_index(docs, root, managed=True)
+    delete_from_inverted_index(spark, root, [0, 1, 2], segment="d1")
+    with pytest.raises(ValueError, match="compact"):
+        drop_segment(spark, root, "base")  # targeted by d1's tombstones
+    with pytest.raises(ValueError, match="compact"):
+        drop_segment(spark, root, "d1")  # is itself a delete batch
+
+
+def test_merge_segments_and_gc(spark, tmp_path):
+    """Tiered merge: small segments collapse into one, results
+    unchanged; untouched segments' files are not rewritten; gc removes
+    the merged-away partitions and the swapped-out generation."""
+    import os
+
+    from redis_streams_spark.operators.invindex import (
+        _read_manifest,
+        compact_inverted_index,
+        gc_index,
+        merge_segments,
+        resolve_index_path,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path / "root")
+    build_inverted_index(docs.where(F.col("doc_id") % 4 == 0), root, managed=True)
+    for i in (1, 2, 3):
+        update_inverted_index(
+            docs.where(F.col("doc_id") % 4 == i), root, segment=f"s{i}"
+        )
+    want = _bm25(spark, root)
+    gpath = resolve_index_path(root)
+    base_postings = os.path.join(gpath, "postings", "segment=base")
+    before_files = sorted(os.listdir(base_postings))
+    before_mtime = max(
+        os.path.getmtime(os.path.join(base_postings, f)) for f in before_files
+    )
+    merged = merge_segments(spark, root, ["s1", "s2", "s3"])
+    assert _bm25(spark, root) == want
+    man = _read_manifest(root)
+    assert sorted(man["dead"]) == ["s1", "s2", "s3"] and man["pending"] == []
+    # the big base segment was not rewritten
+    assert sorted(os.listdir(base_postings)) == before_files
+    assert (
+        max(
+            os.path.getmtime(os.path.join(base_postings, f))
+            for f in before_files
+        )
+        == before_mtime
+    )
+    # merge is replay-safe: deterministic name + dynamic overwrite
+    assert merge_segments(spark, root, ["s1", "s2", "s3"]) == merged
+    assert _bm25(spark, root) == want
+    # live segments collapse to {base, merged}
+    stats = spark.read.parquet(f"{gpath}/stats")
+    live = {
+        r.segment
+        for r in stats.where(~F.col("segment").isin(["s1", "s2", "s3"]))
+        .select("segment")
+        .distinct()
+        .collect()
+    }
+    assert live == {"base", merged}
+    # full compact to a new generation, then gc reclaims everything
+    compact_inverted_index(spark, root)
+    removed = gc_index(root)
+    assert _bm25(spark, root) == want
+    assert any("g00000001" in p for p in removed)
+    assert not os.path.isdir(os.path.join(gpath, "postings", "segment=s1"))
+    man = _read_manifest(root)
+    assert man["dead"] == [] and man["pending"] == []

@@ -81,5 +81,52 @@ def main() -> None:
     spark.stop()
 
 
+def segment_ops(sf_dir: str) -> None:
+    """Second phase: segment-liveness ops on a tombstone-free index —
+    drop is O(metadata), merge cost follows the merged batches."""
+    from redis_streams_spark.operators.invindex import (
+        drop_segment,
+        gc_index,
+        merge_segments,
+    )
+
+    spark = get_spark("lifecycle-scale")
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lcseg-")
+    timed(
+        "build big base (94% of corpus)",
+        lambda: build_inverted_index(
+            docs.where(F.col("doc_id") % 50 > 2), root, managed=True
+        ),
+    )
+    for i in range(3):
+        timed(
+            f"small segment s{i} (2% batch)",
+            lambda i=i: update_inverted_index(
+                docs.where(F.col("doc_id") % 50 == i), root, segment=f"s{i}"
+            ),
+        )
+    q = lambda: bm25_topk_indexed(spark, root, QUERIES, k=10).write.format(  # noqa: E731
+        "noop"
+    ).mode("overwrite").save()
+    q()
+    timed("query 4 segments (warm)", q)
+    timed(
+        "tiered merge of the 3 small segments",
+        lambda: merge_segments(spark, root, ["s0", "s1", "s2"]),
+    )
+    timed("query after merge (warm)", q)
+    timed("drop merged segment (retention)", lambda: drop_segment(
+        spark, root, "m-" + __import__("hashlib").md5(b"s0|s1|s2").hexdigest()[:12]
+    ))
+    timed("query after drop (warm)", q)
+    timed("gc (reclaim dead partitions)", lambda: gc_index(root))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    sfd = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2 and sys.argv[2] == "segments":
+        segment_ops(sfd)
+    else:
+        main()
