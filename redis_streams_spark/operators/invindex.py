@@ -105,6 +105,8 @@ __all__ = [
     "drop_segment",
     "merge_segments",
     "gc_index",
+    "index_status",
+    "index_maintenance_advice",
     "compact_inverted_index",
     "bm25_topk_indexed",
     "bm25_topk_maxscore",
@@ -370,6 +372,26 @@ def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
         return None
 
 
+# canonical component schemas — the empty-index fallback (a fully
+# deleted / fully dropped corpus must answer EMPTY, not crash on an
+# unreadable parquet dir)
+_PART_SCHEMAS = {
+    "postings": (
+        "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, "
+        "positions ARRAY<BIGINT>, bucket INT, segment STRING"
+    ),
+    "terms": "tok STRING, df BIGINT, max_tf BIGINT, bucket INT, segment STRING",
+    "stats": "n BIGINT, sum_dl BIGINT, segment STRING",
+}
+
+
+def _read_part(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
+    df = _read_optional(spark, f"{gpath}/{sub}")
+    if df is None:
+        return spark.createDataFrame([], _PART_SCHEMAS[sub])
+    return df
+
+
 def _tombstones(spark: SparkSession, gpath: str) -> DataFrame | None:
     t = _read_optional(spark, f"{gpath}/tombstones")
     return None if t is None else t.select("doc_id", "segment")
@@ -534,13 +556,13 @@ def compact_inverted_index(
         gdst = dst
     tomb = _tombstones(spark, gsrc)
     postings = _live_postings(
-        _drop_dead(spark.read.parquet(f"{gsrc}/postings"), dead), tomb
+        _drop_dead(_read_part(spark, gsrc, "postings"), dead), tomb
     ).withColumn("segment", F.lit("base"))
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "segment", "bucket"
     ).parquet(f"{gdst}/postings")
     (
-        _drop_dead(spark.read.parquet(f"{gsrc}/terms"), dead)
+        _drop_dead(_read_part(spark, gsrc, "terms"), dead)
         .groupBy("tok", "bucket")
         .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
         .where(F.col("df") > 0)
@@ -733,6 +755,96 @@ def gc_index(path: str) -> list[str]:
     return removed
 
 
+def index_status(spark: SparkSession, path: str) -> DataFrame:
+    """Per-segment introspection report — the index-side echo of the
+    streaming monitor's sweep (SURVEY S12/S15: same
+    observe-then-recommend shape, here over index segments instead of
+    consumers): one row per segment with
+
+      segment, state ('live' | 'dead' | 'pending'), kind ('ingest' |
+      'delete'), n_docs (net; negative partials for delete batches),
+      sum_dl, dead_docs (this segment's documents tombstoned by later
+      delete batches)
+
+    built from the stats partials, the tombstone partitions, and the
+    manifest — all metadata-sized reads, never the postings."""
+    gpath, _ = _open_index(path)
+    man = _read_manifest(path)
+    dead = set(man["dead"]) if man else set()
+    pending = set(man["pending"]) if man else set()
+    stats = _read_part(spark, gpath, "stats").groupBy("segment").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    tomb = _read_optional(spark, f"{gpath}/tombstones")
+    if tomb is not None:
+        per_target = tomb.groupBy(F.col("segment").alias("t_seg")).agg(
+            F.count(F.lit(1)).cast("long").alias("dead_docs")
+        )
+        stats = stats.join(
+            per_target, stats["segment"] == F.col("t_seg"), "left"
+        ).drop("t_seg")
+    else:
+        stats = stats.withColumn("dead_docs", F.lit(None).cast("long"))
+    state = (
+        F.when(F.col("segment").isin(sorted(dead)), "dead")
+        .when(F.col("segment").isin(sorted(pending)), "pending")
+        .otherwise("live")
+        if (dead or pending)
+        else F.lit("live")
+    )
+    return stats.select(
+        "segment",
+        state.alias("state"),
+        F.when(F.col("n_docs") < 0, "delete")
+        .otherwise("ingest")
+        .alias("kind"),
+        "n_docs",
+        "sum_dl",
+        F.coalesce("dead_docs", F.lit(0)).alias("dead_docs"),
+    )
+
+
+def index_maintenance_advice(
+    spark: SparkSession,
+    path: str,
+    small_frac: float = 0.05,
+    dead_frac: float = 0.1,
+) -> list[str]:
+    """Rule ladder over ``index_status`` (the scaler's
+    measure-then-decide shape, SURVEY S16–S18, applied to index
+    health): recommends merge_segments for accumulations of small live
+    ingest segments, compact_inverted_index when the tombstoned
+    fraction passes ``dead_frac`` or delete batches pile up, and
+    gc_index when dead/pending segments linger.  Returns
+    human-readable recommendations (empty = healthy)."""
+    rows = index_status(spark, path).collect()
+    live = [r for r in rows if r.state == "live" and r.kind == "ingest"]
+    total = sum(r.n_docs for r in live) or 1
+    out: list[str] = []
+    small = [r.segment for r in live if r.n_docs < small_frac * total]
+    if len(small) >= 2:
+        out.append(
+            f"merge_segments: {len(small)} live segments each hold "
+            f"<{small_frac:.0%} of the corpus ({sorted(small)})"
+        )
+    tombstoned = sum(r.dead_docs for r in live)
+    if tombstoned > dead_frac * total:
+        out.append(
+            f"compact_inverted_index: {tombstoned}/{total} documents "
+            f"tombstoned (>{dead_frac:.0%})"
+        )
+    n_del = sum(1 for r in rows if r.kind == "delete" and r.state == "live")
+    if n_del >= 5:
+        out.append(
+            f"compact_inverted_index: {n_del} delete batches accumulated"
+        )
+    n_gone = sum(1 for r in rows if r.state != "live")
+    if n_gone:
+        out.append(f"gc_index: {n_gone} dead/pending segments reclaimable")
+    return out
+
+
 # ----------------------------------------------------------------- query
 
 
@@ -746,11 +858,11 @@ def _query_frames(
     tomb = _tombstones(spark, gpath)
     postings = _live_postings(
         _drop_dead(
-            spark.read.parquet(f"{gpath}/postings"), dead
+            _read_part(spark, gpath, "postings"), dead
         ).where(F.col("bucket").isin(buckets)),
         tomb,
     )
-    tpart = _drop_dead(spark.read.parquet(f"{gpath}/terms"), dead).where(
+    tpart = _drop_dead(_read_part(spark, gpath, "terms"), dead).where(
         F.col("bucket").isin(buckets)
     )
     stats = _stats_totals(spark, gpath, dead).select(
@@ -764,7 +876,7 @@ def _stats_totals(
 ) -> DataFrame:
     """One-row (n, sdl) corpus totals over the live stats partials."""
     return (
-        _drop_dead(spark.read.parquet(f"{gpath}/stats"), dead)
+        _drop_dead(_read_part(spark, gpath, "stats"), dead)
         .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_dl").alias("sdl"))
     )
 

@@ -626,3 +626,138 @@ def test_merge_segments_and_gc(spark, tmp_path):
     assert not os.path.isdir(os.path.join(gpath, "postings", "segment=s1"))
     man = _read_manifest(root)
     assert man["dead"] == [] and man["pending"] == []
+
+
+def test_index_status_and_maintenance_advice(spark, tmp_path):
+    """The introspection report sees segment states, kinds, and dead
+    counts; the advice ladder recommends merge/compact/gc exactly when
+    the rule thresholds trip."""
+    from redis_streams_spark.operators.invindex import (
+        delete_from_inverted_index,
+        index_maintenance_advice,
+        index_status,
+        merge_segments,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path / "root")
+    build_inverted_index(docs.where(F.col("doc_id") >= 40), root, managed=True)
+    update_inverted_index(docs.where(F.col("doc_id") < 20), root, segment="s1")
+    update_inverted_index(
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+        root,
+        segment="s2",
+    )
+    advice = index_maintenance_advice(spark, root)
+    assert any("merge_segments" in a and "s1" in a for a in advice)
+    delete_from_inverted_index(
+        spark, root, list(range(40, 120)), segment="d1"
+    )
+    st = {r.segment: r for r in index_status(spark, root).collect()}
+    assert st["base"].kind == "ingest" and st["base"].dead_docs == 80
+    assert st["d1"].kind == "delete" and st["d1"].n_docs == -80
+    assert all(r.state == "live" for r in st.values())
+    advice = index_maintenance_advice(spark, root)
+    assert any("compact" in a and "80/" in a for a in advice)
+    merge_segments(spark, root, ["s1", "s2"])
+    st = {r.segment: r for r in index_status(spark, root).collect()}
+    assert st["s1"].state == "dead" and st["s2"].state == "dead"
+    assert any("gc_index" in a for a in index_maintenance_advice(spark, root))
+
+
+def test_lifecycle_randomized_walk_matches_rebuild(spark, tmp_path):
+    """Model-based check of the whole maintenance state machine: a
+    seeded walk interleaves ingest / upsert / delete / drop / merge /
+    compact+gc, and after EVERY op the index must answer BM25 exactly
+    like a from-scratch build over the model corpus."""
+    import random
+
+    from redis_streams_spark.operators.invindex import (
+        compact_inverted_index,
+        delete_from_inverted_index,
+        drop_segment,
+        gc_index,
+        merge_segments,
+    )
+
+    rng = random.Random(11)
+    vocab = ["spark", "stream", "window", "hash", "join", "merge", "dup"]
+
+    def text_for(i, salt):
+        rng2 = random.Random(i * 1000 + salt)
+        return " ".join(rng2.choices(vocab, k=rng2.randint(3, 12)))
+
+    queries = {0: ("spark", "stream", "window"), 1: ("hash", "join", "merge")}
+    root = str(tmp_path / "root")
+    model: dict[int, str] = {i: text_for(i, 0) for i in range(30)}
+    seg_docs: dict[str, set[int]] = {"base": set(model)}
+    entangled: set[str] = set()
+    next_id = 30
+
+    def frame(ids_salt):
+        return spark.createDataFrame(
+            [(i, t) for i, t in ids_salt], "doc_id BIGINT, text STRING"
+        )
+
+    build_inverted_index(frame(model.items()), root, managed=True)
+
+    def check(step):
+        ref = str(tmp_path / f"ref{step}")
+        build_inverted_index(frame(model.items()), ref)
+        assert _bm25(spark, root, queries) == _bm25(spark, ref, queries), (
+            f"diverged at step {step}"
+        )
+
+    for step in range(12):
+        op = rng.choice(
+            ["ingest", "upsert", "delete", "drop", "merge", "compact"]
+        )
+        seg = f"s{step}"
+        if op == "ingest":
+            batch = {next_id + j: text_for(next_id + j, step) for j in range(6)}
+            next_id += 6
+            update_inverted_index(frame(batch.items()), root, segment=seg)
+            model.update(batch)
+            seg_docs[seg] = set(batch)
+        elif op == "upsert" and model:
+            ids = rng.sample(sorted(model), min(5, len(model)))
+            batch = {i: text_for(i, 100 + step) for i in ids}
+            update_inverted_index(
+                frame(batch.items()), root, segment=seg, replace=True
+            )
+            for i in ids:
+                for s, ds in seg_docs.items():
+                    if i in ds and s != seg:
+                        ds.discard(i)
+                        entangled.add(s)
+            model.update(batch)
+            seg_docs[seg] = set(ids)
+        elif op == "delete" and model:
+            ids = rng.sample(sorted(model), min(4, len(model)))
+            delete_from_inverted_index(spark, root, ids, segment=f"d{step}")
+            for i in ids:
+                for s, ds in seg_docs.items():
+                    if i in ds:
+                        ds.discard(i)
+                        entangled.add(s)
+                model.pop(i)
+        elif op == "drop":
+            cands = [s for s in seg_docs if s not in entangled]
+            if cands:
+                s = rng.choice(cands)
+                drop_segment(spark, root, s)
+                for i in seg_docs.pop(s):
+                    model.pop(i, None)
+        elif op == "merge":
+            cands = [s for s in seg_docs if s not in entangled]
+            if len(cands) >= 2:
+                picks = rng.sample(cands, 2)
+                m = merge_segments(spark, root, picks)
+                seg_docs[m] = seg_docs.pop(picks[0]) | seg_docs.pop(picks[1])
+        else:
+            compact_inverted_index(spark, root)
+            gc_index(root)
+            seg_docs = {"base": set(model)}
+            entangled = set()
+        check(step)
