@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import shutil
 import tempfile
 import time
 
@@ -44,6 +45,8 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     root = tempfile.mkdtemp(prefix="lcidx-")
+    import atexit
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     print(f"corpus: {n} docs")
     timed(
         "build (managed, 99% of corpus)",
@@ -93,6 +96,8 @@ def segment_ops(sf_dir: str) -> None:
     spark = get_spark("lifecycle-scale")
     docs = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="lcseg-")
+    import atexit
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     timed(
         "build big base (94% of corpus)",
         lambda: build_inverted_index(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
+import shutil
 import tempfile
 import time
 
@@ -36,6 +37,8 @@ def main() -> None:
     spark = get_spark("maxscore-scale")
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="msidx-")
+    import atexit
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     t0 = time.perf_counter()
     build_inverted_index(docs, path)
     t_build = time.perf_counter() - t0
