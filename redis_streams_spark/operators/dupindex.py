@@ -1,0 +1,586 @@
+"""Persisted dedup-signature index — the ingest-side twin of the
+persisted inverted index (``operators/invindex.py``).
+
+``incremental_dedup`` (operators/dedup.py) verdicts a new batch against
+the accumulated corpus, but recomputes the HISTORY side's digests,
+minhash signatures, and shingle sets from raw text on every call — at
+100 TB that is a full-corpus tokenize+hash per ingest batch.  This
+module persists those derived artifacts ONCE, so per-batch dedup cost
+follows the batch: the batch side is hashed fresh (it is new data), the
+history side is equi-joined from signature-sized parquet, and only the
+near-dup CANDIDATES' shingle sets are fetched for exact verification.
+
+Layout under ``path`` (one index GENERATION; managed roots follow the
+shared MANIFEST commit-point discipline of ``operators/segstore.py``):
+
+- ``digests/`` — (doc_id, content_hash) partitioned by
+  ``(segment, bucket)``, ``bucket = h32(content_hash) % N_BUCKETS``:
+  the exact-dup probe's join side, 40-byte rows.
+- ``bands/`` — (doc_id, band_idx, band_hash) partitioned by
+  ``(segment, bucket)``, ``bucket = pmod(band_hash, N_BUCKETS)``: the
+  LSH candidate join side — 16 band rows of 8-byte hashes per doc,
+  NOT the documents.
+- ``shingles/`` — (doc_id, shingles) partitioned by
+  ``(segment, bucket)``, ``bucket = pmod(doc_id, N_BUCKETS)``: the
+  exact-Jaccard verification sets.  This is the one corpus-sized
+  store (like the positional index's ``positions``), but the probe
+  reads ONLY the buckets holding actual candidates: candidate h_ids
+  are aggregated driver-side to a ≤``N_BUCKETS``-value partition
+  IN-filter (bounded collect, same discipline as the MaxScore seed
+  pass), so at true near-dup density the verify scan touches a few
+  buckets' files, not the corpus.
+- ``tombstones/`` — (doc_id, segment) partitioned by ``tseg``:
+  document deletion, applied at read time as a broadcast anti-join.
+  Unlike the inverted index there are NO global-stat partials to
+  correct — a dead digest/band/shingle row simply stops matching —
+  so segment drop/retention never entangles with tombstones.
+- ``META`` — JSON ``{"n": shingle_n}`` written at build: probes reuse
+  the build's shingle width (a probe with a different n would verify
+  against incomparable sets).
+
+Segment discipline (shared with invindex): one ingest batch = one
+segment partition; a caller-supplied deterministic segment name makes
+the write a dynamic partition overwrite, so at-least-once replay
+(foreachBatch) replaces the batch instead of double-counting it.
+``update_dedup_index(..., replace=True)`` is the refresh path: live
+copies of the batch's doc_ids in OTHER segments are tombstoned first,
+then the batch lands as its own segment — the upsert a dedup-refresh
+pipeline needs when documents change.  Single sequential writer,
+concurrent readers (Lucene's IndexWriter contract).
+
+The probe is value-identical to ``incremental_dedup`` over the same
+live corpus (tested, and driver-graded via the shared DuckDB oracle):
+same md5 content digests, same 32-perm minhash / 16-band LSH
+candidates, same exact-Jaccard ≥ threshold verification, same
+exact-over-near precedence and min-doc_id match selection.
+
+Reference basis: none (SURVEY §2.2 extension surface — the reference
+has no dedup layer); the lifecycle mirrors Lucene commit points, the
+signature store mirrors the published MinHash-LSH dedup pipelines
+(GPT-3/Gopher-style corpus dedup) restated as parquet + Spark joins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from redis_streams_spark.functions.hashing import h32
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.operators.dedup import (
+    band_rows_from_sets,
+    normalized_text,
+    shingle_sets,
+)
+from redis_streams_spark.operators.segstore import (
+    drop_dead,
+    next_generation,
+    open_index,
+    read_manifest,
+    write_manifest,
+)
+
+__all__ = [
+    "N_BUCKETS",
+    "build_dedup_index",
+    "update_dedup_index",
+    "delete_from_dedup_index",
+    "probe_dedup_index",
+    "compact_dedup_index",
+    "drop_dedup_segment",
+    "gc_dedup_index",
+    "dedup_index_status",
+]
+
+N_BUCKETS = 64
+
+_STORES = ("digests", "bands", "shingles")
+
+_SCHEMAS = {
+    "digests": "doc_id BIGINT, content_hash STRING, bucket INT, segment STRING",
+    "bands": (
+        "doc_id BIGINT, band_idx INT, band_hash BIGINT, "
+        "bucket INT, segment STRING"
+    ),
+    "shingles": (
+        "doc_id BIGINT, shingles ARRAY<STRING>, bucket INT, segment STRING"
+    ),
+}
+
+
+# ------------------------------------------------------------------- meta
+
+
+def _write_meta(path: str, n: int) -> None:
+    with open(os.path.join(path, "META"), "w", encoding="utf-8") as fh:
+        json.dump({"n": n}, fh)
+        fh.write("\n")
+
+
+def _read_meta(path: str) -> int:
+    """The build's shingle width; defaults to 3 for indexes predating
+    the META file."""
+    p = os.path.join(path, "META")
+    if not os.path.isfile(p):
+        return 3
+    with open(p, encoding="utf-8") as fh:
+        return int(json.load(fh)["n"])
+
+
+def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
+    """Read a parquet tree that may not exist yet (empty index, no
+    tombstones) — driver-side existence probe for local paths, with
+    the AnalysisException fallback for remote schemes."""
+    local = p[7:] if p.startswith("file://") else p
+    if "://" not in local and not os.path.isdir(local):
+        return None
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException:
+        return None
+
+
+def _read_store(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
+    df = _read_optional(spark, f"{gpath}/{sub}")
+    if df is None:
+        return spark.createDataFrame([], _SCHEMAS[sub])
+    return df
+
+
+def _tombstones(spark: SparkSession, gpath: str) -> DataFrame | None:
+    t = _read_optional(spark, f"{gpath}/tombstones")
+    return None if t is None else t.select("doc_id", "segment")
+
+
+def _live(df: DataFrame, dead: list[str], tomb: DataFrame | None) -> DataFrame:
+    """Live rows of a store frame: drop manifest-dead segments (a
+    partition-pruned NOT-IN) and tombstoned (doc_id, segment) rows (a
+    broadcast anti-join — the tombstone frame is deletion-churn
+    sized)."""
+    df = drop_dead(df, dead)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), ["doc_id", "segment"], "left_anti")
+
+
+# ------------------------------------------------------------------ build
+
+
+def _write_segment(
+    docs: DataFrame,
+    gpath: str,
+    mode: str,
+    segment: str,
+    n: int,
+    dynamic: bool = False,
+) -> None:
+    """Write one document batch's digest/band/shingle rows as segment
+    ``segment``.  One shingle pass feeds both the band build and the
+    shingle store (persisted); each store is repartitioned on its
+    bucket column so a bucket's files come from one task set.  Dynamic
+    partition overwrite (deterministic segment names) replaces ONLY
+    this segment's partitions — the at-least-once replay mechanism;
+    the initial build stays STATIC so it clears any previous tree."""
+    owm = ("partitionOverwriteMode", "dynamic" if dynamic else "static")
+    digests = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    ).withColumn("bucket", (h32("content_hash") % N_BUCKETS).cast("int"))
+    sets_ = shingle_sets(docs, n).persist()
+    try:
+        (
+            digests.withColumn("segment", F.lit(segment))
+            .repartition("bucket")
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment", "bucket")
+            .parquet(f"{gpath}/digests")
+        )
+        (
+            band_rows_from_sets(sets_)
+            .withColumn("bucket", F.pmod("band_hash", F.lit(N_BUCKETS)).cast("int"))
+            .withColumn("segment", F.lit(segment))
+            .repartition("bucket")
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment", "bucket")
+            .parquet(f"{gpath}/bands")
+        )
+        (
+            sets_.withColumn(
+                "bucket", F.pmod("doc_id", F.lit(N_BUCKETS)).cast("int")
+            )
+            .withColumn("segment", F.lit(segment))
+            .repartition("bucket")
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment", "bucket")
+            .parquet(f"{gpath}/shingles")
+        )
+    finally:
+        sets_.unpersist()
+
+
+def build_dedup_index(
+    docs: DataFrame, path: str, n: int = 3, managed: bool = False
+) -> str:
+    """Write the dedup-signature layout for a ``documents``-shaped
+    frame (doc_id, text) as segment ``base``; returns the generation
+    path.  ``managed=True`` creates the MANIFEST-committed multi-
+    generation root (compaction becomes a pointer flip, retention a
+    manifest edit)."""
+    if managed:
+        os.makedirs(path, exist_ok=True)
+        gen = "g00000001"
+        gpath = os.path.join(path, gen)
+        _write_segment(docs, gpath, "overwrite", "base", n)
+        _write_meta(path, n)
+        write_manifest(path, gen)
+        return gpath
+    _write_segment(docs, path, "overwrite", "base", n)
+    _write_meta(path, n)
+    return path
+
+
+def update_dedup_index(
+    docs_new: DataFrame,
+    path: str,
+    segment: str | None = None,
+    replace: bool = False,
+) -> None:
+    """Add a new document batch as its own segment — no existing
+    segment is read or rewritten, so probes against the index answer
+    exactly like a rebuild over the union corpus.
+
+    ``segment``: a DETERMINISTIC name (e.g. the foreachBatch batchId)
+    makes the write replay-safe via dynamic partition overwrite;
+    ``None`` appends under an opaque unique name (exactly-once callers
+    only).
+
+    ``replace=True`` is the refresh/upsert: live copies of this
+    batch's doc_ids in other segments are tombstoned first (as delete
+    batch ``<segment>.del``), then the batch lands — re-ingesting a
+    changed document stops it matching its own stale copy.  Replay
+    recomputes identical corrections: the delete pass ignores this
+    batch's own prior tombstones and its own segment."""
+    spark = docs_new.sparkSession
+    gpath, dead = open_index(path)
+    seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    if seg in dead or f"{seg}.del" in dead:
+        raise ValueError(
+            f"update_dedup_index: segment {seg!r} is dead in the "
+            "MANIFEST — its partitions are invisible to readers; pick "
+            "a fresh segment name"
+        )
+    if replace:
+        _apply_delete(
+            spark,
+            gpath,
+            docs_new.select("doc_id").distinct(),
+            tseg=f"{seg}.del",
+            exclude_segment=seg,
+            dead=dead,
+        )
+    n = _read_meta(path)
+    if segment is not None:
+        _write_segment(docs_new, gpath, "overwrite", seg, n, dynamic=True)
+    else:
+        _write_segment(docs_new, gpath, "append", seg, n)
+
+
+# ----------------------------------------------------------------- delete
+
+
+def _apply_delete(
+    spark: SparkSession,
+    gpath: str,
+    ids: DataFrame,
+    tseg: str,
+    exclude_segment: str | None = None,
+    dead: list[str] = (),
+) -> None:
+    """Tombstone the LIVE copies of ``ids`` as delete batch ``tseg``:
+    (doc_id, segment) rows naming the digest/band/shingle partitions
+    now dead — all three stores share the (doc_id, segment) key, so
+    one tombstone row silences a document everywhere.  Liveness is
+    computed from ``digests/`` alone (every copy of a doc has exactly
+    one digest row) against the current state minus this batch's own
+    prior output, which makes replay — and dynamic-overwrite replace —
+    recompute identical corrections instead of compounding them."""
+    digests = _read_optional(spark, f"{gpath}/digests")
+    if digests is None:
+        return  # empty index (first replace-mode batch)
+    digests = drop_dead(digests, list(dead))
+    if exclude_segment is not None:
+        digests = digests.where(F.col("segment") != exclude_segment)
+    prev = _read_optional(spark, f"{gpath}/tombstones")
+    if prev is not None:
+        prev = prev.where(F.col("tseg") != tseg).select("doc_id", "segment")
+    live = _live(
+        digests.join(ids.hint("broadcast"), "doc_id", "semi"), [], prev
+    )
+    (
+        live.select("doc_id", "segment")
+        .distinct()
+        .withColumn("tseg", F.lit(tseg))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tseg")
+        .parquet(f"{gpath}/tombstones")
+    )
+
+
+def delete_from_dedup_index(
+    spark: SparkSession,
+    path: str,
+    delete_ids,
+    segment: str | None = None,
+) -> None:
+    """Tombstone documents without rewriting any store segment.
+    ``delete_ids`` is a list of doc_ids or a DataFrame with a
+    ``doc_id`` column; ``segment`` names the delete batch (pass a
+    deterministic name for replay-safe streaming deletes).  Probes
+    immediately stop matching the dead documents — value-identical to
+    a rebuild over the survivors (tested); ``compact_dedup_index``
+    later drops the rows physically."""
+    gpath, dead = open_index(path)
+    if isinstance(delete_ids, DataFrame):
+        ids = delete_ids.select("doc_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], "doc_id BIGINT"
+        )
+    tseg = segment if segment is not None else "del-" + uuid.uuid4().hex[:12]
+    _apply_delete(spark, gpath, ids, tseg=tseg, dead=dead)
+
+
+# ------------------------------------------------------------------ probe
+
+
+def probe_dedup_index(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Verdict a new document batch against the persisted corpus:
+    per batch doc ``exact_dup`` / ``near_dup`` / ``keep`` plus
+    ``match_id`` (smallest live matching corpus doc_id, exact match
+    precedence) — :func:`~redis_streams_spark.operators.dedup.
+    incremental_dedup`'s contract with the history side read from the
+    index instead of recomputed.
+
+    Scale shape: the batch is digested/shingled/banded fresh (it is
+    new data, batch-sized); the exact join carries 40-byte digest
+    rows, the candidate join 8-byte band hashes; the shingle fetch for
+    exact-Jaccard verification is pruned to the candidates' partition
+    buckets via a bounded (≤ N_BUCKETS values) driver-side collect of
+    the distinct candidate buckets.  Nothing in the plan scans
+    document text on the history side."""
+    spark = batch.sparkSession
+    gpath, dead = open_index(path)
+    n = _read_meta(path)
+    tomb = _tombstones(spark, gpath)
+
+    bnorm = batch.select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    hdig = _live(_read_store(spark, gpath, "digests"), dead, tomb)
+    exact = (
+        bnorm.join(
+            hdig.select(F.col("doc_id").alias("h_id"), "content_hash"),
+            "content_hash",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h_id").alias("exact_match"))
+    )
+
+    bsets = shingle_sets(batch, n).persist()
+    hbands = _live(_read_store(spark, gpath, "bands"), dead, tomb)
+    cands = (
+        band_rows_from_sets(bsets)
+        .join(
+            hbands.select(
+                F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_id", "h_id")
+        .distinct()
+        .persist()
+    )
+    # bounded collect (≤ N_BUCKETS rows): the verify scan's partition
+    # IN-filter.  At true near-dup density candidates cluster in a few
+    # doc_id buckets; a batch with no candidates skips the shingle
+    # store entirely.
+    cand_buckets = [
+        r[0]
+        for r in cands.select(
+            F.pmod("h_id", F.lit(N_BUCKETS)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    hsh = _read_store(spark, gpath, "shingles")
+    if len(cand_buckets) < N_BUCKETS:
+        hsh = hsh.where(F.col("bucket").isin(cand_buckets or [-1]))
+    hsh = _live(hsh, dead, tomb)
+    ver = cands.join(
+        bsets.select("doc_id", F.col("shingles").alias("sa")), "doc_id"
+    ).join(
+        hsh.select(F.col("doc_id").alias("h_id"), F.col("shingles").alias("sb")),
+        "h_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    near = (
+        ver.where(rnd(inter * 1.0 / F.greatest(union, F.lit(1)), 6) >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("h_id").alias("near_match"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- maintenance
+
+
+def compact_dedup_index(
+    spark: SparkSession, src: str, dst: str | None = None
+) -> str:
+    """Rewrite the accumulated multi-segment index as one ``base``
+    segment with tombstoned rows PHYSICALLY dropped and no tombstones
+    carried over.  Probe results are value-identical before and after
+    (tested).  For a managed ``src`` (``dst=None``) the rewrite lands
+    in the next generation directory and the MANIFEST flips to it
+    LAST — readers opened before the flip keep draining the old
+    generation, readers after see the compacted one; ``gc_dedup_index``
+    reclaims the old generation after the drain window.  Returns the
+    compacted data path (the new generation dir for managed, ``dst``
+    otherwise)."""
+    gpath, dead = open_index(src)
+    man = read_manifest(src)
+    if dst is None:
+        if man is None:
+            raise ValueError(
+                "compact_dedup_index: pass dst=... for an unmanaged "
+                "index, or build with managed=True for in-place "
+                "generational compaction"
+            )
+        gen = next_generation(src)
+        out = os.path.join(src, gen)
+    else:
+        out = dst
+    tomb = _tombstones(spark, gpath)
+    for sub in _STORES:
+        (
+            _live(_read_store(spark, gpath, sub), dead, tomb)
+            .withColumn("segment", F.lit("base"))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("segment", "bucket")
+            .parquet(f"{out}/{sub}")
+        )
+    _write_meta(out if dst is not None else src, _read_meta(src))
+    if dst is None:
+        write_manifest(src, gen)
+    return out
+
+
+def drop_dedup_segment(spark: SparkSession, path: str, segment: str) -> None:
+    """O(metadata) segment retention: mark an ingest segment dead in
+    the MANIFEST — one atomic pointer flip, no data read or written.
+    Probes stop matching the segment's documents immediately (the
+    partition-pruned NOT-IN excludes all three stores' partitions).
+
+    Unlike the inverted index there is no tombstone entanglement to
+    refuse: dupindex tombstones only ever SILENCE rows (no global-stat
+    partials), so a tombstone pointing into a dead segment is a
+    harmless no-op, and dropping a replace-batch leaves its
+    explicitly-killed older copies dead — the right retention
+    semantics (a replaced document was superseded, not resurrected)."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(
+            "drop_dedup_segment requires a managed index root (build "
+            "with managed=True)"
+        )
+    if segment in man["dead"]:
+        return  # idempotent
+    write_manifest(path, man["generation"], man["dead"] + [segment], man["pending"])
+
+
+def gc_dedup_index(path: str) -> list[str]:
+    """Reclaim unreferenced storage of a managed root: generation
+    directories other than the current one, and the current
+    generation's dead segment partitions.  Run after the reader-drain
+    window; returns the removed paths and commits a clean manifest."""
+    import re
+    import shutil
+
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError("gc_dedup_index requires a managed index root")
+    removed: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if (
+            os.path.isdir(full)
+            and re.fullmatch(r"g\d{8}", entry)
+            and entry != man["generation"]
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    gpath = os.path.join(path, man["generation"])
+    for sub in _STORES + ("tombstones",):
+        for seg in man["dead"] + man["pending"]:
+            part = os.path.join(gpath, sub, f"segment={seg}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                removed.append(part)
+    write_manifest(path, man["generation"], [], [])
+    return removed
+
+
+def dedup_index_status(spark: SparkSession, path: str) -> DataFrame:
+    """One row per live segment: (segment, n_docs, n_tombstoned) —
+    the maintenance dashboard (which batches exist, how much deletion
+    churn has accumulated toward the next compaction)."""
+    gpath, dead = open_index(path)
+    dig = drop_dead(_read_store(spark, gpath, "digests"), dead)
+    tomb = _tombstones(spark, gpath)
+    per = dig.groupBy("segment").agg(F.count(F.lit(1)).alias("n_docs"))
+    if tomb is None:
+        return per.withColumn("n_tombstoned", F.lit(0).cast("long")).orderBy(
+            "segment"
+        )
+    tper = tomb.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_tombstoned")
+    )
+    return (
+        per.join(tper, "segment", "left")
+        .select(
+            "segment",
+            "n_docs",
+            F.coalesce("n_tombstoned", F.lit(0)).cast("long").alias(
+                "n_tombstoned"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -119,96 +119,19 @@ N_TERM_BUCKETS = 64
 _K1 = 1.2
 _B = 0.75
 
-_MANIFEST = "MANIFEST"
-
-
-# ---------------------------------------------------------------- manifest
-
-
-def _read_manifest(path: str) -> dict | None:
-    """Parse the MANIFEST commit point: ``{"generation": g, "dead":
-    [...], "pending": [...]}``, or the legacy one-line generation
-    pointer, or None for an unmanaged root.
-
-    ``dead`` segments have been dropped or merged away — readers
-    exclude their partitions (a partition-pruned NOT-IN, so exclusion
-    is free); ``pending`` segments are mid-commit (a merge staged its
-    output but has not flipped yet) and are excluded the same way, so
-    a crash between staging and commit leaves the index exactly as it
-    was."""
-    m = os.path.join(path, _MANIFEST)
-    if not os.path.isfile(m):
-        return None
-    with open(m, encoding="utf-8") as fh:
-        raw = fh.read().strip()
-    if raw.startswith("{"):
-        import json
-
-        d = json.loads(raw)
-        return {
-            "generation": d["generation"],
-            "dead": list(d.get("dead", [])),
-            "pending": list(d.get("pending", [])),
-        }
-    return {"generation": raw, "dead": [], "pending": []}
-
-
-def resolve_index_path(path: str) -> str:
-    """Resolve an index root to its current generation directory: if a
-    ``MANIFEST`` pointer exists the root is managed and the pointer
-    names the live generation; otherwise the root IS the index.  Every
-    reader and maintenance op resolves through this, which is what
-    makes compaction's pointer flip atomic from the reader's side."""
-    man = _read_manifest(path)
-    return os.path.join(path, man["generation"]) if man else path
-
-
-def _open_index(path: str) -> tuple[str, list[str]]:
-    """(generation path, segments to EXCLUDE) for an index root —
-    excluded = manifest dead + pending (see _read_manifest)."""
-    man = _read_manifest(path)
-    if man is None:
-        return path, []
-    return (
-        os.path.join(path, man["generation"]),
-        man["dead"] + man["pending"],
-    )
-
-
-def _drop_dead(df: DataFrame, dead: list[str]) -> DataFrame:
-    # partition-pruned NOT-IN on the segment partition column
-    return df if not dead else df.where(~F.col("segment").isin(dead))
-
-
-def _write_manifest(
-    path: str,
-    gen: str,
-    dead: list[str] | tuple[str, ...] = (),
-    pending: list[str] | tuple[str, ...] = (),
-) -> None:
-    # written LAST, via rename: readers see either the old commit
-    # point or the new one, never a partial file (POSIX/HDFS rename is
-    # atomic; an object-store port would use a conditional put here)
-    import json
-
-    tmp = os.path.join(path, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(
-            {
-                "generation": gen,
-                "dead": sorted(dead),
-                "pending": sorted(pending),
-            },
-            fh,
-        )
-        fh.write("\n")
-    os.replace(tmp, os.path.join(path, _MANIFEST))
-
-
-def _next_generation(path: str) -> str:
-    cur = os.path.basename(resolve_index_path(path))
-    n = int(cur[1:]) if cur.startswith("g") and cur[1:].isdigit() else 0
-    return f"g{n + 1:08d}"
+# Manifest/generation machinery shared with the dedup-signature index
+# (operators/dupindex.py) — factored into operators/segstore.py in r11;
+# the private aliases keep this module's internal call sites and the
+# existing tests stable.
+from redis_streams_spark.operators.segstore import (  # noqa: E402
+    MANIFEST as _MANIFEST,
+    drop_dead as _drop_dead,
+    next_generation as _next_generation,
+    open_index as _open_index,
+    read_manifest as _read_manifest,
+    resolve_index_path,
+    write_manifest as _write_manifest,
+)
 
 
 # ------------------------------------------------------------------ build

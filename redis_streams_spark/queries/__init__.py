@@ -36,6 +36,7 @@ def _load_all() -> None:
         dedup3,
         dedup4,
         dedup5,
+        dedup6,
         embedmath,
         formats,
         frontier,

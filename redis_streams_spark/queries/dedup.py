@@ -59,7 +59,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
-def minhash_bands_cte() -> str:
+def minhash_bands_cte(src: str = "documents") -> str:
     """Shared oracle CTE body: tokens → 3-shingles → h32 → 32-perm
     minhash signatures → LSH band rows.  The SINGLE source of the
     MinHash-LSH SQL math — dedup_minhash_lsh, dedup_incremental, and
@@ -80,7 +80,7 @@ def minhash_bands_cte() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""toks AS (
-  SELECT doc_id, {words_sql('text')} AS w FROM documents
+  SELECT doc_id, {words_sql('text')} AS w FROM {src}
 ), sh AS (
   SELECT doc_id, {word_shingles_sql('w', 3)} AS s FROM toks
 ), hv AS (
@@ -397,14 +397,14 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_PRED = "doc_id % 10 = 7"
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(src: str = "documents") -> str:
     jac = (
         "round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 / "
         "greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6)"
     )
     return f"""
-WITH {minhash_bands_cte()}, ch AS (
-  SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents
+WITH {minhash_bands_cte(src)}, ch AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM {src}
 ), exact AS (
   SELECT b.doc_id, min(h.doc_id) AS exact_match
   FROM ch b JOIN ch h ON b.content_hash = h.content_hash
@@ -431,7 +431,7 @@ SELECT d.doc_id,
        -- float-promoted by pandas-based canonicalizers (NaN), breaking
        -- the int-vs-float type-family check against Spark's bigint
        coalesce(e.exact_match, n.near_match, -1) AS match_id
-FROM documents d
+FROM {src} d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
 WHERE d.{_BATCH_PRED}

@@ -1,0 +1,138 @@
+"""Indexed ingest-dedup queries: the persisted dedup-signature index
+(operators/dupindex.py) driven through the oracle gate.
+
+``dedup_incremental`` (queries/dedup.py) verdicts an ingest batch
+against the corpus by recomputing the history side's signatures from
+raw text; these twins answer the SAME questions from the persisted
+index — the driver-graded proof that build + probe (and the full
+update/replace/delete lifecycle) is value-identical to the
+from-scratch path, which DuckDB replays independently.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.queries.dedup import _BATCH_PRED, _incremental_oracle
+from redis_streams_spark.session import load_table
+
+# One persisted index per (process, sf_dir) over the HISTORY slice,
+# shared by every read-only indexed query (the build-once-and-reuse
+# discipline of queries/retrieval.py::_shared_index — a per-call
+# static-overwrite rebuild could delete parquet files out from under a
+# lazy DataFrame returned by an earlier call).
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _history_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from redis_streams_spark.operators.dupindex import build_dedup_index
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(
+            "/tmp/spark-graft-dupidx",
+            f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
+        )
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_dedup_index(docs.where(~F.expr(_BATCH_PRED)), path)
+        _INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_incremental_indexed",
+    shape="bounded",
+    tags=("dedup", "lsh", "ingest", "index"),
+    oracle=_incremental_oracle(),
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` answered from the persisted signature
+    index: docs with ``doc_id % 10 = 7`` play the incoming batch, the
+    rest were indexed ONCE (digests + LSH band rows + shingle sets);
+    the probe digests/bands the batch fresh and equi-joins the index's
+    signature-sized stores — at 100 TB the per-batch cost follows the
+    batch, not the corpus (the from-scratch form re-tokenizes all of
+    history every call).  Oracle: the same SQL as dedup_incremental —
+    a green row proves build + probe value-identical end-to-end."""
+    from redis_streams_spark.operators.dupindex import probe_dedup_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.expr(_BATCH_PRED))
+    out = probe_dedup_index(batch, _history_index(spark, sf_dir))
+    # sentinel -1 for 'keep' rows (see the dedup_incremental oracle
+    # comment on nullable-bigint float promotion)
+    return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))
+
+
+_REFRESH_CORPUS = f"""corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' refreshed zz'
+              ELSE text END AS text
+  FROM documents
+  WHERE NOT (doc_id % 10 = 1)
+)"""
+
+
+def _refresh_oracle() -> str:
+    body = _incremental_oracle("corpus")
+    # splice the current-corpus CTE in front of the incremental body's
+    # WITH list: history = documents with the %3 slice re-ingested
+    # modified and the %1 slice deleted; the %7 batch rows are
+    # untouched by either predicate
+    assert body.lstrip().startswith("WITH ")
+    return body.replace("WITH ", f"WITH {_REFRESH_CORPUS}, ", 1)
+
+
+@register(
+    "dedup_refresh_indexed",
+    shape="bounded",
+    tags=("dedup", "lsh", "ingest", "index", "lifecycle"),
+    oracle=_refresh_oracle(),
+)
+def dedup_refresh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index LIFECYCLE through the oracle gate: build the history
+    index, re-ingest the ``doc_id % 10 = 3`` slice with modified text
+    (``replace=True`` tombstones the stale copies), tombstone-delete
+    the ``doc_id % 10 = 1`` slice, then probe the batch.  DuckDB
+    replays the same semantics from first principles over the CURRENT
+    corpus (modified %3, deleted %1) — a green row proves the
+    tombstone/replace machinery changes probe answers exactly as a
+    from-scratch rebuild would.
+
+    Mutating query: builds a private throwaway index per call (the
+    text_bm25_replace precedent) — the shared read-only index is never
+    touched."""
+    from redis_streams_spark.operators.dupindex import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        probe_dedup_index,
+        update_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.expr(_BATCH_PRED))
+    history = docs.where(~F.expr(_BATCH_PRED))
+    path = os.path.join(
+        "/tmp/spark-graft-dupidx",
+        f"refresh-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_dedup_index(history, path, managed=True)
+    mod = history.where("doc_id % 10 = 3").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" refreshed zz"))
+    )
+    update_dedup_index(mod, path, segment="refresh", replace=True)
+    delete_from_dedup_index(
+        spark, path, history.where("doc_id % 10 = 1").select("doc_id"),
+        segment="retire",
+    )
+    out = probe_dedup_index(batch, path)
+    return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))

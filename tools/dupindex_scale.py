@@ -1,0 +1,104 @@
+"""Ingest-dedup cost at scale: the persisted dedup-signature index
+(operators/dupindex.py) vs the from-scratch ``incremental_dedup``.
+
+The production shape: a corpus accumulates, every new ingest batch is
+verdicted against it.  From scratch, each batch pays a full-corpus
+tokenize + minhash of the HISTORY side; with the index, history costs
+are paid ONCE at build and each probe pays batch-sized hashing plus
+signature-sized equi-joins (the shingle verify scan pruned to the
+candidates' buckets).  This script times both per batch at a scaled
+corpus, plus the maintenance ops (replace-refresh, tombstone delete,
+compact) — the SCALE.md evidence that per-batch cost follows the
+batch.
+
+Usage: python tools/dupindex_scale.py [sf_dir] [n_batches]
+  (sf_dir defaults to /root/testdata/sf0.1; scale it up first with
+   tools/make_scale_data.py for the 100x measurement)
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from redis_streams_spark.operators.dedup import incremental_dedup  # noqa: E402
+from redis_streams_spark.operators.dupindex import (  # noqa: E402
+    build_dedup_index,
+    compact_dedup_index,
+    delete_from_dedup_index,
+    probe_dedup_index,
+    update_dedup_index,
+)
+from redis_streams_spark.session import get_spark, load_table  # noqa: E402
+
+
+def timed(label: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {dt:.1f}s", flush=True)
+    return out, dt
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark("dupindex-scale")
+    docs = load_table(spark, sf_dir, "documents")
+    # history = 90% of the corpus; batches = slices of the last 10%
+    hist = docs.where("doc_id % 10 != 7")
+    print(f"corpus: {docs.count()} docs, history {hist.count()}")
+    root = tempfile.mkdtemp(prefix="dupidx-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    _, t_build = timed("index build (one-time)", lambda: build_dedup_index(hist, root, managed=True))
+
+    t_probe = t_scratch = 0.0
+    for i in range(n_batches):
+        batch = docs.where(f"doc_id % 10 = 7 AND doc_id % {n_batches} = {i}")
+        _, dt = timed(
+            f"probe batch {i} (indexed)",
+            lambda b=batch: probe_dedup_index(b, root).count(),
+        )
+        t_probe += dt
+        _, dt = timed(
+            f"probe batch {i} (from scratch)",
+            lambda b=batch: incremental_dedup(hist, b).count(),
+        )
+        t_scratch += dt
+
+    # maintenance: refresh 2% of history, retire 2%, compact
+    mod = hist.where("doc_id % 50 = 3").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" refreshed zz"))
+    )
+    timed("refresh (replace 2%)", lambda: update_dedup_index(mod, root, segment="r1", replace=True))
+    timed(
+        "delete (tombstone 2%)",
+        lambda: delete_from_dedup_index(
+            spark, root, hist.where("doc_id % 50 = 9").select("doc_id"), segment="d1"
+        ),
+    )
+    batch0 = docs.where(f"doc_id % 10 = 7 AND doc_id % {n_batches} = 0")
+    timed("probe after maintenance", lambda: probe_dedup_index(batch0, root).count())
+    timed("compact", lambda: compact_dedup_index(spark, root))
+    timed("probe after compact", lambda: probe_dedup_index(batch0, root).count())
+
+    amort = t_build / max(t_scratch / n_batches - t_probe / n_batches, 1e-9)
+    print(
+        f"\nper-batch: indexed {t_probe / n_batches:.1f}s vs "
+        f"from-scratch {t_scratch / n_batches:.1f}s; "
+        f"build amortizes after ~{amort:.1f} batches"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
