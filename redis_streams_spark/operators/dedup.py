@@ -91,6 +91,15 @@ def minhash_signatures(sets_: DataFrame) -> DataFrame:
     signature-agreement audits)."""
     sh = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
     h = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    return minhash_from_hashes(h)
+
+
+def minhash_from_hashes(h: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31) from pre-hashed shingles (doc_id, h) — the
+    permute+min half of :func:`minhash_signatures`.  Signatures are
+    IDENTICAL whichever entry point is used: h32 is the same hash, and
+    min over a set equals min over its multiset, so hash-set dedup
+    (array_distinct after hashing) cannot move a minimum."""
     perms = h.select(
         "doc_id",
         *[
@@ -101,6 +110,39 @@ def minhash_signatures(sets_: DataFrame) -> DataFrame:
     return perms.groupBy("doc_id").agg(
         *[F.min(f"p{j}").alias(f"m{j}") for j in range(len(MINHASH_COEFFS))]
     )
+
+
+def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh array<long>): the h32-hashed shingle SET — the
+    storage/verification form the persisted dedup index uses
+    (operators/dupindex.py).  8-byte sorted hashes instead of ~20-byte
+    shingle strings: ~4x fewer bytes on the verify store and scan, and
+    one downstream md5 pass saved (bands derive from these hashes
+    directly via :func:`band_rows_from_hashes`).
+
+    Semantics: exact set-Jaccard AT HASH RESOLUTION — two distinct
+    shingles colliding in h32 (2^-32 per pair) merge.  The minhash
+    CANDIDATE stage already lives at this resolution (signatures hash
+    shingles with the same h32), so hashing the verify step aligns the
+    two stages; the string-set form (:func:`shingle_sets`) remains the
+    collision-free reference and the two agree on every verdict at
+    test scale (asserted in tests/test_dupindex.py).  Sorted for
+    deterministic storage (delta-encodes well in parquet)."""
+    sets_ = shingle_sets(docs, n)
+    return sets_.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform("shingles", lambda s: h32(s)))
+        ).alias("sh"),
+    )
+
+
+def band_rows_from_hashes(hsets: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from (doc_id, sh) hashed shingle
+    sets — :func:`band_rows_from_sets` minus the md5 pass, emitting
+    IDENTICAL band rows (see :func:`minhash_from_hashes`)."""
+    h = hsets.select("doc_id", F.explode("sh").alias("h"))
+    return _bands_from_minhash(minhash_from_hashes(h))
 
 
 def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
@@ -121,7 +163,10 @@ def band_rows_from_sets(sets_: DataFrame) -> DataFrame:
       (doc_id, 32×long) rows — signature-sized, not document-sized — so
       it also scales fine.
     """
-    mins = minhash_signatures(sets_)
+    return _bands_from_minhash(minhash_signatures(sets_))
+
+
+def _bands_from_minhash(mins: DataFrame) -> DataFrame:
     # band key: xxhash64 directly over the band's signature longs.  Equal
     # hash ⇔ equal band signature (mod 64-bit collisions), which is all
     # the bucket join needs — the hash never appears in query output, so
@@ -542,12 +587,20 @@ def incremental_dedup(
     batch: DataFrame,
     n: int = 3,
     threshold: float = 0.3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Ingest-time dedup of a new batch against an existing corpus:
     per batch doc a verdict ``exact_dup`` (normalized-text digest already
     in history), ``near_dup`` (shares an LSH band with a history doc and
     exact shingle-Jaccard ≥ threshold), or ``keep``; ``match_id`` is the
     smallest matching history doc_id (exact match wins precedence).
+
+    ``hashed=True`` verifies on h32-hashed shingle sets instead of the
+    strings (:func:`hashed_shingle_sets`) — the semantics the persisted
+    dedup index stores (operators/dupindex.py); this form is its
+    recompute-from-text reference.  Bands are identical either way;
+    only the Jaccard verification resolution differs (and only under
+    h32 collisions).
 
     This is the batch form of the streaming near-dup path
     (``streaming/neardup.py``): at 100 TB the history side's digests and
@@ -565,12 +618,18 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("exact_match"))
     )
-    bsets = shingle_sets(batch, n).persist()
-    hsets = shingle_sets(history, n).persist()
+    if hashed:
+        bsets = hashed_shingle_sets(batch, n).persist()
+        hsets = hashed_shingle_sets(history, n).persist()
+        bands_of, set_col = band_rows_from_hashes, "sh"
+    else:
+        bsets = shingle_sets(batch, n).persist()
+        hsets = shingle_sets(history, n).persist()
+        bands_of, set_col = band_rows_from_sets, "shingles"
     cands = (
-        band_rows_from_sets(bsets)
+        bands_of(bsets)
         .join(
-            band_rows_from_sets(hsets).select(
+            bands_of(hsets).select(
                 F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
             ),
             ["band_idx", "band_hash"],
@@ -579,9 +638,9 @@ def incremental_dedup(
         .distinct()
     )
     ver = cands.join(
-        bsets.select("doc_id", F.col("shingles").alias("sa")), "doc_id"
+        bsets.select("doc_id", F.col(set_col).alias("sa")), "doc_id"
     ).join(
-        hsets.select(F.col("doc_id").alias("h_id"), F.col("shingles").alias("sb")),
+        hsets.select(F.col("doc_id").alias("h_id"), F.col(set_col).alias("sb")),
         "h_id",
     )
     inter = F.size(F.array_intersect("sa", "sb"))

@@ -20,14 +20,22 @@ shared MANIFEST commit-point discipline of ``operators/segstore.py``):
   ``(segment, bucket)``, ``bucket = pmod(band_hash, N_BUCKETS)``: the
   LSH candidate join side — 16 band rows of 8-byte hashes per doc,
   NOT the documents.
-- ``shingles/`` — (doc_id, shingles) partitioned by
+- ``shingles/`` — (doc_id, sh array<int>) partitioned by
   ``(segment, bucket)``, ``bucket = pmod(doc_id, N_BUCKETS)``: the
-  exact-Jaccard verification sets.  This is the one corpus-sized
-  store (like the positional index's ``positions``), but the probe
-  reads ONLY the buckets holding actual candidates: candidate h_ids
-  are aggregated driver-side to a ≤``N_BUCKETS``-value partition
-  IN-filter (bounded collect, same discipline as the MaxScore seed
-  pass), so at true near-dup density the verify scan touches a few
+  exact-Jaccard verification sets as SORTED h32 HASHES offset-cast to
+  int32 (an injective transform — set equality and Jaccard are
+  unchanged), not strings: 2.4x fewer bytes (measured 1462 MB strings
+  → 613 MB int32 on the 500k realistic corpus), and band-signature
+  construction reuses the same hashes (one md5 pass per batch, not
+  two).  Verification is exact set-Jaccard at h32 resolution — the
+  resolution the minhash candidate stage already lives at; the
+  string-set recompute (incremental_dedup(hashed=False)) is the
+  collision-free reference and agrees on every verdict at test scale.
+  This is the one corpus-sized store (like the positional index's
+  ``positions``), but a SMALL batch's probe reads ONLY the buckets
+  holding actual candidates: candidate h_ids are aggregated
+  driver-side to a ≤``N_BUCKETS``-value partition IN-filter (bounded
+  collect), so a streaming trickle's verify scan touches a few
   buckets' files, not the corpus.
 - ``tombstones/`` — (doc_id, segment) partitioned by ``tseg``:
   document deletion, applied at read time as a broadcast anti-join.
@@ -48,11 +56,13 @@ then the batch lands as its own segment — the upsert a dedup-refresh
 pipeline needs when documents change.  Single sequential writer,
 concurrent readers (Lucene's IndexWriter contract).
 
-The probe is value-identical to ``incremental_dedup`` over the same
-live corpus (tested, and driver-graded via the shared DuckDB oracle):
-same md5 content digests, same 32-perm minhash / 16-band LSH
-candidates, same exact-Jaccard ≥ threshold verification, same
-exact-over-near precedence and min-doc_id match selection.
+The probe is value-identical to ``incremental_dedup(hashed=True)``
+over the same live corpus (tested, and driver-graded via a DuckDB
+oracle that recomputes the hashed verification from first
+principles): same md5 content digests, same 32-perm minhash / 16-band
+LSH candidates, same exact-Jaccard ≥ threshold verification on the
+hashed sets, same exact-over-near precedence and min-doc_id match
+selection.
 
 Reference basis: none (SURVEY §2.2 extension surface — the reference
 has no dedup layer); the lifecycle mirrors Lucene commit points, the
@@ -73,9 +83,9 @@ from pyspark.errors import AnalysisException
 from redis_streams_spark.functions.hashing import h32
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.operators.dedup import (
-    band_rows_from_sets,
+    band_rows_from_hashes,
+    hashed_shingle_sets,
     normalized_text,
-    shingle_sets,
 )
 from redis_streams_spark.operators.segstore import (
     drop_dead,
@@ -88,9 +98,11 @@ from redis_streams_spark.operators.segstore import (
 __all__ = [
     "N_BUCKETS",
     "build_dedup_index",
+    "init_dedup_index",
     "update_dedup_index",
     "delete_from_dedup_index",
     "probe_dedup_index",
+    "dedup_ingest_batch",
     "compact_dedup_index",
     "drop_dedup_segment",
     "gc_dedup_index",
@@ -99,7 +111,23 @@ __all__ = [
 
 N_BUCKETS = 64
 
+# Probe batches at or below this size get the candidate-bucket-pruned
+# verify scan (see probe_dedup_index); larger batches hit most buckets
+# anyway and skip the extra candidate materialization it costs.
+_PRUNE_BATCH_LIMIT = 4 * N_BUCKETS
+
 _STORES = ("digests", "bands", "shingles")
+
+# The shingle store keeps h32 hashes offset-cast to INT32 — an
+# injective transform of the h32 longs, so set equality (hence exact
+# Jaccard) is unchanged while the store drops from 998 MB (longs) to
+# 613 MB (vs 1462 MB as strings) on the 500k realistic corpus.  Probe
+# batches apply the same transform before comparing.
+_I32_OFFSET = 2_147_483_648
+
+
+def _sh_i32(col):
+    return F.transform(col, lambda x: (x - F.lit(_I32_OFFSET)).cast("int"))
 
 _SCHEMAS = {
     "digests": "doc_id BIGINT, content_hash STRING, bucket INT, segment STRING",
@@ -108,7 +136,7 @@ _SCHEMAS = {
         "bucket INT, segment STRING"
     ),
     "shingles": (
-        "doc_id BIGINT, shingles ARRAY<STRING>, bucket INT, segment STRING"
+        "doc_id BIGINT, sh ARRAY<INT>, bucket INT, segment STRING"
     ),
 }
 
@@ -190,7 +218,7 @@ def _write_segment(
     digests = docs.select(
         "doc_id", F.md5(normalized_text()).alias("content_hash")
     ).withColumn("bucket", (h32("content_hash") % N_BUCKETS).cast("int"))
-    sets_ = shingle_sets(docs, n).persist()
+    sets_ = hashed_shingle_sets(docs, n).persist()
     try:
         (
             digests.withColumn("segment", F.lit(segment))
@@ -201,7 +229,7 @@ def _write_segment(
             .parquet(f"{gpath}/digests")
         )
         (
-            band_rows_from_sets(sets_)
+            band_rows_from_hashes(sets_)
             .withColumn("bucket", F.pmod("band_hash", F.lit(N_BUCKETS)).cast("int"))
             .withColumn("segment", F.lit(segment))
             .repartition("bucket")
@@ -211,7 +239,8 @@ def _write_segment(
             .parquet(f"{gpath}/bands")
         )
         (
-            sets_.withColumn(
+            sets_.select("doc_id", _sh_i32("sh").alias("sh"))
+            .withColumn(
                 "bucket", F.pmod("doc_id", F.lit(N_BUCKETS)).cast("int")
             )
             .withColumn("segment", F.lit(segment))
@@ -244,6 +273,24 @@ def build_dedup_index(
     _write_segment(docs, path, "overwrite", "base", n)
     _write_meta(path, n)
     return path
+
+
+def init_dedup_index(path: str, n: int = 3, managed: bool = True) -> str:
+    """Create an EMPTY index root — the streaming-first bootstrap: a
+    corpus built entirely by ``dedup_ingest_batch`` / ``update_dedup_
+    index`` segments still gets the manifest lifecycle (compaction,
+    retention, gc) if the root is managed from the start.  Returns the
+    generation path writes should land in (resolved by the ordinary
+    maintenance ops, so callers never use it directly)."""
+    os.makedirs(path, exist_ok=True)
+    _write_meta(path, n)
+    if not managed:
+        return path
+    gen = "g00000001"
+    gpath = os.path.join(path, gen)
+    os.makedirs(gpath, exist_ok=True)
+    write_manifest(path, gen)
+    return gpath
 
 
 def update_dedup_index(
@@ -366,6 +413,7 @@ def probe_dedup_index(
     batch: DataFrame,
     path: str,
     threshold: float = 0.3,
+    exclude_segment: str | None = None,
 ) -> DataFrame:
     """Verdict a new document batch against the persisted corpus:
     per batch doc ``exact_dup`` / ``near_dup`` / ``keep`` plus
@@ -376,13 +424,21 @@ def probe_dedup_index(
 
     Scale shape: the batch is digested/shingled/banded fresh (it is
     new data, batch-sized); the exact join carries 40-byte digest
-    rows, the candidate join 8-byte band hashes; the shingle fetch for
-    exact-Jaccard verification is pruned to the candidates' partition
-    buckets via a bounded (≤ N_BUCKETS values) driver-side collect of
-    the distinct candidate buckets.  Nothing in the plan scans
-    document text on the history side."""
+    rows, the candidate join 8-byte band hashes; for SMALL batches
+    (≤ _PRUNE_BATCH_LIMIT docs — the streaming-trickle case) the
+    shingle fetch for exact-Jaccard verification is pruned to the
+    candidates' partition buckets via a bounded (≤ N_BUCKETS values)
+    driver-side collect of the distinct candidate buckets.  Nothing
+    in the plan scans document text on the history side.
+
+    ``exclude_segment`` removes one segment from the probed corpus —
+    the ingest loop's replay guard: a re-delivered micro-batch must
+    not match the keepers its own previous delivery appended (see
+    :func:`dedup_ingest_batch`)."""
     spark = batch.sparkSession
     gpath, dead = open_index(path)
+    if exclude_segment is not None:
+        dead = list(dead) + [exclude_segment]
     n = _read_meta(path)
     tomb = _tombstones(spark, gpath)
 
@@ -399,10 +455,10 @@ def probe_dedup_index(
         .agg(F.min("h_id").alias("exact_match"))
     )
 
-    bsets = shingle_sets(batch, n).persist()
+    bsets = hashed_shingle_sets(batch, n).persist()
     hbands = _live(_read_store(spark, gpath, "bands"), dead, tomb)
     cands = (
-        band_rows_from_sets(bsets)
+        band_rows_from_hashes(bsets)
         .join(
             hbands.select(
                 F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
@@ -411,28 +467,37 @@ def probe_dedup_index(
         )
         .select("doc_id", "h_id")
         .distinct()
-        .persist()
     )
-    # bounded collect (≤ N_BUCKETS rows): the verify scan's partition
-    # IN-filter.  At true near-dup density candidates cluster in a few
-    # doc_id buckets; a batch with no candidates skips the shingle
-    # store entirely.
-    cand_buckets = [
-        r[0]
-        for r in cands.select(
-            F.pmod("h_id", F.lit(N_BUCKETS)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
     hsh = _read_store(spark, gpath, "shingles")
-    if len(cand_buckets) < N_BUCKETS:
-        hsh = hsh.where(F.col("bucket").isin(cand_buckets or [-1]))
+    # Candidate-bucket pruning is a SMALL-BATCH optimization: a bounded
+    # collect (≤ N_BUCKETS rows) of the candidates' distinct doc_id
+    # buckets becomes the verify scan's partition IN-filter, so a
+    # trickle batch's exact-Jaccard verification reads a few buckets'
+    # files (a batch with no candidates skips the shingle store
+    # entirely).  It needs the candidate set twice (bucket collect +
+    # verify join), hence the persist — which at a LARGE batch is a
+    # full extra materialization of a possibly clique-quadratic pair
+    # set for an IN-filter that would name every bucket anyway; large
+    # batches therefore keep the single-pass pipeline and scan all
+    # buckets (measured at 1000x: the persist+collect pass was the
+    # dominant probe cost at high duplicate density).
+    if batch.limit(_PRUNE_BATCH_LIMIT + 1).count() <= _PRUNE_BATCH_LIMIT:
+        cands = cands.persist()
+        cand_buckets = [
+            r[0]
+            for r in cands.select(
+                F.pmod("h_id", F.lit(N_BUCKETS)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if len(cand_buckets) < N_BUCKETS:
+            hsh = hsh.where(F.col("bucket").isin(cand_buckets or [-1]))
     hsh = _live(hsh, dead, tomb)
     ver = cands.join(
-        bsets.select("doc_id", F.col("shingles").alias("sa")), "doc_id"
+        bsets.select("doc_id", _sh_i32("sh").alias("sa")), "doc_id"
     ).join(
-        hsh.select(F.col("doc_id").alias("h_id"), F.col("shingles").alias("sb")),
+        hsh.select(F.col("doc_id").alias("h_id"), F.col("sh").alias("sb")),
         "h_id",
     )
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -456,6 +521,58 @@ def probe_dedup_index(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    path: str,
+    segment: str,
+    verdicts_path: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Online-dedup ingest step — the foreachBatch body of a
+    continuously-deduplicated corpus: verdict the micro-batch against
+    the accumulated index (its own segment EXCLUDED, see below), write
+    the verdicts durably, then append only the ``keep``-verdict
+    documents as this batch's segment.  Returns the batch's verdict
+    frame read back from ``verdicts_path``.
+
+    Ordering contract: verdicts are computed against the keepers of
+    all PREVIOUS batches (greedy first-seen-wins, the standard online
+    dedup semantics); duplicates WITHIN one micro-batch are both kept
+    — intra-batch dedup, if wanted, is a plain ``exact_dedup`` on the
+    batch before this call.
+
+    Replay safety (foreachBatch is at-least-once): ``segment`` must be
+    the deterministic batch id.  The probe excludes the batch's own
+    segment — a re-delivered batch must not match the keepers its own
+    previous delivery appended — and both writes are dynamic partition
+    overwrites keyed on the segment, so a replay recomputes identical
+    verdicts and replaces its own partitions.  The verdicts are
+    MATERIALIZED (written, then read back) before the index append:
+    computing them lazily after the append would re-list the index
+    with the batch's own keepers inside."""
+    verdicts = probe_dedup_index(
+        batch, path, threshold=threshold, exclude_segment=segment
+    )
+    (
+        verdicts.withColumn("segment", F.lit(segment))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(verdicts_path)
+    )
+    stored = (
+        batch.sparkSession.read.parquet(verdicts_path)
+        .where(F.col("segment") == segment)
+        .drop("segment")
+    )
+    keepers = batch.join(
+        stored.where(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+    )
+    update_dedup_index(keepers, path, segment=segment)
+    return stored
 
 
 # ---------------------------------------------------------- maintenance

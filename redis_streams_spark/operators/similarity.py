@@ -627,3 +627,118 @@ def brute_force_topk_np(
         # sort at scale and the correctness gate is order-insensitive
         # (round-8 verdict ask #3)
     )
+
+
+def sq8_quantize(emb: DataFrame) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding column:
+    (vec_id, v, norm, q) with ``q[i] = floor((v[i] - min_i) / (max_i -
+    min_i) * 254 + 0.5) - 127`` ∈ [-127, 127] (constant dimensions
+    quantize to 0).
+
+    All arithmetic is IEEE double on identical inputs followed by
+    ``floor`` — bit-identical across engines, so the DuckDB oracle
+    reproduces the quantized codes exactly (no float-rounding seam like
+    half-up vs half-even: the +0.5-then-floor form has one rounding
+    rule).
+
+    Scale shape: the per-dimension min/max is one 64-row aggregate
+    (dimension count, not corpus size); it joins back as a lazy 1-row
+    scalar crossJoin (broadcast at plan time).  Quantized vectors are
+    4x smaller than float32 and 8x smaller than the double form — at
+    100 TB the candidate scan of an SQ8-persisted corpus reads a
+    quarter of the bytes, which is the point of the operator."""
+    e = as_double_vec(emb)
+    dims = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+
+    def _q(x, i):
+        mn = F.element_at("mins", i + F.lit(1))
+        mx = F.element_at("maxs", i + F.lit(1))
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(
+                (F.floor((x - mn) / (mx - mn) * 254.0 + 0.5) - 127).cast("int")
+            )
+        )
+
+    return e.crossJoin(stats).select(
+        *emb.columns, "v", "norm", F.transform("v", _q).alias("q")
+    )
+
+
+def sq8_rerank_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 25, oversample: int = 4
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized dot-product candidate generation
+    (top ``k * oversample`` per query), exact-cosine rerank of the
+    survivors to the final top-k — the standard memory-bound ANN recipe
+    (SQ8 + rerank) with deterministic integer first-stage scoring.
+
+    Scale shape: stage 1 is the brute-force pattern on int8 codes — a
+    broadcast of the quantized queries against streaming candidates —
+    whose per-query window shuffles only (query_id, cand_id, int8_dot);
+    the full-precision vectors are joined back ONLY for the
+    ``k * oversample`` survivors (AQE broadcasts the survivor side).
+    The int8 dot is exact integer arithmetic, so candidate ranks carry
+    no cross-engine float seam; ties cut by cand_id."""
+    qz = sq8_quantize(emb)
+    queries = qz.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = qz.select("vec_id", "q").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    iscore = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.aggregate(
+            F.zip_with("q", "qq", lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("int8_dot"),
+    )
+    aw = W.partitionBy("query_id").orderBy(F.desc("int8_dot"), "cand_id")
+    kept = (
+        iscore.withColumn("arank", F.row_number().over(aw))
+        .where(F.col("arank") <= k * oversample)
+        .drop("arank")
+    )
+    e = as_double_vec(emb).select("vec_id", "v", "norm")
+    rer = (
+        kept.join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(e.select(F.col("vec_id").alias("cand_id"), "v", "norm"), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "int8_dot",
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        # no presentation sort (order-insensitive gate; see brute_force_topk)
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         similarity2,
         similarity3,
         similarity4,
+        similarity5,
         sketch,
         sketch2,
         splits,

@@ -397,13 +397,27 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_PRED = "doc_id % 10 = 7"
 
 
-def _incremental_oracle(src: str = "documents") -> str:
+def _incremental_oracle(src: str = "documents", hashed: bool = False) -> str:
+    """The ingest-dedup oracle body.  ``hashed=True`` verifies on
+    h32-hashed shingle sets (the persisted dedup index's stored form —
+    operators/dupindex.py); bands and everything else are identical."""
     jac = (
         "round(5e-10 + len(list_intersect(sa.s, sb.s)) * 1.0 / "
         "greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6)"
     )
+    # hashed verify: the same h32 the signature stage uses, applied to
+    # the shingle sets themselves (list_distinct: collisions merge)
+    hs_cte = (
+        f""", hs AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> {h32_sql('x')})) AS s
+  FROM sh
+)"""
+        if hashed
+        else ""
+    )
+    verify_rel = "hs" if hashed else "sh"
     return f"""
-WITH {minhash_bands_cte(src)}, ch AS (
+WITH {minhash_bands_cte(src)}{hs_cte}, ch AS (
   SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM {src}
 ), exact AS (
   SELECT b.doc_id, min(h.doc_id) AS exact_match
@@ -418,8 +432,8 @@ WITH {minhash_bands_cte(src)}, ch AS (
 ), near AS (
   SELECT c.doc_id, min(c.h_id) AS near_match
   FROM cands c
-  JOIN sh sa ON sa.doc_id = c.doc_id
-  JOIN sh sb ON sb.doc_id = c.h_id
+  JOIN {verify_rel} sa ON sa.doc_id = c.doc_id
+  JOIN {verify_rel} sb ON sb.doc_id = c.h_id
   WHERE {jac} >= 0.3
   GROUP BY c.doc_id
 )

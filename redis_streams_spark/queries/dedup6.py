@@ -51,17 +51,19 @@ def _history_index(spark: SparkSession, sf_dir: str) -> str:
     "dedup_incremental_indexed",
     shape="bounded",
     tags=("dedup", "lsh", "ingest", "index"),
-    oracle=_incremental_oracle(),
+    oracle=_incremental_oracle(hashed=True),
 )
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_incremental`` answered from the persisted signature
     index: docs with ``doc_id % 10 = 7`` play the incoming batch, the
-    rest were indexed ONCE (digests + LSH band rows + shingle sets);
-    the probe digests/bands the batch fresh and equi-joins the index's
-    signature-sized stores — at 100 TB the per-batch cost follows the
-    batch, not the corpus (the from-scratch form re-tokenizes all of
-    history every call).  Oracle: the same SQL as dedup_incremental —
-    a green row proves build + probe value-identical end-to-end."""
+    rest were indexed ONCE (digests + LSH band rows + hashed shingle
+    sets); the probe digests/bands the batch fresh and equi-joins the
+    index's signature-sized stores — at 100 TB the per-batch cost
+    follows the batch, not the corpus (the from-scratch form
+    re-tokenizes all of history every call).  Oracle: the incremental
+    SQL with h32-hashed Jaccard verification (the index's stored
+    resolution) — a green row proves build + probe value-identical
+    end-to-end."""
     from redis_streams_spark.operators.dupindex import probe_dedup_index
 
     docs = load_table(spark, sf_dir, "documents")
@@ -82,7 +84,7 @@ _REFRESH_CORPUS = f"""corpus AS (
 
 
 def _refresh_oracle() -> str:
-    body = _incremental_oracle("corpus")
+    body = _incremental_oracle("corpus", hashed=True)
     # splice the current-corpus CTE in front of the incremental body's
     # WITH list: history = documents with the %3 slice re-ingested
     # modified and the %1 slice deleted; the %7 batch rows are

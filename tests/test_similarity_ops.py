@@ -106,3 +106,42 @@ def test_rrf_fuse_rejects_missing_or_ambiguous_rank_columns(spark):
         rrf_fuse(ranked, no_rank)
     with pytest.raises(ValueError, match="exactly one \\*_rank"):
         rrf_fuse(two_ranks, ranked)
+
+
+def test_sq8_codes_bounded_and_recall_vs_exact(spark, sf_dir):
+    """SQ8 quantized codes stay in [-127, 127]; the two-stage
+    SQ8+rerank top-10 recovers nearly all of the exact brute-force
+    top-10 (the rerank stage makes ranks of recovered neighbors exact,
+    so misses are ONLY stage-1 candidate-cut losses)."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_quantize,
+        sq8_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq8_quantize(emb).select(
+        F.array_min("q").alias("lo"), F.array_max("q").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).collect()[0]
+    assert codes[0] >= -127 and codes[1] <= 127
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(emb, k=10, query_mod=25).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id): (r.rank, r.cosine)
+        for r in sq8_rerank_topk(emb, k=10, query_mod=25, oversample=4).collect()
+    }
+    recall = len(exact & set(got)) / len(exact)
+    assert recall >= 0.9, f"sq8 recall@10 too low: {recall:.3f}"
+    # recovered neighbors carry the EXACT cosine (rerank is full
+    # precision): spot-check agreement with brute force on overlap
+    exact_scores = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in brute_force_topk(emb, k=10, query_mod=25).collect()
+    }
+    for key in exact & set(got):
+        assert got[key][1] == exact_scores[key]

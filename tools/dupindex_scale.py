@@ -44,7 +44,8 @@ def timed(label: str, fn):
     t0 = time.perf_counter()
     out = fn()
     dt = time.perf_counter() - t0
-    print(f"{label}: {dt:.1f}s", flush=True)
+    # leading newline: survive Spark's \r progress-bar overwrites
+    print(f"\n{label}: {dt:.1f}s", flush=True)
     return out, dt
 
 
@@ -61,7 +62,7 @@ def main() -> None:
 
     _, t_build = timed("index build (one-time)", lambda: build_dedup_index(hist, root, managed=True))
 
-    t_probe = t_scratch = 0.0
+    t_probe = t_scratch = t_warm = 0.0
     for i in range(n_batches):
         batch = docs.where(f"doc_id % 10 = 7 AND doc_id % {n_batches} = {i}")
         _, dt = timed(
@@ -69,11 +70,25 @@ def main() -> None:
             lambda b=batch: probe_dedup_index(b, root).count(),
         )
         t_probe += dt
+        # the from-scratch comparator must actually pay the history
+        # recompute: incremental_dedup persists the history shingle
+        # sets, and Spark's CacheManager matches the identical plan on
+        # the next call — without the clear, batches 2..n would probe
+        # an accidental in-memory signature index (which is the
+        # "warm" line below: real for a long-lived driver, gone on
+        # restart, and not pinnable at 100 TB)
+        spark.catalog.clearCache()
         _, dt = timed(
-            f"probe batch {i} (from scratch)",
+            f"probe batch {i} (from scratch, cold)",
             lambda b=batch: incremental_dedup(hist, b).count(),
         )
         t_scratch += dt
+        _, dt = timed(
+            f"probe batch {i} (from scratch, warm cache)",
+            lambda b=batch: incremental_dedup(hist, b).count(),
+        )
+        t_warm += dt
+        spark.catalog.clearCache()
 
     # maintenance: refresh 2% of history, retire 2%, compact
     mod = hist.where("doc_id % 50 = 3").withColumn(
@@ -91,11 +106,16 @@ def main() -> None:
     timed("compact", lambda: compact_dedup_index(spark, root))
     timed("probe after compact", lambda: probe_dedup_index(batch0, root).count())
 
-    amort = t_build / max(t_scratch / n_batches - t_probe / n_batches, 1e-9)
+    saved = t_scratch / n_batches - t_probe / n_batches
     print(
         f"\nper-batch: indexed {t_probe / n_batches:.1f}s vs "
-        f"from-scratch {t_scratch / n_batches:.1f}s; "
-        f"build amortizes after ~{amort:.1f} batches"
+        f"from-scratch cold {t_scratch / n_batches:.1f}s "
+        f"(warm cache {t_warm / n_batches:.1f}s)"
+        + (
+            f"; build amortizes after ~{t_build / saved:.1f} batches"
+            if saved > 0
+            else "; from-scratch still wins at this corpus size"
+        )
     )
     spark.stop()
 

@@ -85,7 +85,11 @@ def main() -> None:
                 r = r.set_column(idx, r.schema.field(idx), suffixed)
             replicas.append(r)
         big = pa.concat_tables(replicas)
-        pq.write_table(big, f"{out}/{name}.parquet")
+        # small row groups: a single-row-group file serializes Spark's scan
+        # onto one task (splits beyond the row-group start read nothing) —
+        # the K-fold replica of a one-group source would sabotage every
+        # parallelism measurement downstream
+        pq.write_table(big, f"{out}/{name}.parquet", row_group_size=16384)
         print(f"{name}: {t.num_rows} -> {big.num_rows}")
 
 
