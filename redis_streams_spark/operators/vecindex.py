@@ -1,0 +1,548 @@
+"""Persisted vector (IVF) index with the shared segment/MANIFEST
+lifecycle — the third index family on ``operators/segstore.py``'s
+commit-point discipline, beside the inverted index (lexical) and the
+dedup-signature index (ingest dedup).
+
+``build_ivf_index`` (operators/similarity.py) is build-once: adding,
+replacing, or deleting vectors means a full rebuild.  This module makes
+the vector store incrementally maintainable with the SAME contract the
+other two indexes honor: every query over the index is value-identical
+to a from-scratch rebuild over the live corpus (tested, and
+driver-graded against a DuckDB oracle that recomputes centroids and
+search from first principles).
+
+The trick that makes that exact: IVF cells here are keyed by the data's
+``label`` column (the coarse quantizer of ``ivf_topk``), and a label
+centroid is a per-dimension MEAN — an associative aggregate.  So the
+index stores per-segment CENTROID PARTIALS (per-label count + per-dim
+sum vector, a ~n_labels-row frame per segment) and merges them at read
+time, exactly like the inverted index merges df/avgdl partials.  Unlike
+Lucene-style ANN indexes whose coarse quantizer goes stale as segments
+accumulate, the merged centroids ARE the live-corpus centroids after
+any sequence of update/replace/delete — probe selection never drifts
+from the rebuild's.
+
+Layout under ``path`` (managed roots add generations + MANIFEST):
+
+- ``cells/`` — (vec_id, v array<double>, norm, label) partitioned by
+  ``(segment, label)``: the candidate store.  A query's probe list
+  joins on the ``label`` partition column, so partition pruning skips
+  every unprobed cell's files in every segment — scan cost follows
+  n_probe, not the corpus.
+- ``cstats/`` — (label, cnt, csum array<double>) per segment: the
+  centroid partials.  Delete batches write NEGATIVE partials (their
+  vectors' per-dim sums, negated) under their own segment, so the
+  read-time merge nets dead vectors out of the centroids with zero
+  query-path changes.
+- ``tombstones/`` — (vec_id, segment) partitioned by ``tseg``: row
+  deletion, applied as a broadcast anti-join on the cell scan.
+
+Same writer discipline as the siblings: one batch = one segment,
+deterministic names make writes replay-safe dynamic partition
+overwrites, ``replace=True`` tombstones live copies first, compaction
+rewrites into the next generation and flips the MANIFEST last, and
+``drop_vector_segment`` refuses tombstone-entangled segments (their
+negative partials live in other partitions — dropping either side
+would skew the centroids) and routes the caller to compaction.
+
+Reference basis: none (SURVEY §2.2 extension surface — similarity
+search); the lifecycle mirrors Lucene commit points, the partial-merge
+centroid maintenance is the textbook associative-aggregate view of
+mean maintenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from redis_streams_spark.functions.rounding import rnd
+from redis_streams_spark.operators.similarity import as_double_vec, cosine, dot
+from redis_streams_spark.operators.segstore import (
+    drop_dead,
+    next_generation,
+    open_index,
+    read_manifest,
+    write_manifest,
+)
+
+__all__ = [
+    "build_vector_index",
+    "update_vector_index",
+    "delete_from_vector_index",
+    "vector_topk_indexed",
+    "compact_vector_index",
+    "drop_vector_segment",
+    "gc_vector_index",
+    "vector_index_status",
+]
+
+_STORES = ("cells", "cstats")
+
+_SCHEMAS = {
+    "cells": (
+        "vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE, "
+        "label INT, segment STRING"
+    ),
+    "cstats": (
+        "label INT, cnt BIGINT, csum ARRAY<DOUBLE>, segment STRING"
+    ),
+}
+
+
+def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
+    local = p[7:] if p.startswith("file://") else p
+    if "://" not in local and not os.path.isdir(local):
+        return None
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException:
+        return None
+
+
+def _read_store(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
+    df = _read_optional(spark, f"{gpath}/{sub}")
+    if df is None:
+        return spark.createDataFrame([], _SCHEMAS[sub])
+    return df
+
+
+def _tombstones(spark: SparkSession, gpath: str) -> DataFrame | None:
+    t = _read_optional(spark, f"{gpath}/tombstones")
+    return None if t is None else t.select("vec_id", "segment")
+
+
+def _live_cells(
+    spark: SparkSession, gpath: str, dead: list[str]
+) -> DataFrame:
+    cells = drop_dead(_read_store(spark, gpath, "cells"), dead)
+    tomb = _tombstones(spark, gpath)
+    if tomb is None:
+        return cells
+    return cells.join(F.broadcast(tomb), ["vec_id", "segment"], "left_anti")
+
+
+def _cstat_partials(e: DataFrame, segment: str, negate: bool = False) -> DataFrame:
+    """(label, cnt, csum, segment) from a (label, v) frame — the
+    associative half of the per-label centroid mean.  ``negate`` flips
+    the signs (delete batches subtract their vectors)."""
+    sign = -1.0 if negate else 1.0
+    by_dim = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg((F.lit(sign) * F.sum("val")).alias("s"))
+    )
+    per_label = by_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda r: r["s"]
+        ).alias("csum")
+    )
+    cnt = e.groupBy("label").agg(
+        (F.lit(-1 if negate else 1) * F.count(F.lit(1))).cast("long").alias("cnt")
+    )
+    return (
+        per_label.join(cnt, "label")
+        .withColumn("segment", F.lit(segment))
+        .select("label", "cnt", "csum", "segment")
+    )
+
+
+def _merged_centroids(cstats: DataFrame) -> DataFrame:
+    """(label, cv, cnorm) from the live segments' partials: per-dim
+    sums merge by addition, counts by addition, centroid = merged sum /
+    merged count, rounded to 6 dp — the same ``rnd(avg)`` pin the
+    from-scratch ``label_centroids`` applies, so ulp-level summation-
+    order differences between the partial merge and a global average
+    cannot surface (fully-deleted labels net to cnt 0 and drop out)."""
+    dims = cstats.select(
+        "label", "cnt", F.posexplode("csum").alias("dim", "s")
+    )
+    merged = (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+        .where(F.col("n") > 0)
+        .select("label", "dim", rnd(F.col("s") / F.col("n"), 6).alias("cval"))
+    )
+    cent = merged.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda r: r["cval"],
+        ).alias("cv")
+    )
+    return cent.withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+
+
+# ------------------------------------------------------------------ build
+
+
+def _write_segment(
+    emb: DataFrame,
+    gpath: str,
+    mode: str,
+    segment: str,
+    dynamic: bool = False,
+) -> None:
+    owm = ("partitionOverwriteMode", "dynamic" if dynamic else "static")
+    e = as_double_vec(emb).select("vec_id", "label", "v", "norm").persist()
+    try:
+        (
+            e.withColumn("segment", F.lit(segment))
+            .repartition("label")
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment", "label")
+            .parquet(f"{gpath}/cells")
+        )
+        (
+            _cstat_partials(e, segment)
+            .coalesce(1)
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment")
+            .parquet(f"{gpath}/cstats")
+        )
+    finally:
+        e.unpersist()
+
+
+def build_vector_index(
+    emb: DataFrame, path: str, managed: bool = False
+) -> str:
+    """Write the segmented IVF layout for an ``embeddings``-shaped
+    frame (vec_id, embedding array<float>, label) as segment ``base``;
+    returns the generation path.  ``managed=True`` creates the
+    MANIFEST-committed multi-generation root."""
+    if managed:
+        os.makedirs(path, exist_ok=True)
+        gen = "g00000001"
+        gpath = os.path.join(path, gen)
+        _write_segment(emb, gpath, "overwrite", "base")
+        write_manifest(path, gen)
+        return gpath
+    _write_segment(emb, path, "overwrite", "base")
+    return path
+
+
+def update_vector_index(
+    emb_new: DataFrame,
+    path: str,
+    segment: str | None = None,
+    replace: bool = False,
+) -> None:
+    """Add a vector batch as its own segment — cells plus a centroid
+    partial; no existing segment is read or rewritten, and queries
+    immediately rank probes with centroids that INCLUDE the new batch
+    (read-time partial merge), exactly like a rebuild.
+
+    Deterministic ``segment`` names make the write a replay-safe
+    dynamic partition overwrite; ``replace=True`` tombstones live
+    copies of this batch's vec_ids in other segments first (negative
+    centroid partials under ``<segment>.del``), the upsert path for
+    re-embedded documents."""
+    spark = emb_new.sparkSession
+    gpath, dead = open_index(path)
+    seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    if seg in dead or f"{seg}.del" in dead:
+        raise ValueError(
+            f"update_vector_index: segment {seg!r} is dead in the "
+            "MANIFEST — pick a fresh segment name"
+        )
+    if replace:
+        _apply_delete(
+            spark,
+            gpath,
+            emb_new.select("vec_id").distinct(),
+            tseg=f"{seg}.del",
+            exclude_segment=seg,
+            dead=dead,
+        )
+    if segment is not None:
+        _write_segment(emb_new, gpath, "overwrite", seg, dynamic=True)
+    else:
+        _write_segment(emb_new, gpath, "append", seg)
+
+
+# ----------------------------------------------------------------- delete
+
+
+def _apply_delete(
+    spark: SparkSession,
+    gpath: str,
+    ids: DataFrame,
+    tseg: str,
+    exclude_segment: str | None = None,
+    dead: list[str] = (),
+) -> None:
+    """Tombstone the live copies of ``ids`` as delete batch ``tseg``:
+    (vec_id, segment) rows for the cell anti-join plus NEGATIVE
+    centroid partials so the merged centroids lose the dead vectors.
+    Liveness is recomputed against current state minus this batch's
+    own prior output — replay-safe (identical corrections, dynamic-
+    overwrite replaced)."""
+    cells = _read_optional(spark, f"{gpath}/cells")
+    if cells is None:
+        return
+    cells = drop_dead(cells, list(dead))
+    if exclude_segment is not None:
+        cells = cells.where(F.col("segment") != exclude_segment)
+    prev = _read_optional(spark, f"{gpath}/tombstones")
+    if prev is not None:
+        prev = prev.where(F.col("tseg") != tseg).select("vec_id", "segment")
+    live = cells.join(ids.hint("broadcast"), "vec_id", "semi")
+    if prev is not None:
+        live = live.join(F.broadcast(prev), ["vec_id", "segment"], "left_anti")
+    live = live.persist()
+    owm = ("partitionOverwriteMode", "dynamic")
+    try:
+        (
+            live.select("vec_id", "segment")
+            .distinct()
+            .withColumn("tseg", F.lit(tseg))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option(*owm)
+            .partitionBy("tseg")
+            .parquet(f"{gpath}/tombstones")
+        )
+        (
+            _cstat_partials(live, tseg, negate=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option(*owm)
+            .partitionBy("segment")
+            .parquet(f"{gpath}/cstats")
+        )
+    finally:
+        live.unpersist()
+
+
+def delete_from_vector_index(
+    spark: SparkSession,
+    path: str,
+    delete_ids,
+    segment: str | None = None,
+) -> None:
+    """Tombstone vectors without rewriting any segment; queries stop
+    returning them AND the centroids stop reflecting them (negative
+    partials) — value-identical to a rebuild over the survivors."""
+    gpath, dead = open_index(path)
+    if isinstance(delete_ids, DataFrame):
+        ids = delete_ids.select("vec_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], "vec_id BIGINT"
+        )
+    tseg = segment if segment is not None else "del-" + uuid.uuid4().hex[:12]
+    _apply_delete(spark, gpath, ids, tseg=tseg, dead=dead)
+
+
+# ------------------------------------------------------------------ query
+
+
+def vector_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    k: int = 10,
+    query_mod: int = 25,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF n-probe ANN over the managed index: rank labels per query by
+    merged-centroid cosine, search only the n_probe nearest cells —
+    same arithmetic as ``ivf_topk`` / ``ivf_topk_indexed``, with the
+    centroid table derived from the live segments' partials (tiny:
+    n_labels × (n_segments + n_delete_batches) rows) and the candidate
+    scan pruned to probed labels via the broadcast equi-join on the
+    ``label`` partition column."""
+    gpath, dead = open_index(path)
+    cent = _merged_centroids(
+        drop_dead(_read_store(spark, gpath, "cstats"), dead)
+    )
+    cells = _live_cells(spark, gpath, dead)
+    q = cells.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "label",
+        cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cnorm")).alias(
+            "ccos"
+        ),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), "label")
+    probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probe
+    )
+    cands = cells.join(
+        F.broadcast(probes.select("query_id", "qv", "qn", "label")), "label"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("probed_label"),
+        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        # no presentation sort (order-insensitive gate; see ivf_topk)
+    )
+
+
+# ---------------------------------------------------------- maintenance
+
+
+def compact_vector_index(
+    spark: SparkSession, src: str, dst: str | None = None
+) -> str:
+    """Rewrite the multi-segment index as one ``base`` segment: live
+    cells only, centroid partials collapsed to one NET row per label
+    (negative delete partials summed away), no tombstones.  Managed
+    roots compact into the next generation and flip the MANIFEST last
+    (readers drain the old generation); returns the compacted data
+    path."""
+    gpath, dead = open_index(src)
+    man = read_manifest(src)
+    if dst is None:
+        if man is None:
+            raise ValueError(
+                "compact_vector_index: pass dst=... for an unmanaged "
+                "index, or build with managed=True"
+            )
+        gen = next_generation(src)
+        out = os.path.join(src, gen)
+    else:
+        out = dst
+    live = _live_cells(spark, gpath, dead).persist()
+    try:
+        (
+            live.drop("segment")
+            .withColumn("segment", F.lit("base"))
+            .repartition("label")
+            .write.mode("overwrite")
+            .partitionBy("segment", "label")
+            .parquet(f"{out}/cells")
+        )
+        (
+            _cstat_partials(live, "base")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("segment")
+            .parquet(f"{out}/cstats")
+        )
+    finally:
+        live.unpersist()
+    if dst is None:
+        write_manifest(src, gen)
+    return out
+
+
+def _tombstone_entangled(
+    spark: SparkSession, gpath: str, segment: str
+) -> bool:
+    t = _read_optional(spark, f"{gpath}/tombstones")
+    if t is None:
+        return False
+    if segment.endswith(".del") or segment.startswith("del-"):
+        return True  # a delete batch: its negative partials correct others
+    return (
+        t.where(F.col("segment") == segment).limit(1).count() > 0
+        or t.where(F.col("tseg") == segment).limit(1).count() > 0
+    )
+
+
+def drop_vector_segment(spark: SparkSession, path: str, segment: str) -> None:
+    """O(metadata) segment retention: one MANIFEST flip removes the
+    batch's cells AND its centroid partial, so probes and centroids
+    answer exactly like a rebuild without the batch (tested).  Refused
+    for tombstone-entangled segments — a delete batch's negative
+    partials reference vectors in other segments, and dropping either
+    side alone would skew the merged centroids; compaction is the
+    escape hatch (the invindex drop contract)."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(
+            "drop_vector_segment requires a managed index root"
+        )
+    if segment in man["dead"]:
+        return  # idempotent
+    gpath = os.path.join(path, man["generation"])
+    if _tombstone_entangled(spark, gpath, segment):
+        raise ValueError(
+            f"drop_vector_segment: segment {segment!r} is tombstone-"
+            "entangled (delete partials reference it or it is a delete "
+            "batch) — compact_vector_index first"
+        )
+    write_manifest(
+        path, man["generation"], man["dead"] + [segment], man["pending"]
+    )
+
+
+def gc_vector_index(path: str) -> list[str]:
+    """Reclaim swapped-out generations and dead segment partitions of
+    a managed root after the reader-drain window; commits a clean
+    manifest and returns the removed paths."""
+    import re
+    import shutil
+
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError("gc_vector_index requires a managed index root")
+    removed: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if (
+            os.path.isdir(full)
+            and re.fullmatch(r"g\d{8}", entry)
+            and entry != man["generation"]
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    gpath = os.path.join(path, man["generation"])
+    for sub in _STORES + ("tombstones",):
+        for seg in man["dead"] + man["pending"]:
+            part = os.path.join(gpath, sub, f"segment={seg}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                removed.append(part)
+    write_manifest(path, man["generation"], [], [])
+    return removed
+
+
+def vector_index_status(spark: SparkSession, path: str) -> DataFrame:
+    """One row per live segment: (segment, n_vectors, n_tombstoned) —
+    which batches exist and how much deletion churn has accumulated."""
+    gpath, dead = open_index(path)
+    cells = drop_dead(_read_store(spark, gpath, "cells"), dead)
+    tomb = _tombstones(spark, gpath)
+    per = cells.groupBy("segment").agg(F.count(F.lit(1)).alias("n_vectors"))
+    if tomb is None:
+        return per.withColumn(
+            "n_tombstoned", F.lit(0).cast("long")
+        ).orderBy("segment")
+    tper = tomb.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_tombstoned")
+    )
+    return (
+        per.join(tper, "segment", "left")
+        .select(
+            "segment",
+            "n_vectors",
+            F.coalesce("n_tombstoned", F.lit(0)).cast("long").alias(
+                "n_tombstoned"
+            ),
+        )
+        .orderBy("segment")
+    )

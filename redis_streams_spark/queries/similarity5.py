@@ -86,3 +86,91 @@ def sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_rerank_topk(
         emb, k=_K, query_mod=_QUERY_MOD, oversample=_OVERSAMPLE
     ).select("query_id", "cand_id", "int8_dot", "cosine", "rank")
+
+
+def _ann_lifecycle_oracle() -> str:
+    """The managed vector index's lifecycle contract in SQL: centroids
+    and search recomputed from first principles over the CURRENT live
+    corpus (the ``%7=3`` slice re-embedded with its first dimension
+    shifted, the ``%11=5`` slice deleted) — exactly what the index
+    answers after update/replace/delete through read-time-merged
+    centroid partials (operators/vecindex.py)."""
+    from redis_streams_spark.queries.base import REGISTRY
+
+    ivf = REGISTRY["sim_ivf_topk"].oracle
+    corpus_cte = """
+WITH corpus AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 7 = 3
+              THEN list_concat([embedding[1]::DOUBLE + 0.5],
+                               list_transform(embedding[2:], y -> y::DOUBLE))
+              ELSE list_transform(embedding, y -> y::DOUBLE) END AS v0
+  FROM embeddings
+  WHERE NOT (vec_id % 11 = 5)
+),
+e AS (
+  SELECT vec_id, label, v0 AS v,
+         sqrt(list_reduce(list_transform(v0, x -> x * x),
+                          (a, b) -> a + b)) AS norm
+  FROM corpus
+),"""
+    assert ivf.lstrip().startswith("WITH ") and _E_CTE in ivf
+    return ivf.replace("WITH " + _E_CTE + ",", corpus_cte, 1)
+
+
+@register(
+    "sim_ann_lifecycle",
+    shape="bounded",
+    tags=("similarity", "ann", "index", "lifecycle"),
+    oracle=_ann_lifecycle_oracle(),
+)
+def sim_ann_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed vector index's LIFECYCLE through the oracle gate:
+    build on the ``vec_id % 3 != 2`` slice, append the rest as a
+    segment, re-embed the ``%7=3`` slice (first dimension +0.5,
+    ``replace=True``), tombstone-delete ``%11=5``, then run the 2-probe
+    IVF search.  DuckDB replays centroids + search from first
+    principles over the resulting live corpus — a green row proves
+    that segment append, negative centroid partials, and tombstones
+    leave the index answering exactly like a rebuild.
+
+    Mutating query: private throwaway index per call (the
+    dedup_refresh_indexed precedent)."""
+    import atexit
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.operators.vecindex import (
+        build_vector_index,
+        delete_from_vector_index,
+        update_vector_index,
+        vector_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        "/tmp/spark-graft-vecidx",
+        f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_vector_index(emb.where("vec_id % 3 != 2"), path, managed=True)
+    update_vector_index(emb.where("vec_id % 3 = 2"), path, segment="u1")
+    mod = emb.where("vec_id % 7 = 3").withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.5)).otherwise(
+                x.cast("double")
+            ),
+        ),
+    )
+    update_vector_index(mod, path, segment="r1", replace=True)
+    delete_from_vector_index(
+        spark, path, emb.where("vec_id % 11 = 5").select("vec_id"), segment="d1"
+    )
+    return vector_topk_indexed(spark, path, k=10, query_mod=25, n_probe=2).select(
+        "query_id", "cand_id", "probed_label", "cosine", "rank"
+    )
