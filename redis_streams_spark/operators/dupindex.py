@@ -89,6 +89,8 @@ from redis_streams_spark.operators.dedup import (
 )
 from redis_streams_spark.operators.segstore import (
     drop_dead,
+    drop_segment_metadata,
+    gc_generations,
     next_generation,
     open_index,
     read_manifest,
@@ -632,47 +634,14 @@ def drop_dedup_segment(spark: SparkSession, path: str, segment: str) -> None:
     harmless no-op, and dropping a replace-batch leaves its
     explicitly-killed older copies dead — the right retention
     semantics (a replaced document was superseded, not resurrected)."""
-    man = read_manifest(path)
-    if man is None:
-        raise ValueError(
-            "drop_dedup_segment requires a managed index root (build "
-            "with managed=True)"
-        )
-    if segment in man["dead"]:
-        return  # idempotent
-    write_manifest(path, man["generation"], man["dead"] + [segment], man["pending"])
+    drop_segment_metadata(path, segment)
 
 
 def gc_dedup_index(path: str) -> list[str]:
-    """Reclaim unreferenced storage of a managed root: generation
-    directories other than the current one, and the current
-    generation's dead segment partitions.  Run after the reader-drain
-    window; returns the removed paths and commits a clean manifest."""
-    import re
-    import shutil
-
-    man = read_manifest(path)
-    if man is None:
-        raise ValueError("gc_dedup_index requires a managed index root")
-    removed: list[str] = []
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if (
-            os.path.isdir(full)
-            and re.fullmatch(r"g\d{8}", entry)
-            and entry != man["generation"]
-        ):
-            shutil.rmtree(full)
-            removed.append(full)
-    gpath = os.path.join(path, man["generation"])
-    for sub in _STORES + ("tombstones",):
-        for seg in man["dead"] + man["pending"]:
-            part = os.path.join(gpath, sub, f"segment={seg}")
-            if os.path.isdir(part):
-                shutil.rmtree(part)
-                removed.append(part)
-    write_manifest(path, man["generation"], [], [])
-    return removed
+    """Reclaim unreferenced storage of a managed root (generic
+    segstore gc over this index's stores + tombstones); run after the
+    reader-drain window."""
+    return gc_generations(path, _STORES + ("tombstones",))
 
 
 def dedup_index_status(spark: SparkSession, path: str) -> DataFrame:

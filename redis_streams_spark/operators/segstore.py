@@ -114,3 +114,61 @@ def next_generation(path: str) -> str:
     cur = os.path.basename(resolve_index_path(path))
     n = int(cur[1:]) if cur.startswith("g") and cur[1:].isdigit() else 0
     return f"g{n + 1:08d}"
+
+
+def require_managed(path: str, op: str) -> dict:
+    """Manifest of a managed root, or a descriptive error naming the
+    maintenance op that needs one."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"{op} requires a managed index root (build with "
+            "managed=True)"
+        )
+    return man
+
+
+def drop_segment_metadata(path: str, segment: str) -> None:
+    """The generic O(metadata) retention commit: mark ``segment`` dead
+    in the MANIFEST — one atomic pointer flip, no data read or
+    written.  Callers enforce their own entanglement policy FIRST
+    (the inverted/vector indexes refuse tombstone-entangled segments;
+    the dedup index has none to refuse)."""
+    man = require_managed(path, "drop_segment")
+    if segment in man["dead"]:
+        return  # idempotent
+    write_manifest(
+        path, man["generation"], man["dead"] + [segment], man["pending"]
+    )
+
+
+def gc_generations(path: str, stores: tuple[str, ...]) -> list[str]:
+    """Generic storage reclamation for a managed root: remove
+    generation directories other than the live one, and the live
+    generation's dead/pending segment partitions under each store
+    subtree.  Driver-side filesystem walk (local/HDFS seam); run after
+    the reader-drain window.  Returns removed paths and commits a
+    clean manifest."""
+    import re
+    import shutil
+
+    man = require_managed(path, "gc")
+    removed: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if (
+            os.path.isdir(full)
+            and re.fullmatch(r"g\d{8}", entry)
+            and entry != man["generation"]
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    gpath = os.path.join(path, man["generation"])
+    for sub in stores:
+        for seg in man["dead"] + man["pending"]:
+            part = os.path.join(gpath, sub, f"segment={seg}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                removed.append(part)
+    write_manifest(path, man["generation"], [], [])
+    return removed

@@ -66,9 +66,12 @@ from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.operators.similarity import as_double_vec, cosine, dot
 from redis_streams_spark.operators.segstore import (
     drop_dead,
+    drop_segment_metadata,
+    gc_generations,
     next_generation,
     open_index,
     read_manifest,
+    require_managed,
     write_manifest,
 )
 
@@ -471,11 +474,7 @@ def drop_vector_segment(spark: SparkSession, path: str, segment: str) -> None:
     partials reference vectors in other segments, and dropping either
     side alone would skew the merged centroids; compaction is the
     escape hatch (the invindex drop contract)."""
-    man = read_manifest(path)
-    if man is None:
-        raise ValueError(
-            "drop_vector_segment requires a managed index root"
-        )
+    man = require_managed(path, "drop_vector_segment")
     if segment in man["dead"]:
         return  # idempotent
     gpath = os.path.join(path, man["generation"])
@@ -485,40 +484,14 @@ def drop_vector_segment(spark: SparkSession, path: str, segment: str) -> None:
             "entangled (delete partials reference it or it is a delete "
             "batch) — compact_vector_index first"
         )
-    write_manifest(
-        path, man["generation"], man["dead"] + [segment], man["pending"]
-    )
+    drop_segment_metadata(path, segment)
 
 
 def gc_vector_index(path: str) -> list[str]:
     """Reclaim swapped-out generations and dead segment partitions of
-    a managed root after the reader-drain window; commits a clean
-    manifest and returns the removed paths."""
-    import re
-    import shutil
-
-    man = read_manifest(path)
-    if man is None:
-        raise ValueError("gc_vector_index requires a managed index root")
-    removed: list[str] = []
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if (
-            os.path.isdir(full)
-            and re.fullmatch(r"g\d{8}", entry)
-            and entry != man["generation"]
-        ):
-            shutil.rmtree(full)
-            removed.append(full)
-    gpath = os.path.join(path, man["generation"])
-    for sub in _STORES + ("tombstones",):
-        for seg in man["dead"] + man["pending"]:
-            part = os.path.join(gpath, sub, f"segment={seg}")
-            if os.path.isdir(part):
-                shutil.rmtree(part)
-                removed.append(part)
-    write_manifest(path, man["generation"], [], [])
-    return removed
+    a managed root (generic segstore gc); run after the reader-drain
+    window."""
+    return gc_generations(path, _STORES + ("tombstones",))
 
 
 def vector_index_status(spark: SparkSession, path: str) -> DataFrame:
