@@ -78,7 +78,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from redis_streams_spark.functions.hashing import h32
 from redis_streams_spark.functions.rounding import rnd
@@ -94,6 +93,8 @@ from redis_streams_spark.operators.segstore import (
     next_generation,
     open_index,
     read_manifest,
+    read_optional as _read_optional,
+    require_managed,
     write_manifest,
 )
 
@@ -162,17 +163,6 @@ def _read_meta(path: str) -> int:
         return int(json.load(fh)["n"])
 
 
-def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
-    """Read a parquet tree that may not exist yet (empty index, no
-    tombstones) — driver-side existence probe for local paths, with
-    the AnalysisException fallback for remote schemes."""
-    local = p[7:] if p.startswith("file://") else p
-    if "://" not in local and not os.path.isdir(local):
-        return None
-    try:
-        return spark.read.parquet(p)
-    except AnalysisException:
-        return None
 
 
 def _read_store(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
@@ -417,6 +407,20 @@ def probe_dedup_index(
     threshold: float = 0.3,
     exclude_segment: str | None = None,
 ) -> DataFrame:
+    """See :func:`_probe_frames`; the persisted intermediates back the
+    LAZY result and stay cached for its lifetime (the shared-stage
+    persist convention of minhash_lsh_pairs).  Callers that fully
+    materialize the verdicts and loop — the streaming ingest path —
+    use :func:`dedup_ingest_batch`, which unpersists them per batch."""
+    return _probe_frames(batch, path, threshold, exclude_segment)[0]
+
+
+def _probe_frames(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.3,
+    exclude_segment: str | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
     """Verdict a new document batch against the persisted corpus:
     per batch doc ``exact_dup`` / ``near_dup`` / ``keep`` plus
     ``match_id`` (smallest live matching corpus doc_id, exact match
@@ -458,6 +462,7 @@ def probe_dedup_index(
     )
 
     bsets = hashed_shingle_sets(batch, n).persist()
+    persisted = [bsets]
     hbands = _live(_read_store(spark, gpath, "bands"), dead, tomb)
     cands = (
         band_rows_from_hashes(bsets)
@@ -485,6 +490,7 @@ def probe_dedup_index(
     # dominant probe cost at high duplicate density).
     if batch.limit(_PRUNE_BATCH_LIMIT + 1).count() <= _PRUNE_BATCH_LIMIT:
         cands = cands.persist()
+        persisted.append(cands)
         cand_buckets = [
             r[0]
             for r in cands.select(
@@ -509,7 +515,7 @@ def probe_dedup_index(
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("near_match"))
     )
-    return (
+    out = (
         batch.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -523,6 +529,7 @@ def probe_dedup_index(
         )
         .orderBy("doc_id")
     )
+    return out, persisted
 
 
 def dedup_ingest_batch(
@@ -554,26 +561,33 @@ def dedup_ingest_batch(
     MATERIALIZED (written, then read back) before the index append:
     computing them lazily after the append would re-list the index
     with the batch's own keepers inside."""
-    verdicts = probe_dedup_index(
+    verdicts, persisted = _probe_frames(
         batch, path, threshold=threshold, exclude_segment=segment
     )
-    (
-        verdicts.withColumn("segment", F.lit(segment))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("segment")
-        .parquet(verdicts_path)
-    )
-    stored = (
-        batch.sparkSession.read.parquet(verdicts_path)
-        .where(F.col("segment") == segment)
-        .drop("segment")
-    )
-    keepers = batch.join(
-        stored.where(F.col("verdict") == "keep").select("doc_id"), "doc_id"
-    )
-    update_dedup_index(keepers, path, segment=segment)
+    try:
+        (
+            verdicts.withColumn("segment", F.lit(segment))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("segment")
+            .parquet(verdicts_path)
+        )
+        stored = (
+            batch.sparkSession.read.parquet(verdicts_path)
+            .where(F.col("segment") == segment)
+            .drop("segment")
+        )
+        keepers = batch.join(
+            stored.where(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+        )
+        update_dedup_index(keepers, path, segment=segment)
+    finally:
+        # the verdict write + index update materialized everything the
+        # persisted intermediates back; a long-running foreachBatch
+        # loop must not accumulate cache entries (r11 review finding)
+        for f in persisted:
+            f.unpersist()
     return stored
 
 
@@ -628,12 +642,27 @@ def drop_dedup_segment(spark: SparkSession, path: str, segment: str) -> None:
     Probes stop matching the segment's documents immediately (the
     partition-pruned NOT-IN excludes all three stores' partitions).
 
-    Unlike the inverted index there is no tombstone entanglement to
-    refuse: dupindex tombstones only ever SILENCE rows (no global-stat
-    partials), so a tombstone pointing into a dead segment is a
-    harmless no-op, and dropping a replace-batch leaves its
-    explicitly-killed older copies dead — the right retention
-    semantics (a replaced document was superseded, not resurrected)."""
+    Victim segments never entangle: dupindex tombstones only SILENCE
+    rows (no global-stat partials), so a tombstone pointing into a
+    dead segment is a harmless no-op, and dropping a replace-batch
+    leaves its explicitly-killed older copies dead — the right
+    retention semantics (a replaced document was superseded, not
+    resurrected).  DELETE batches themselves are refused (r11 review
+    finding): the manifest dead-list governs the three stores' segment
+    partitions, not the tombstone tseg partitions, so "dropping" a
+    delete batch would report success while its deletions stayed in
+    force — compaction is the way to retire tombstones."""
+    man = require_managed(path, "drop_dedup_segment")
+    if segment in man["dead"]:
+        return  # idempotent
+    gpath = os.path.join(path, man["generation"])
+    t = _read_optional(spark, f"{gpath}/tombstones")
+    if t is not None and t.where(F.col("tseg") == segment).limit(1).count() > 0:
+        raise ValueError(
+            f"drop_dedup_segment: {segment!r} is a delete batch — its "
+            "tombstones live outside the manifest's segment partitions "
+            "and would stay in force; compact_dedup_index retires them"
+        )
     drop_segment_metadata(path, segment)
 
 
@@ -641,7 +670,11 @@ def gc_dedup_index(path: str) -> list[str]:
     """Reclaim unreferenced storage of a managed root (generic
     segstore gc over this index's stores + tombstones); run after the
     reader-drain window."""
-    return gc_generations(path, _STORES + ("tombstones",))
+    # tombstone trees are partitioned by tseg, not segment, and delete
+    # batches cannot be dropped (see drop_dedup_segment) — dead
+    # tombstone partitions cannot exist, so gc walks only the stores;
+    # old GENERATIONS (with their tombstones) are reclaimed whole
+    return gc_generations(path, _STORES)
 
 
 def dedup_index_status(spark: SparkSession, path: str) -> DataFrame:

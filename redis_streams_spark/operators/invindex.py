@@ -92,7 +92,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from redis_streams_spark.functions.hashing import h32, h32_py
 from redis_streams_spark.functions.rounding import rnd
@@ -280,19 +279,9 @@ def update_inverted_index(
 # ----------------------------------------------------------------- delete
 
 
-def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
-    """Read a parquet tree that may not exist yet (no tombstones were
-    ever written) — driver-side existence probe.  Local paths short-
-    circuit on os.path (keeps the JVM from logging FileNotFound noise
-    on every query of a delete-free index); non-local schemes fall
-    through to the read with the AnalysisException fallback."""
-    local = p[7:] if p.startswith("file://") else p
-    if "://" not in local and not os.path.isdir(local):
-        return None
-    try:
-        return spark.read.parquet(p)
-    except AnalysisException:
-        return None
+from redis_streams_spark.operators.segstore import (  # noqa: E402
+    read_optional as _read_optional,
+)
 
 
 # canonical component schemas — the empty-index fallback (a fully
@@ -509,13 +498,9 @@ def compact_inverted_index(
 
 
 def _require_managed(path: str, op: str) -> dict:
-    man = _read_manifest(path)
-    if man is None:
-        raise ValueError(
-            f"{op}: {path!r} is not a managed index root (no MANIFEST) — "
-            "build with managed=True"
-        )
-    return man
+    from redis_streams_spark.operators.segstore import require_managed
+
+    return require_managed(path, op)
 
 
 def _check_untangled(
@@ -645,37 +630,15 @@ def merge_segments(
 
 
 def gc_index(path: str) -> list[str]:
-    """Reclaim a managed index's unreferenced storage: generation
-    directories other than the current one, and the current
-    generation's dead/pending segment partitions.  Driver-side
-    filesystem walk (the local/HDFS seam; an object store lists
-    prefixes instead).  DESTRUCTIVE for readers still draining those
-    files — run it after the reader-drain window, like dropping any
-    swapped-out generation.  Returns the paths removed; finishes by
-    committing a clean manifest (dead and pending emptied)."""
-    import re
-    import shutil
+    """Reclaim a managed index's unreferenced storage (generic
+    segstore gc over postings/terms/stats): generation directories
+    other than the current one, and the current generation's
+    dead/pending segment partitions.  DESTRUCTIVE for readers still
+    draining those files — run after the reader-drain window.  Returns
+    the removed paths and commits a clean manifest."""
+    from redis_streams_spark.operators.segstore import gc_generations
 
-    man = _require_managed(path, "gc_index")
-    removed: list[str] = []
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if (
-            os.path.isdir(full)
-            and re.fullmatch(r"g\d{8}", entry)
-            and entry != man["generation"]
-        ):
-            shutil.rmtree(full)
-            removed.append(full)
-    gpath = os.path.join(path, man["generation"])
-    for sub in ("postings", "terms", "stats"):
-        for seg in man["dead"] + man["pending"]:
-            part = os.path.join(gpath, sub, f"segment={seg}")
-            if os.path.isdir(part):
-                shutil.rmtree(part)
-                removed.append(part)
-    _write_manifest(path, man["generation"], [], [])
-    return removed
+    return gc_generations(path, ("postings", "terms", "stats"))
 
 
 def index_status(spark: SparkSession, path: str) -> DataFrame:

@@ -27,10 +27,25 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 MANIFEST = "MANIFEST"
+
+
+def read_optional(spark: SparkSession, p: str) -> DataFrame | None:
+    """Read a parquet tree that may not exist yet (empty index, no
+    tombstones) — driver-side existence probe for local paths, with the
+    AnalysisException fallback for remote schemes.  The one copy of the
+    ``file://``-stripping seam an object-store port would extend."""
+    local = p[7:] if p.startswith("file://") else p
+    if "://" not in local and not os.path.isdir(local):
+        return None
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException:
+        return None
 
 
 def read_manifest(path: str) -> dict | None:

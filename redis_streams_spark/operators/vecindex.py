@@ -60,7 +60,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from redis_streams_spark.functions.rounding import rnd
 from redis_streams_spark.operators.similarity import as_double_vec, cosine, dot
@@ -71,6 +70,7 @@ from redis_streams_spark.operators.segstore import (
     next_generation,
     open_index,
     read_manifest,
+    read_optional as _read_optional,
     require_managed,
     write_manifest,
 )
@@ -99,14 +99,6 @@ _SCHEMAS = {
 }
 
 
-def _read_optional(spark: SparkSession, p: str) -> DataFrame | None:
-    local = p[7:] if p.startswith("file://") else p
-    if "://" not in local and not os.path.isdir(local):
-        return None
-    try:
-        return spark.read.parquet(p)
-    except AnalysisException:
-        return None
 
 
 def _read_store(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
@@ -491,7 +483,10 @@ def gc_vector_index(path: str) -> list[str]:
     """Reclaim swapped-out generations and dead segment partitions of
     a managed root (generic segstore gc); run after the reader-drain
     window."""
-    return gc_generations(path, _STORES + ("tombstones",))
+    # tombstone trees are partitioned by tseg, not segment, and delete
+    # batches are refused by drop_vector_segment — dead tombstone
+    # partitions cannot exist; old generations are reclaimed whole
+    return gc_generations(path, _STORES)
 
 
 def vector_index_status(spark: SparkSession, path: str) -> DataFrame:

@@ -323,3 +323,18 @@ def test_hashed_verify_agrees_with_string_verify(spark):
     assert _rows(incremental_dedup(hist, batch, hashed=True)) == _rows(
         incremental_dedup(hist, batch)
     )
+
+
+def test_drop_refuses_delete_batches(spark, tmp_path):
+    """Dropping a DELETE batch must be refused: the manifest dead-list
+    governs store partitions, not tombstone tseg partitions, so the
+    drop would report success while the deletions stayed in force
+    (r11 review finding)."""
+    import pytest
+
+    hist, _ = _split(spark)
+    root = str(tmp_path / "idx")
+    build_dedup_index(hist, root, managed=True)
+    delete_from_dedup_index(spark, root, [11, 21], segment="d1")
+    with pytest.raises(ValueError, match="delete batch"):
+        drop_dedup_segment(spark, root, "d1")

@@ -239,6 +239,8 @@ _BNLJ_OK = {
     "sim_ndcg_mrr",  # broadcast query-set ≠-joins (via brute_force_topk/lsh_topk)
     "sim_rrf_fusion",  # same broadcast query-set ≠-joins (cosine + MIPS rankings)
     "q_benjamini_hochberg",  # 1-row global-moment crossJoin (broadcast scalar)
+    "sim_sq8_rerank",  # 1-row dim-stats crossJoin + broadcast query-set ≠-join
+    "sim_ann_lifecycle",  # broadcast merged-centroid crossJoin (ivf probe rank)
     # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
     # listed above; their r09 prefix-sum rewrite adds only the tiny
     # bucket-offset triangle join, also a broadcast BNLJ)
