@@ -149,3 +149,70 @@ def test_fully_deleted_label_drops_out_of_probes(spark, tmp_path):
     assert _res(vector_topk_indexed(spark, root)) == _res(
         ivf_topk(survivors, k=10, query_mod=25, n_probe=2)
     )
+
+
+def test_streaming_embedding_ingest_matches_batch_build(spark, tmp_path):
+    """The continuously-embedded-corpus shape: vectors arrive on the
+    stream log, each micro-batch appends a segment inside foreachBatch
+    (replay-safe deterministic names), and the resulting index answers
+    exactly like a batch build over the same vectors — probe selection
+    included, since centroid partials merge per read."""
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+    from redis_streams_spark.streaming.windows import project
+
+    emb = _emb(spark).where("vec_id < 400")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    log = StreamLog(str(tmp_path), "vecs")
+    Producer(log, "vecs").add_many(
+        [
+            {
+                "vec_id": r.vec_id,
+                "label": r.label,
+                # the stream log carries flat payloads; ship the vector
+                # as a CSV string and reparse in the sink
+                "emb": ",".join(str(x) for x in r.embedding),
+            }
+            for r in rows
+        ]
+    )
+
+    root = str(tmp_path / "stream_vidx")
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        typed = batch_df.select(
+            "vec_id",
+            "label",
+            F.split("emb", ",").cast("array<float>").alias("embedding"),
+        )
+        update_vector_index(typed, root, segment=f"b{batch_id}")
+
+    src = open_stream(spark, str(tmp_path), "vecs", group="vx", batch_size=150)
+    typed = project(
+        src, {"vec_id": "long", "label": "int", "emb": "string"}
+    ).select("vec_id", "label", "emb")
+    q = (
+        typed.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    st = vector_index_status(spark, root).collect()
+    assert len(st) >= 2  # 400 vecs / batch_size 150
+    assert sum(r.n_vectors for r in st) == emb.count()
+    # round-trip precision: float -> str -> float is exact for repr
+    # strings, so the streamed index must answer EXACTLY like a batch
+    # build over the same vectors
+    batch_root = str(tmp_path / "batch_vidx")
+    build_vector_index(emb, batch_root)
+    assert _res(vector_topk_indexed(spark, root)) == _res(
+        vector_topk_indexed(spark, batch_root)
+    )
