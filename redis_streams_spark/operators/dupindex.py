@@ -110,6 +110,7 @@ __all__ = [
     "drop_dedup_segment",
     "gc_dedup_index",
     "dedup_index_status",
+    "dedup_index_maintenance_advice",
 ]
 
 N_BUCKETS = 64
@@ -675,6 +676,43 @@ def gc_dedup_index(path: str) -> list[str]:
     # tombstone partitions cannot exist, so gc walks only the stores;
     # old GENERATIONS (with their tombstones) are reclaimed whole
     return gc_generations(path, _STORES)
+
+
+def dedup_index_maintenance_advice(
+    spark: SparkSession,
+    path: str,
+    small_frac: float = 0.05,
+    dead_frac: float = 0.1,
+) -> list[str]:
+    """Rule ladder over :func:`dedup_index_status` (the introspection
+    parity of invindex's index_maintenance_advice): recommends
+    compaction when the tombstoned fraction passes ``dead_frac`` or
+    small ingest segments accumulate (dupindex has no tiered merge —
+    compaction is the collapse op), and gc when the manifest carries
+    dead segments.  Returns human-readable recommendations (empty =
+    healthy)."""
+    rows = dedup_index_status(spark, path).collect()
+    total = sum(r.n_docs for r in rows) or 1
+    out: list[str] = []
+    small = [r.segment for r in rows if r.n_docs < small_frac * total]
+    if len(small) >= 3:
+        out.append(
+            f"compact_dedup_index: {len(small)} live segments each hold "
+            f"<{small_frac:.0%} of the corpus ({sorted(small)})"
+        )
+    tombstoned = sum(r.n_tombstoned for r in rows)
+    if tombstoned > dead_frac * total:
+        out.append(
+            f"compact_dedup_index: {tombstoned}/{total} documents "
+            f"tombstoned (>{dead_frac:.0%})"
+        )
+    man = read_manifest(path)
+    if man and (man["dead"] or man["pending"]):
+        out.append(
+            f"gc_dedup_index: {len(man['dead'] + man['pending'])} "
+            "dead/pending segments reclaimable"
+        )
+    return out
 
 
 def dedup_index_status(spark: SparkSession, path: str) -> DataFrame:

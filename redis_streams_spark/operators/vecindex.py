@@ -84,6 +84,7 @@ __all__ = [
     "drop_vector_segment",
     "gc_vector_index",
     "vector_index_status",
+    "vector_index_maintenance_advice",
 ]
 
 _STORES = ("cells", "cstats")
@@ -487,6 +488,41 @@ def gc_vector_index(path: str) -> list[str]:
     # batches are refused by drop_vector_segment — dead tombstone
     # partitions cannot exist; old generations are reclaimed whole
     return gc_generations(path, _STORES)
+
+
+def vector_index_maintenance_advice(
+    spark: SparkSession,
+    path: str,
+    small_frac: float = 0.05,
+    dead_frac: float = 0.1,
+) -> list[str]:
+    """Rule ladder over :func:`vector_index_status`: compaction when
+    the tombstoned fraction passes ``dead_frac`` or small segments
+    accumulate (each extra segment adds a centroid-partial row set and
+    cell file group per label), gc when the manifest carries dead
+    segments.  Empty = healthy."""
+    rows = vector_index_status(spark, path).collect()
+    total = sum(r.n_vectors for r in rows) or 1
+    out: list[str] = []
+    small = [r.segment for r in rows if r.n_vectors < small_frac * total]
+    if len(small) >= 3:
+        out.append(
+            f"compact_vector_index: {len(small)} live segments each "
+            f"hold <{small_frac:.0%} of the corpus ({sorted(small)})"
+        )
+    tombstoned = sum(r.n_tombstoned for r in rows)
+    if tombstoned > dead_frac * total:
+        out.append(
+            f"compact_vector_index: {tombstoned}/{total} vectors "
+            f"tombstoned (>{dead_frac:.0%})"
+        )
+    man = read_manifest(path)
+    if man and (man["dead"] or man["pending"]):
+        out.append(
+            f"gc_vector_index: {len(man['dead'] + man['pending'])} "
+            "dead/pending segments reclaimable"
+        )
+    return out
 
 
 def vector_index_status(spark: SparkSession, path: str) -> DataFrame:

@@ -338,3 +338,24 @@ def test_drop_refuses_delete_batches(spark, tmp_path):
     delete_from_dedup_index(spark, root, [11, 21], segment="d1")
     with pytest.raises(ValueError, match="delete batch"):
         drop_dedup_segment(spark, root, "d1")
+
+
+def test_maintenance_advice_ladder(spark, tmp_path):
+    """Healthy single-segment index → no advice; heavy tombstone churn
+    → compaction advice; manifest dead segments → gc advice."""
+    from redis_streams_spark.operators.dupindex import (
+        dedup_index_maintenance_advice,
+    )
+
+    hist, _ = _split(spark)
+    root = str(tmp_path / "idx")
+    build_dedup_index(hist, root, managed=True)
+    assert dedup_index_maintenance_advice(spark, root) == []
+    heavy = hist.where("doc_id % 5 != 0").select("doc_id")  # 80% deleted
+    delete_from_dedup_index(spark, root, heavy, segment="d1")
+    advice = dedup_index_maintenance_advice(spark, root)
+    assert any("compact_dedup_index" in a and "tombstoned" in a for a in advice)
+    update_dedup_index(hist.limit(5), root, segment="tiny1")
+    drop_dedup_segment(spark, root, "tiny1")
+    advice = dedup_index_maintenance_advice(spark, root)
+    assert any("gc_dedup_index" in a for a in advice)

@@ -216,3 +216,18 @@ def test_streaming_embedding_ingest_matches_batch_build(spark, tmp_path):
     assert _res(vector_topk_indexed(spark, root)) == _res(
         vector_topk_indexed(spark, batch_root)
     )
+
+
+def test_vector_maintenance_advice_ladder(spark, tmp_path):
+    from redis_streams_spark.operators.vecindex import (
+        vector_index_maintenance_advice,
+    )
+
+    emb = _emb(spark)
+    root = str(tmp_path / "vidx")
+    build_vector_index(emb, root, managed=True)
+    assert vector_index_maintenance_advice(spark, root) == []
+    heavy = emb.where("vec_id % 5 != 0").select("vec_id")
+    delete_from_vector_index(spark, root, heavy, segment="d1")
+    advice = vector_index_maintenance_advice(spark, root)
+    assert any("compact_vector_index" in a and "tombstoned" in a for a in advice)
