@@ -75,6 +75,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +106,7 @@ __all__ = [
     "update_dedup_index",
     "delete_from_dedup_index",
     "probe_dedup_index",
+    "probe_dedup_session",
     "dedup_ingest_batch",
     "compact_dedup_index",
     "drop_dedup_segment",
@@ -307,9 +309,15 @@ def update_dedup_index(
     changed document stops it matching its own stale copy.  Replay
     recomputes identical corrections: the delete pass ignores this
     batch's own prior tombstones and its own segment."""
+    from redis_streams_spark.operators.segstore import (
+        check_segment_name,
+        clear_segment_partitions,
+    )
+
     spark = docs_new.sparkSession
     gpath, dead = open_index(path)
     seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    check_segment_name(seg, "update_dedup_index")
     if seg in dead or f"{seg}.del" in dead:
         raise ValueError(
             f"update_dedup_index: segment {seg!r} is dead in the "
@@ -327,6 +335,12 @@ def update_dedup_index(
         )
     n = _read_meta(path)
     if segment is not None:
+        # a named segment may be a replay OR a re-ingest of CHANGED
+        # content; the digest/band buckets derive from content hashes,
+        # so a changed batch writes a DIFFERENT partition set and the
+        # old content's buckets would linger live — clear them first
+        # (r11 advice — see segstore.clear_segment_partitions)
+        clear_segment_partitions(gpath, _STORES, seg)
         _write_segment(docs_new, gpath, "overwrite", seg, n, dynamic=True)
     else:
         _write_segment(docs_new, gpath, "append", seg, n)
@@ -407,13 +421,45 @@ def probe_dedup_index(
     path: str,
     threshold: float = 0.3,
     exclude_segment: str | None = None,
+    batch_count: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
-    """See :func:`_probe_frames`; the persisted intermediates back the
-    LAZY result and stay cached for its lifetime (the shared-stage
-    persist convention of minhash_lsh_pairs).  Callers that fully
-    materialize the verdicts and loop — the streaming ingest path —
-    use :func:`dedup_ingest_batch`, which unpersists them per batch."""
-    return _probe_frames(batch, path, threshold, exclude_segment)[0]
+    """See :func:`_probe_frames`; with ``persist=True`` (default) the
+    persisted intermediates back the LAZY result and stay cached for
+    its lifetime (the shared-stage persist convention of
+    minhash_lsh_pairs).  A long-lived driver issuing REPEATED probes
+    outside the ingest loop (query services, the registered queries)
+    passes ``persist=False`` — the shared stages recompute
+    (batch-sized work) and nothing accumulates in the cache (r11
+    advice) — or scopes the cache with :func:`probe_dedup_session`.
+    Callers that fully materialize the verdicts and loop — the
+    streaming ingest path — use :func:`dedup_ingest_batch`, which
+    unpersists them per batch."""
+    return _probe_frames(
+        batch, path, threshold, exclude_segment, batch_count, persist
+    )[0]
+
+
+@contextmanager
+def probe_dedup_session(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.3,
+    exclude_segment: str | None = None,
+    batch_count: int | None = None,
+):
+    """Scoped probe: yields the verdict frame with the shared-stage
+    caches alive, and unpersists them on exit — the leak-free shape
+    for drivers that probe repeatedly without ingesting (r11 advice).
+    Fully consume the frame (collect/write) INSIDE the block."""
+    out, persisted = _probe_frames(
+        batch, path, threshold, exclude_segment, batch_count
+    )
+    try:
+        yield out
+    finally:
+        for f in persisted:
+            f.unpersist()
 
 
 def _probe_frames(
@@ -421,6 +467,8 @@ def _probe_frames(
     path: str,
     threshold: float = 0.3,
     exclude_segment: str | None = None,
+    batch_count: int | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Verdict a new document batch against the persisted corpus:
     per batch doc ``exact_dup`` / ``near_dup`` / ``keep`` plus
@@ -462,8 +510,11 @@ def _probe_frames(
         .agg(F.min("h_id").alias("exact_match"))
     )
 
-    bsets = hashed_shingle_sets(batch, n).persist()
-    persisted = [bsets]
+    bsets = hashed_shingle_sets(batch, n)
+    persisted: list[DataFrame] = []
+    if persist:
+        bsets = bsets.persist()
+        persisted.append(bsets)
     hbands = _live(_read_store(spark, gpath, "bands"), dead, tomb)
     cands = (
         band_rows_from_hashes(bsets)
@@ -489,9 +540,25 @@ def _probe_frames(
     # batches therefore keep the single-pass pipeline and scan all
     # buckets (measured at 1000x: the persist+collect pass was the
     # dominant probe cost at high duplicate density).
-    if batch.limit(_PRUNE_BATCH_LIMIT + 1).count() <= _PRUNE_BATCH_LIMIT:
-        cands = cands.persist()
-        persisted.append(cands)
+    #
+    # The size gate takes a caller-supplied ``batch_count`` hint when
+    # available; otherwise it counts ``bsets`` (one row per batch doc)
+    # rather than re-evaluating the source — with the persist enabled
+    # that count IS the cache-warming materialization every later
+    # stage reuses, so the sizing job does useful work (r11 advice:
+    # the old ``batch.limit(...).count()`` re-ran the source pipeline
+    # purely to decide, and large batches paid it to take the
+    # non-pruned path).
+    if batch_count is None:
+        batch_count = (
+            bsets.count()
+            if persist
+            else bsets.limit(_PRUNE_BATCH_LIMIT + 1).count()
+        )
+    if batch_count <= _PRUNE_BATCH_LIMIT:
+        if persist:
+            cands = cands.persist()
+            persisted.append(cands)
         cand_buckets = [
             r[0]
             for r in cands.select(
@@ -667,7 +734,7 @@ def drop_dedup_segment(spark: SparkSession, path: str, segment: str) -> None:
     drop_segment_metadata(path, segment)
 
 
-def gc_dedup_index(path: str) -> list[str]:
+def gc_dedup_index(path: str, force: bool = False) -> list[str]:
     """Reclaim unreferenced storage of a managed root (generic
     segstore gc over this index's stores + tombstones); run after the
     reader-drain window."""
@@ -675,7 +742,7 @@ def gc_dedup_index(path: str) -> list[str]:
     # batches cannot be dropped (see drop_dedup_segment) — dead
     # tombstone partitions cannot exist, so gc walks only the stores;
     # old GENERATIONS (with their tombstones) are reclaimed whole
-    return gc_generations(path, _STORES)
+    return gc_generations(path, _STORES, force=force)
 
 
 def dedup_index_maintenance_advice(

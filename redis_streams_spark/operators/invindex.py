@@ -109,6 +109,7 @@ __all__ = [
     "compact_inverted_index",
     "bm25_topk_indexed",
     "bm25_topk_maxscore",
+    "bm25_topk_auto",
     "phrase_match_indexed",
     "resolve_index_path",
 ]
@@ -252,9 +253,15 @@ def update_inverted_index(
     segments: the delete pass ignores this batch's own prior
     tombstones and its own postings segment, so a re-run recomputes
     the same corrections and dynamic-overwrite replaces them."""
+    from redis_streams_spark.operators.segstore import (
+        check_segment_name,
+        clear_segment_partitions,
+    )
+
     spark = docs_new.sparkSession
     gpath, dead = _open_index(path)
     seg = segment if segment is not None else uuid.uuid4().hex[:12]
+    check_segment_name(seg, "update_inverted_index")
     if seg in dead or f"{seg}.del" in dead:
         raise ValueError(
             f"update_inverted_index: segment {seg!r} is dead in the "
@@ -271,6 +278,11 @@ def update_inverted_index(
             dead=dead,
         )
     if segment is not None:
+        # a named segment may be a replay OR a re-ingest of CHANGED
+        # content; clear its old partitions first so stale (segment,
+        # bucket) pairs the new batch does not rewrite cannot linger
+        # (r11 advice — see segstore.clear_segment_partitions)
+        clear_segment_partitions(gpath, ("postings", "terms", "stats"), seg)
         _write_segment(docs_new, gpath, "overwrite", seg, dynamic=True)
     else:
         _write_segment(docs_new, gpath, "append", seg)
@@ -588,6 +600,15 @@ def merge_segments(
     if gone:
         raise ValueError(f"merge_segments: {sorted(gone)} not live")
     _check_untangled(spark, gpath, segments, "merge_segments")
+    from redis_streams_spark.operators.segstore import (
+        acquire_merge_lock,
+        release_merge_lock,
+    )
+
+    # the lock brackets the stage→commit window so a concurrent/cron
+    # gc cannot bulldoze the staged pending segment (r11 advice); a
+    # crash inside the window leaves the lock for gc(force=True)
+    acquire_merge_lock(path, "merge_segments")
     _write_manifest(
         path, man["generation"], man["dead"], man["pending"] + [merged]
     )
@@ -626,19 +647,22 @@ def merge_segments(
         .parquet(f"{gpath}/stats")
     )
     _write_manifest(path, man["generation"], man["dead"] + segments, [])
+    release_merge_lock(path)
     return merged
 
 
-def gc_index(path: str) -> list[str]:
+def gc_index(path: str, force: bool = False) -> list[str]:
     """Reclaim a managed index's unreferenced storage (generic
     segstore gc over postings/terms/stats): generation directories
     other than the current one, and the current generation's
     dead/pending segment partitions.  DESTRUCTIVE for readers still
-    draining those files — run after the reader-drain window.  Returns
-    the removed paths and commits a clean manifest."""
+    draining those files — run after the reader-drain window; refuses
+    while a merge holds the in-flight marker unless ``force=True``
+    (see segstore.gc_generations).  Returns the removed paths and
+    commits a clean manifest."""
     from redis_streams_spark.operators.segstore import gc_generations
 
-    return gc_generations(path, ("postings", "terms", "stats"))
+    return gc_generations(path, ("postings", "terms", "stats"), force=force)
 
 
 def index_status(spark: SparkSession, path: str) -> DataFrame:
@@ -1003,6 +1027,105 @@ def bm25_topk_maxscore(
         "n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl")
     )
     out = _score_topk(matched, dfreq, stats, k)
+    return (out, plan) if return_plan else out
+
+
+def bm25_topk_auto(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    postings_threshold: int = 100_000_000,
+    cut_ratio: float = 0.5,
+    return_plan: bool = False,
+):
+    """Cost-based PER-QUERY routing between exact scoring
+    (``bm25_topk_indexed``) and MaxScore pruning
+    (``bm25_topk_maxscore``) — both value-identical, so routing is
+    purely a physical choice (r11 verdict ask #3).
+
+    SCALE.md locates the crossover: MaxScore pays ~4 extra driver
+    round-trips (metadata collects, seed top-k, candidate pass), which
+    dominate until the scoring shuffle itself is the bottleneck —
+    stopword-class posting lists of ~10⁸ rows.  The router reads the
+    bounded ``terms/`` df metadata ONCE (the same |query-terms|-row
+    collect MaxScore itself pays) and routes each query by the two
+    numbers that crossover is made of:
+
+    - ``matched``   = Σ df(t) over the query's terms — the postings the
+      exact path scores;
+    - ``essential`` = Σ df(t) over the terms a MaxScore plan could NOT
+      skip, estimated statically with the optimistic threshold proxy
+      θ ≈ max-ub (θ never exceeds the best term's single-doc bound, so
+      the estimated skip set is a superset of the real one — an
+      OPTIMISTIC candidate bound, fine for routing because both routes
+      return identical values).
+
+    A query routes to MaxScore iff something is skippable AND
+    ``matched ≥ postings_threshold`` (default: the measured 10⁸
+    crossover) AND ``essential ≤ cut_ratio · matched`` (the pruning
+    must actually pay for the round-trips).  With ``return_plan=True``
+    returns ``(df, plan)`` where plan maps query_id →
+    {route, matched, essential, skippable} for tests/accounting."""
+    import math
+
+    gpath, dead = _open_index(path)
+    all_terms = {t for terms in queries.values() for t in terms}
+    _, tpart, _ = _query_frames(spark, gpath, all_terms, dead)
+    trows = (
+        tpart.where(F.col("tok").isin(sorted(all_terms)))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
+        .collect()
+    )
+    stats_row = _stats_totals(spark, gpath, dead).first()
+    n_docs = stats_row["n"] or 0
+    meta = {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
+    ub = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        * (_K1 + 1.0)
+        * m
+        / (m + _K1 * (1.0 - _B))
+        for t, (d, m) in meta.items()
+    }
+    plan: dict[int, dict] = {}
+    route: dict[int, str] = {}
+    for qid, terms in queries.items():
+        present = [t for t in terms if t in ub]
+        matched = sum(meta[t][0] for t in present)
+        skipped: list[str] = []
+        if present:
+            theta_proxy = max(ub[t] for t in present)
+            acc = 0.0
+            for t in sorted(present, key=ub.get):
+                if acc + ub[t] < theta_proxy:
+                    acc += ub[t]
+                    skipped.append(t)
+                else:
+                    break
+        essential = sum(meta[t][0] for t in present if t not in skipped)
+        use_ms = (
+            bool(skipped)
+            and matched >= postings_threshold
+            and essential <= cut_ratio * matched
+        )
+        route[qid] = "maxscore" if use_ms else "exact"
+        plan[qid] = {
+            "route": route[qid],
+            "matched": matched,
+            "essential": essential,
+            "skippable": list(skipped),
+        }
+    ex = {q: t for q, t in queries.items() if route[q] == "exact"}
+    ms = {q: t for q, t in queries.items() if route[q] == "maxscore"}
+    parts = []
+    if ex:
+        parts.append(bm25_topk_indexed(spark, path, ex, k=k))
+    if ms:
+        parts.append(bm25_topk_maxscore(spark, path, ms, k=k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return (out, plan) if return_plan else out
 
 

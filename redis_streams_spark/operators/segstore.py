@@ -32,6 +32,81 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 MANIFEST = "MANIFEST"
+MERGE_LOCK = "MERGE_IN_PROGRESS"
+
+
+def _local_path(p: str) -> str:
+    """The ``file://``-stripping seam (see :func:`read_optional`) for
+    driver-side filesystem ops on index trees."""
+    return p[7:] if p.startswith("file://") else p
+
+
+def check_segment_name(seg: str, op: str) -> None:
+    """Reject segment names in the delete-batch namespace.  Tombstone
+    batches are stored under ``<segment>.del`` / ``del-<uuid>`` names;
+    an ORDINARY ingest segment wearing such a name would be
+    misclassified by entanglement checks (permanently undroppable with
+    a misleading error — r11 advice), so the namespace is reserved at
+    write time."""
+    if seg.endswith(".del") or seg.startswith("del-"):
+        raise ValueError(
+            f"{op}: segment name {seg!r} is in the reserved delete-batch "
+            "namespace ('*.del' / 'del-*') — pick a different name"
+        )
+
+
+def clear_segment_partitions(
+    gpath: str, stores: tuple[str, ...], segment: str
+) -> list[str]:
+    """Remove an existing segment's partition directories ahead of a
+    named-segment rewrite.  Stores are partitioned by ``(segment,
+    <subkey>)``, and dynamic partition overwrite replaces only the
+    (segment, subkey) pairs PRESENT in the new batch — re-ingesting
+    CHANGED content under an existing live segment name would leave the
+    old content's other subkey partitions alive (r11 advice: probes
+    silently matching superseded rows).  Clearing first makes a named
+    write mean "this batch IS the segment" unconditionally; for an
+    at-least-once REPLAY (identical content) the clear+rewrite is a
+    no-op on the end state.  Crash window: a crash between clear and
+    rewrite loses the segment until the batch is re-delivered — the
+    same at-least-once contract deterministic segment names already
+    assume.  Driver-side filesystem ops (local/HDFS seam).  Returns
+    the removed paths."""
+    import shutil
+
+    removed: list[str] = []
+    for sub in stores:
+        part = os.path.join(_local_path(gpath), sub, f"segment={segment}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+            removed.append(part)
+    return removed
+
+
+def acquire_merge_lock(path: str, op: str) -> None:
+    """Mark a staged-but-uncommitted merge in flight.  ``gc`` refuses
+    to reclaim pending segments while the marker exists — without it,
+    a gc run between a merge's stage flip and commit flip would
+    destroy the staged output AND erase the pending record (r11
+    advice).  Single-writer contract: a pre-existing marker means a
+    crashed merge; the caller decides (gc with force=True cleans
+    up)."""
+    lock = os.path.join(_local_path(path), MERGE_LOCK)
+    if os.path.exists(lock):
+        raise ValueError(
+            f"{op}: a merge is already in flight (or crashed) — "
+            f"{lock} exists; finish/abort it, or reclaim with "
+            "gc(force=True) after verifying no merge is running"
+        )
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write(f"{op} pid={os.getpid()}\n")
+
+
+def release_merge_lock(path: str) -> None:
+    try:
+        os.unlink(os.path.join(_local_path(path), MERGE_LOCK))
+    except FileNotFoundError:
+        pass
 
 
 def read_optional(spark: SparkSession, p: str) -> DataFrame | None:
@@ -157,17 +232,36 @@ def drop_segment_metadata(path: str, segment: str) -> None:
     )
 
 
-def gc_generations(path: str, stores: tuple[str, ...]) -> list[str]:
+def gc_generations(
+    path: str, stores: tuple[str, ...], force: bool = False
+) -> list[str]:
     """Generic storage reclamation for a managed root: remove
     generation directories other than the live one, and the live
     generation's dead/pending segment partitions under each store
     subtree.  Driver-side filesystem walk (local/HDFS seam); run after
     the reader-drain window.  Returns removed paths and commits a
-    clean manifest."""
+    clean manifest.
+
+    Pending segments are normally crashed-merge leftovers, safe to
+    bulldoze — but a merge STAGED AND STILL RUNNING also sits on the
+    pending list, and gc'ing it would destroy the staged output and
+    erase the record.  Merges hold a ``MERGE_IN_PROGRESS`` marker for
+    exactly that window; gc refuses while it exists unless ``force=
+    True`` (crash recovery: verify no merge is running first — the
+    forced gc removes the marker along with the pending partitions)."""
     import re
     import shutil
 
     man = require_managed(path, "gc")
+    lock = os.path.join(_local_path(path), MERGE_LOCK)
+    if os.path.exists(lock):
+        if not force:
+            raise ValueError(
+                f"gc: merge in flight ({lock} exists) — gc would destroy "
+                "its staged pending segments; retry after the merge "
+                "commits, or pass force=True if the merge crashed"
+            )
+        os.unlink(lock)
     removed: list[str] = []
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)

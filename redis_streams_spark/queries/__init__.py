@@ -68,6 +68,7 @@ def _load_all() -> None:
         similarity3,
         similarity4,
         similarity5,
+        similarity6,
         sketch,
         sketch2,
         splits,

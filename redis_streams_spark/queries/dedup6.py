@@ -68,7 +68,13 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.expr(_BATCH_PRED))
-    out = probe_dedup_index(batch, _history_index(spark, sf_dir))
+    # persist=False: registered queries run repeatedly in long-lived
+    # driver sessions (oracle sweeps, bench loops) and must not
+    # accumulate cache entries — the probe's shared stages recompute,
+    # batch-sized work (r11 advice)
+    out = probe_dedup_index(
+        batch, _history_index(spark, sf_dir), persist=False
+    )
     # sentinel -1 for 'keep' rows (see the dedup_incremental oracle
     # comment on nullable-bigint float promotion)
     return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))
@@ -136,5 +142,5 @@ def dedup_refresh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, history.where("doc_id % 10 = 1").select("doc_id"),
         segment="retire",
     )
-    out = probe_dedup_index(batch, path)
+    out = probe_dedup_index(batch, path, persist=False)
     return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))

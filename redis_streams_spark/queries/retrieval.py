@@ -769,3 +769,31 @@ def text_bm25_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, path, _BM25_QUERIES, k=_TOP_K).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "text_bm25_auto",
+    shape="bounded",
+    tags=("text", "retrieval", "bm25", "index", "llm-pipeline"),
+    oracle=_bm25_oracle(_MAXSCORE_VALUES),
+)
+def text_bm25_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based BM25 routing (r11 verdict ask #3): one entry point
+    reads the bounded ``terms/`` df metadata and picks exact vs
+    MaxScore PER QUERY from the SCALE.md crossover inputs (total
+    matched postings vs the static essential-candidate bound).  Run
+    here with ``postings_threshold=1`` so the driver-graded row
+    exercises a genuinely MIXED plan: the rare∧common queries route
+    through MaxScore pruning, the all-common query routes to exact
+    scoring (its residual candidate bound fails the cut-ratio gate —
+    pruning would not pay), and the union must still match the plain
+    exhaustive-BM25 oracle value-for-value — routing is physical, the
+    answer is one.  At production defaults the threshold is the
+    measured 10⁸-posting crossover and everything below routes exact
+    (tests pin both regimes)."""
+    from redis_streams_spark.operators.invindex import bm25_topk_auto
+
+    path = _shared_index(spark, sf_dir)
+    return bm25_topk_auto(
+        spark, path, _MAXSCORE_QUERIES, k=_TOP_K, postings_threshold=1
+    ).orderBy("query_id", "rank")

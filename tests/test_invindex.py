@@ -761,3 +761,57 @@ def test_lifecycle_randomized_walk_matches_rebuild(spark, tmp_path):
             seg_docs = {"base": set(model)}
             entangled = set()
         check(step)
+
+
+def test_bm25_auto_routing_pins_both_routes(spark, tmp_path):
+    """The router is a physical choice only: whatever the thresholds,
+    results equal exact scoring; the plan reports the route per query
+    and the expected regime boundaries (r11 verdict ask #3)."""
+    from redis_streams_spark.operators.invindex import (
+        bm25_topk_auto,
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+    from redis_streams_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path / "idx")
+    build_inverted_index(docs, root)
+    queries = {
+        0: ("dup", "the", "a"),       # rare ∧ common: skippable terms
+        1: ("spark", "stream", "window"),  # all-common: nothing skippable
+        2: ("dup", "vector"),
+    }
+    want = sorted(
+        tuple(r) for r in bm25_topk_indexed(spark, root, queries, k=10).collect()
+    )
+    # production default: corpus far below the 1e8 crossover -> all exact
+    out_d, plan_d = bm25_topk_auto(
+        spark, root, queries, k=10, return_plan=True
+    )
+    assert {q: p["route"] for q, p in plan_d.items()} == {
+        0: "exact", 1: "exact", 2: "exact"
+    }
+    assert sorted(tuple(r) for r in out_d.collect()) == want
+    # forced crossover: prunable queries route maxscore, the all-common
+    # query stays exact (nothing skippable), values identical
+    out_f, plan_f = bm25_topk_auto(
+        spark, root, queries, k=10, postings_threshold=1, return_plan=True
+    )
+    assert plan_f[0]["route"] == "maxscore"
+    assert plan_f[1]["route"] == "exact"
+    assert plan_f[2]["route"] == "maxscore"
+    assert plan_f[0]["skippable"]  # the static estimate found skip terms
+    # the all-common query stays exact NOT because nothing is
+    # statically skippable but because its residual candidate bound
+    # fails the cut-ratio gate — the pruning would not pay
+    assert plan_f[1]["essential"] > 0.5 * plan_f[1]["matched"]
+    assert plan_f[0]["essential"] < plan_f[0]["matched"]
+    assert sorted(tuple(r) for r in out_f.collect()) == want
+    # single-route degenerate batches still work (no union branch)
+    only_ms = bm25_topk_auto(
+        spark, root, {0: ("dup", "the", "a")}, k=10, postings_threshold=1
+    )
+    assert sorted(tuple(r) for r in only_ms.collect()) == [
+        t for t in want if t[0] == 0
+    ]

@@ -1,0 +1,152 @@
+"""Learned k-means codebook on the managed vector index (r11 verdict
+ask #1) and the Arrow/BLAS probed-cell scoring path (ask #2):
+segment-granularity invariance under a frozen codebook, np==hof value
+identity in both quantizer modes, codebook carry-over through
+compaction, and retrain-on-compact equivalence with a fresh build."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from redis_streams_spark.operators.vecindex import (
+    build_vector_index,
+    compact_vector_index,
+    delete_from_vector_index,
+    update_vector_index,
+    vector_index_status,
+    vector_topk_indexed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from redis_streams_spark.session import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def _res(df):
+    return {
+        (r.query_id, r.rank): (r.cand_id, r.probed_label, r.cosine)
+        for r in df.collect()
+    }
+
+
+def test_learned_segment_granularity_invariance(spark, tmp_path):
+    """Under a FROZEN codebook, how the post-build corpus arrives (one
+    append vs many, replace churn) must never change answers: cells are
+    pinned per vector and the centroid partials merge associatively."""
+    emb = _emb(spark)
+    a = str(tmp_path / "a")
+    build_vector_index(
+        emb.where("vec_id % 3 = 0"), a, managed=True, n_cells=8
+    )
+    update_vector_index(emb.where("vec_id % 3 = 1"), a, segment="t1")
+    update_vector_index(emb.where("vec_id % 3 = 2"), a, segment="t2")
+    b = str(tmp_path / "b")
+    build_vector_index(
+        emb.where("vec_id % 3 = 0"), b, managed=True, n_cells=8
+    )
+    update_vector_index(emb.where("vec_id % 3 != 0"), b, segment="all")
+    assert _res(vector_topk_indexed(spark, a)) == _res(
+        vector_topk_indexed(spark, b)
+    )
+    # replay of a named segment keeps counts identical
+    update_vector_index(emb.where("vec_id % 3 = 2"), a, segment="t2")
+    assert _res(vector_topk_indexed(spark, a)) == _res(
+        vector_topk_indexed(spark, b)
+    )
+
+
+def test_np_scoring_value_identity_both_modes(spark, tmp_path):
+    emb = _emb(spark)
+    for mode, kwargs in (("label", {}), ("kmeans", {"n_cells": 8})):
+        root = str(tmp_path / mode)
+        build_vector_index(
+            emb.where("vec_id % 3 != 2"), root, managed=True, **kwargs
+        )
+        update_vector_index(emb.where("vec_id % 3 = 2"), root, segment="u1")
+        delete_from_vector_index(
+            spark, root, emb.where("vec_id % 11 = 5").select("vec_id"),
+            segment="d1",
+        )
+        hof = vector_topk_indexed(spark, root, scoring="hof")
+        np_ = vector_topk_indexed(spark, root, scoring="np")
+        assert _res(hof) == _res(np_), mode
+
+
+def test_compact_carries_codebook_and_preserves_answers(spark, tmp_path):
+    emb = _emb(spark)
+    root = str(tmp_path / "idx")
+    build_vector_index(
+        emb.where("vec_id % 3 != 2"), root, managed=True, n_cells=8
+    )
+    update_vector_index(emb.where("vec_id % 3 = 2"), root, segment="u1")
+    want = _res(vector_topk_indexed(spark, root))
+    out = compact_vector_index(spark, root)
+    assert os.path.isdir(os.path.join(out, "codebook"))
+    assert _res(vector_topk_indexed(spark, root)) == want
+    # the carried codebook still pins appends identically: replaying a
+    # slice as a fresh segment after compaction answers like before
+    delete_from_vector_index(
+        spark, root, emb.where("vec_id % 3 = 2").select("vec_id"),
+        segment="d-slice",
+    )
+    update_vector_index(emb.where("vec_id % 3 = 2"), root, segment="u2")
+    assert _res(vector_topk_indexed(spark, root)) == want
+
+
+def test_retrain_on_compact_equals_fresh_build(spark, tmp_path):
+    """compact(retrain=True, k) must answer exactly like a from-scratch
+    build with n_cells=k over the live corpus — same deterministic
+    seeds (k smallest vec_ids), same Lloyd rounds, same assignments."""
+    emb = _emb(spark)
+    root = str(tmp_path / "idx")
+    build_vector_index(
+        emb.where("vec_id % 3 != 2"), root, managed=True, n_cells=8
+    )
+    update_vector_index(emb.where("vec_id % 3 = 2"), root, segment="u1")
+    delete_from_vector_index(
+        spark, root, emb.where("vec_id % 11 = 5").select("vec_id"),
+        segment="d1",
+    )
+    compact_vector_index(spark, root, retrain=True, n_cells=6)
+    fresh = str(tmp_path / "fresh")
+    build_vector_index(
+        emb.where("vec_id % 11 != 5"), fresh, managed=True, n_cells=6
+    )
+    assert _res(vector_topk_indexed(spark, root)) == _res(
+        vector_topk_indexed(spark, fresh)
+    )
+    # a label index converts via retrain too
+    lab = str(tmp_path / "lab")
+    build_vector_index(emb, lab, managed=True)
+    compact_vector_index(spark, lab, retrain=True, n_cells=6)
+    fresh2 = str(tmp_path / "fresh2")
+    build_vector_index(emb, fresh2, managed=True, n_cells=6)
+    assert _res(vector_topk_indexed(spark, lab)) == _res(
+        vector_topk_indexed(spark, fresh2)
+    )
+
+
+def test_learned_status_and_ncells_decoupled_from_labels(spark, tmp_path):
+    """n_cells is a config knob, not label cardinality: a 4-cell and a
+    16-cell index over the same 10-label data both work, and status
+    reports per-segment counts regardless of quantizer mode."""
+    emb = _emb(spark)
+    n = emb.count()
+    for k in (4, 16):
+        root = str(tmp_path / f"k{k}")
+        build_vector_index(emb, root, managed=True, n_cells=k)
+        got = vector_topk_indexed(spark, root, k=5)
+        assert got.count() > 0
+        cells = {
+            r.probed_label
+            for r in got.select("probed_label").distinct().collect()
+        }
+        assert cells <= set(range(k))
+        st = vector_index_status(spark, root).collect()
+        assert [(r.segment, r.n_vectors) for r in st] == [("base", n)]
