@@ -150,20 +150,26 @@ _SCHEMAS = {
 # ------------------------------------------------------------------- meta
 
 
-def _write_meta(path: str, n: int) -> None:
+def _write_meta(path: str, n: int, shingles: bool = True) -> None:
     with open(os.path.join(path, "META"), "w", encoding="utf-8") as fh:
-        json.dump({"n": n}, fh)
+        json.dump({"n": n, "shingles": shingles}, fh)
         fh.write("\n")
 
 
-def _read_meta(path: str) -> int:
-    """The build's shingle width; defaults to 3 for indexes predating
-    the META file."""
+def _read_meta_dict(path: str) -> dict:
+    """Build config: shingle width ``n`` plus whether the corpus-sized
+    shingle store exists (``shingles``, default True for indexes
+    predating the flag — the byte-budget opt-out of r11 advice #6)."""
     p = os.path.join(path, "META")
     if not os.path.isfile(p):
-        return 3
+        return {"n": 3, "shingles": True}
     with open(p, encoding="utf-8") as fh:
-        return int(json.load(fh)["n"])
+        d = json.load(fh)
+    return {"n": int(d["n"]), "shingles": bool(d.get("shingles", True))}
+
+
+def _read_meta(path: str) -> int:
+    return _read_meta_dict(path)["n"]
 
 
 
@@ -201,6 +207,7 @@ def _write_segment(
     segment: str,
     n: int,
     dynamic: bool = False,
+    store_shingles: bool = True,
 ) -> None:
     """Write one document batch's digest/band/shingle rows as segment
     ``segment``.  One shingle pass feeds both the band build and the
@@ -233,24 +240,29 @@ def _write_segment(
             .partitionBy("segment", "bucket")
             .parquet(f"{gpath}/bands")
         )
-        (
-            sets_.select("doc_id", _sh_i32("sh").alias("sh"))
-            .withColumn(
-                "bucket", F.pmod("doc_id", F.lit(N_BUCKETS)).cast("int")
+        if store_shingles:
+            (
+                sets_.select("doc_id", _sh_i32("sh").alias("sh"))
+                .withColumn(
+                    "bucket", F.pmod("doc_id", F.lit(N_BUCKETS)).cast("int")
+                )
+                .withColumn("segment", F.lit(segment))
+                .repartition("bucket")
+                .write.mode(mode)
+                .option(*owm)
+                .partitionBy("segment", "bucket")
+                .parquet(f"{gpath}/shingles")
             )
-            .withColumn("segment", F.lit(segment))
-            .repartition("bucket")
-            .write.mode(mode)
-            .option(*owm)
-            .partitionBy("segment", "bucket")
-            .parquet(f"{gpath}/shingles")
-        )
     finally:
         sets_.unpersist()
 
 
 def build_dedup_index(
-    docs: DataFrame, path: str, n: int = 3, managed: bool = False
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    managed: bool = False,
+    store_shingles: bool = True,
 ) -> str:
     """Write the dedup-signature layout for a ``documents``-shaped
     frame (doc_id, text) as segment ``base``; returns the generation
@@ -261,16 +273,26 @@ def build_dedup_index(
         os.makedirs(path, exist_ok=True)
         gen = "g00000001"
         gpath = os.path.join(path, gen)
-        _write_segment(docs, gpath, "overwrite", "base", n)
-        _write_meta(path, n)
+        _write_segment(
+            docs, gpath, "overwrite", "base", n,
+            store_shingles=store_shingles,
+        )
+        _write_meta(path, n, shingles=store_shingles)
         write_manifest(path, gen)
         return gpath
-    _write_segment(docs, path, "overwrite", "base", n)
-    _write_meta(path, n)
+    _write_segment(
+        docs, path, "overwrite", "base", n, store_shingles=store_shingles
+    )
+    _write_meta(path, n, shingles=store_shingles)
     return path
 
 
-def init_dedup_index(path: str, n: int = 3, managed: bool = True) -> str:
+def init_dedup_index(
+    path: str,
+    n: int = 3,
+    managed: bool = True,
+    store_shingles: bool = True,
+) -> str:
     """Create an EMPTY index root — the streaming-first bootstrap: a
     corpus built entirely by ``dedup_ingest_batch`` / ``update_dedup_
     index`` segments still gets the manifest lifecycle (compaction,
@@ -278,7 +300,7 @@ def init_dedup_index(path: str, n: int = 3, managed: bool = True) -> str:
     generation path writes should land in (resolved by the ordinary
     maintenance ops, so callers never use it directly)."""
     os.makedirs(path, exist_ok=True)
-    _write_meta(path, n)
+    _write_meta(path, n, shingles=store_shingles)
     if not managed:
         return path
     gen = "g00000001"
@@ -333,7 +355,8 @@ def update_dedup_index(
             exclude_segment=seg,
             dead=dead,
         )
-    n = _read_meta(path)
+    meta = _read_meta_dict(path)
+    n, sh = meta["n"], meta["shingles"]
     if segment is not None:
         # a named segment may be a replay OR a re-ingest of CHANGED
         # content; the digest/band buckets derive from content hashes,
@@ -341,9 +364,12 @@ def update_dedup_index(
         # old content's buckets would linger live — clear them first
         # (r11 advice — see segstore.clear_segment_partitions)
         clear_segment_partitions(gpath, _STORES, seg)
-        _write_segment(docs_new, gpath, "overwrite", seg, n, dynamic=True)
+        _write_segment(
+            docs_new, gpath, "overwrite", seg, n, dynamic=True,
+            store_shingles=sh,
+        )
     else:
-        _write_segment(docs_new, gpath, "append", seg, n)
+        _write_segment(docs_new, gpath, "append", seg, n, store_shingles=sh)
 
 
 # ----------------------------------------------------------------- delete
@@ -423,6 +449,7 @@ def probe_dedup_index(
     exclude_segment: str | None = None,
     batch_count: int | None = None,
     persist: bool = True,
+    verify: str = "auto",
 ) -> DataFrame:
     """See :func:`_probe_frames`; with ``persist=True`` (default) the
     persisted intermediates back the LAZY result and stay cached for
@@ -436,7 +463,8 @@ def probe_dedup_index(
     streaming ingest path — use :func:`dedup_ingest_batch`, which
     unpersists them per batch."""
     return _probe_frames(
-        batch, path, threshold, exclude_segment, batch_count, persist
+        batch, path, threshold, exclude_segment, batch_count, persist,
+        verify,
     )[0]
 
 
@@ -447,13 +475,14 @@ def probe_dedup_session(
     threshold: float = 0.3,
     exclude_segment: str | None = None,
     batch_count: int | None = None,
+    verify: str = "auto",
 ):
     """Scoped probe: yields the verdict frame with the shared-stage
     caches alive, and unpersists them on exit — the leak-free shape
     for drivers that probe repeatedly without ingesting (r11 advice).
     Fully consume the frame (collect/write) INSIDE the block."""
     out, persisted = _probe_frames(
-        batch, path, threshold, exclude_segment, batch_count
+        batch, path, threshold, exclude_segment, batch_count, verify=verify
     )
     try:
         yield out
@@ -469,6 +498,7 @@ def _probe_frames(
     exclude_segment: str | None = None,
     batch_count: int | None = None,
     persist: bool = True,
+    verify: str = "auto",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Verdict a new document batch against the persisted corpus:
     per batch doc ``exact_dup`` / ``near_dup`` / ``keep`` plus
@@ -489,12 +519,39 @@ def _probe_frames(
     ``exclude_segment`` removes one segment from the probed corpus —
     the ingest loop's replay guard: a re-delivered micro-batch must
     not match the keepers its own previous delivery appended (see
-    :func:`dedup_ingest_batch`)."""
+    :func:`dedup_ingest_batch`).
+
+    ``verify`` picks the near-dup confirmation evidence (r11 advice
+    #6 — the shingle store is the index's one corpus-sized store):
+
+    - ``"exact"`` — exact h32-set Jaccard from the ``shingles/``
+      store (the default semantics; requires the store).
+    - ``"minhash"`` — MINHASH-SIGNATURE agreement from the
+      ``bands/`` store alone: a candidate is confirmed when
+      ≥ ceil(LSH_BANDS · threshold^ROWS_PER_BAND) of its bands match
+      (P[band match] = J^rows, so the cutoff is the threshold mapped
+      through the band-collision curve — an integer rule, no float
+      seam).  Noisier (quantified by ``dedup_verify_budget`` /
+      ``dedup_minhash_accuracy``), but the index needs NO shingle
+      store: build with ``store_shingles=False`` to cap index bytes.
+    - ``"auto"`` (default) — ``"exact"`` when the store exists,
+      ``"minhash"`` otherwise."""
     spark = batch.sparkSession
     gpath, dead = open_index(path)
     if exclude_segment is not None:
         dead = list(dead) + [exclude_segment]
-    n = _read_meta(path)
+    meta = _read_meta_dict(path)
+    n = meta["n"]
+    if verify == "auto":
+        verify = "exact" if meta["shingles"] else "minhash"
+    elif verify == "exact" and not meta["shingles"]:
+        raise ValueError(
+            "probe_dedup_index: verify='exact' needs the shingle store, "
+            "but the index was built with store_shingles=False — use "
+            "verify='minhash' (or 'auto')"
+        )
+    elif verify not in ("exact", "minhash"):
+        raise ValueError(f"probe_dedup_index: unknown verify {verify!r}")
     tomb = _tombstones(spark, gpath)
 
     bnorm = batch.select(
@@ -512,21 +569,41 @@ def _probe_frames(
 
     bsets = hashed_shingle_sets(batch, n)
     persisted: list[DataFrame] = []
-    if persist:
+    if persist and verify == "exact":
+        # exact verify reads bsets twice (band build + verify join);
+        # minhash verify reads it once — nothing to share, no persist
         bsets = bsets.persist()
         persisted.append(bsets)
     hbands = _live(_read_store(spark, gpath, "bands"), dead, tomb)
-    cands = (
-        band_rows_from_hashes(bsets)
-        .join(
-            hbands.select(
-                F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        )
-        .select("doc_id", "h_id")
-        .distinct()
+    bjoin = band_rows_from_hashes(bsets).join(
+        hbands.select(
+            F.col("doc_id").alias("h_id"), "band_idx", "band_hash"
+        ),
+        ["band_idx", "band_hash"],
     )
+    if verify == "minhash":
+        # band-agreement confirmation: count matching bands per pair
+        # (each band_idx matches at most once), integer cutoff mapped
+        # from the Jaccard threshold through P[band match] = J^rows —
+        # no shingle scan anywhere in the plan
+        import math
+
+        from redis_streams_spark.functions.hashing import (
+            LSH_BANDS,
+            ROWS_PER_BAND,
+        )
+
+        cutoff = max(1, math.ceil(LSH_BANDS * threshold**ROWS_PER_BAND))
+        near = (
+            bjoin.groupBy("doc_id", "h_id")
+            .agg(F.count(F.lit(1)).alias("n_agree"))
+            .where(F.col("n_agree") >= cutoff)
+            .groupBy("doc_id")
+            .agg(F.min("h_id").alias("near_match"))
+        )
+        out = _verdict_frame(batch, exact, near)
+        return out, persisted
+    cands = bjoin.select("doc_id", "h_id").distinct()
     hsh = _read_store(spark, gpath, "shingles")
     # Candidate-bucket pruning is a SMALL-BATCH optimization: a bounded
     # collect (≤ N_BUCKETS rows) of the candidates' distinct doc_id
@@ -583,7 +660,15 @@ def _probe_frames(
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("near_match"))
     )
-    out = (
+    return _verdict_frame(batch, exact, near), persisted
+
+
+def _verdict_frame(
+    batch: DataFrame, exact: DataFrame, near: DataFrame
+) -> DataFrame:
+    """exact-over-near precedence + min-doc_id match selection — shared
+    by both verify modes."""
+    return (
         batch.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -597,7 +682,6 @@ def _probe_frames(
         )
         .orderBy("doc_id")
     )
-    return out, persisted
 
 
 def dedup_ingest_batch(

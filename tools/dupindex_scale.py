@@ -14,6 +14,12 @@ batch.
 Usage: python tools/dupindex_scale.py [sf_dir] [n_batches]
   (sf_dir defaults to /root/testdata/sf0.1; scale it up first with
    tools/make_scale_data.py for the 100x measurement)
+
+       python tools/dupindex_scale.py [sf_dir] budget
+  the byte-budget comparison (r11 advice #6): exact-verify index
+  (with the corpus-sized shingle store) vs store_shingles=False +
+  minhash band-agreement verification — store bytes, probe wall, and
+  the verdict-flip rate between the two modes on the same batch.
 """
 
 from __future__ import annotations
@@ -49,8 +55,77 @@ def timed(label: str, fn):
     return out, dt
 
 
+def _du(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def budget_mode(sf_dir: str) -> None:
+    spark = get_spark("dupindex-budget")
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where("doc_id % 10 != 7")
+    batch = docs.where("doc_id % 10 = 7")
+    print(f"corpus: {docs.count()} docs, history {hist.count()}, "
+          f"batch {batch.count()}")
+    full = tempfile.mkdtemp(prefix="dupidx-full-")
+    slim = tempfile.mkdtemp(prefix="dupidx-slim-")
+    atexit.register(shutil.rmtree, full, ignore_errors=True)
+    atexit.register(shutil.rmtree, slim, ignore_errors=True)
+    timed("build exact-verify index", lambda: build_dedup_index(hist, full))
+    timed(
+        "build budget index (store_shingles=False)",
+        lambda: build_dedup_index(hist, slim, store_shingles=False),
+    )
+    per_store = {
+        sub: _du(os.path.join(full, sub))
+        for sub in ("digests", "bands", "shingles")
+    }
+    print("\nexact index bytes: "
+          + ", ".join(f"{k}={v / 1e6:.0f}MB" for k, v in per_store.items()))
+    print(f"budget index bytes: {_du(slim) / 1e6:.0f}MB total "
+          f"(vs {_du(full) / 1e6:.0f}MB)")
+    (ex_rows, _) = timed(
+        "probe exact (warm 2nd)",
+        lambda: [
+            probe_dedup_index(batch, full, persist=False).collect(),
+            probe_dedup_index(batch, full, persist=False).collect(),
+        ][-1],
+    )
+    (mh_rows, _) = timed(
+        "probe minhash-verify (warm 2nd)",
+        lambda: [
+            probe_dedup_index(batch, slim, persist=False).collect(),
+            probe_dedup_index(batch, slim, persist=False).collect(),
+        ][-1],
+    )
+    ex = {r.doc_id: (r.verdict, r.match_id) for r in ex_rows}
+    mh = {r.doc_id: (r.verdict, r.match_id) for r in mh_rows}
+    assert ex.keys() == mh.keys()
+    flips = {d for d in ex if ex[d][0] != mh[d][0]}
+    match_moves = {
+        d for d in ex
+        if ex[d][0] == mh[d][0] != "keep" and ex[d][1] != mh[d][1]
+    }
+    n = len(ex)
+    print(f"\nverdicts: {n}; verdict flips {len(flips)} "
+          f"({len(flips) / n:.2%}); same-verdict match_id moves "
+          f"{len(match_moves)} ({len(match_moves) / n:.2%})")
+    from collections import Counter
+
+    dirs = Counter((ex[d][0], mh[d][0]) for d in flips)
+    for (a, b), c in sorted(dirs.items()):
+        print(f"  {a} -> {b}: {c}")
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2 and sys.argv[2] == "budget":
+        budget_mode(sf_dir)
+        return
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("dupindex-scale")
     docs = load_table(spark, sf_dir, "documents")

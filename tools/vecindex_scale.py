@@ -4,7 +4,14 @@ a warm session — the SCALE.md evidence that vector maintenance never
 rewrites corpus-sized state and that probe selection stays exact (the
 centroid merge is a tiny partials aggregate, not a corpus scan).
 
-Usage: python tools/vecindex_scale.py [sf_dir]
+Usage: python tools/vecindex_scale.py [sf_dir] [query_mod] [mode]
+
+mode "lifecycle" (default): the maintenance-cost table.
+mode "cells": the learned-codebook sweep (r11 verdict ask #1 "done"
+criterion) — build with n_cells ∈ {10, 45, 141, 447} (label-parity,
+and ~N^(1/3) / ~sqrt(N)/3 / ~sqrt(N) for the 200k corpus), timing
+train+build, then the SAME fixed query set through both scoring
+paths (HOF vs Arrow/BLAS, ask #2) at each cell count.
 """
 
 from __future__ import annotations
@@ -38,6 +45,37 @@ def timed(label: str, fn):
     return out
 
 
+def cells_sweep(sf_dir: str, qmod: int) -> None:
+    spark = get_spark("vecindex-cells")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    print(f"corpus: {n} vectors, query_mod {qmod} (~{n // qmod} queries)")
+    for n_cells in (10, 45, 141, 447):
+        root = tempfile.mkdtemp(prefix=f"vecidx-k{n_cells}-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        timed(
+            f"n_cells={n_cells}: train+build",
+            lambda r=root, k=n_cells: build_vector_index(
+                emb, r, managed=True, n_cells=k
+            ),
+        )
+        for scoring in ("hof", "np"):
+            # warm once (parquet footer/page cache), then time
+            vector_topk_indexed(
+                spark, root, query_mod=qmod, scoring=scoring
+            ).count()
+            timed(
+                f"n_cells={n_cells}: query x2 ({scoring})",
+                lambda r=root, s_=scoring: [
+                    vector_topk_indexed(
+                        spark, r, query_mod=qmod, scoring=s_
+                    ).count()
+                    for _ in range(2)
+                ],
+            )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # hold the QUERY COUNT constant as the corpus scales (vec_id % mod
@@ -45,6 +83,9 @@ def main() -> None:
     # maintenance + per-query cost, not about scaling the query set
     # 100x along with the corpus
     qmod = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    if len(sys.argv) > 3 and sys.argv[3] == "cells":
+        cells_sweep(sf_dir, qmod)
+        return
     spark = get_spark("vecindex-scale")
     emb = load_table(spark, sf_dir, "embeddings")
     print(f"corpus: {emb.count()} vectors, query_mod {qmod}")
