@@ -11,29 +11,47 @@ to a from-scratch rebuild over the live corpus (tested, and
 driver-graded against a DuckDB oracle that recomputes centroids and
 search from first principles).
 
-The trick that makes that exact: IVF cells here are keyed by the data's
-``label`` column (the coarse quantizer of ``ivf_topk``), and a label
-centroid is a per-dimension MEAN — an associative aggregate.  So the
-index stores per-segment CENTROID PARTIALS (per-label count + per-dim
-sum vector, a ~n_labels-row frame per segment) and merges them at read
-time, exactly like the inverted index merges df/avgdl partials.  Unlike
-Lucene-style ANN indexes whose coarse quantizer goes stale as segments
-accumulate, the merged centroids ARE the live-corpus centroids after
-any sequence of update/replace/delete — probe selection never drifts
-from the rebuild's.
+The trick that makes that exact: an IVF cell's centroid here is a
+per-dimension MEAN over the vectors ASSIGNED to it — an associative
+aggregate.  So the index stores per-segment CENTROID PARTIALS
+(per-cell count + per-dim sum vector, a ~n_cells-row frame per
+segment) and merges them at read time, exactly like the inverted index
+merges df/avgdl partials.  Unlike Lucene-style ANN indexes whose
+coarse quantizer goes stale as segments accumulate, the merged
+centroids ARE the live-corpus cell means after any sequence of
+update/replace/delete — probe selection never drifts from a rebuild
+with the same cell assignments.
+
+Two coarse quantizers (``INDEXMETA`` at the root records which):
+
+- ``label`` (default) — cells are the data's ``label`` column (the
+  quantizer of ``ivf_topk``); zero training, but n_cells is pinned to
+  label cardinality.
+- ``kmeans`` (``build_vector_index(..., n_cells=k)``) — a
+  deterministic Lloyd codebook trained at build time and stored as
+  data (``codebook/`` per generation); every write pins its vectors'
+  cells against the frozen codebook, so the partial-merge proof is
+  unchanged, and n_cells follows the deployment's sizing rule
+  (n_cells ∝ √corpus) instead of the schema.  Staleness is repaired
+  by ``compact_vector_index(retrain=True)`` — retrain + reassign
+  folded into the rewrite compaction already pays for (the Lucene
+  merge-time rebuild).
 
 Layout under ``path`` (managed roots add generations + MANIFEST):
 
 - ``cells/`` — (vec_id, v array<double>, norm, label) partitioned by
-  ``(segment, label)``: the candidate store.  A query's probe list
-  joins on the ``label`` partition column, so partition pruning skips
-  every unprobed cell's files in every segment — scan cost follows
-  n_probe, not the corpus.
+  ``(segment, label)``: the candidate store (in kmeans mode the
+  ``label`` column holds the pinned codebook cell — one name, one
+  shared query path).  A query's probe list joins on the partition
+  column, so partition pruning skips every unprobed cell's files in
+  every segment — scan cost follows n_probe, not the corpus.
 - ``cstats/`` — (label, cnt, csum array<double>) per segment: the
   centroid partials.  Delete batches write NEGATIVE partials (their
   vectors' per-dim sums, negated) under their own segment, so the
   read-time merge nets dead vectors out of the centroids with zero
   query-path changes.
+- ``codebook/`` — (cell, cv, cnorm), kmeans mode only: the frozen
+  quantizer, flipped atomically with the generation that used it.
 - ``tombstones/`` — (vec_id, segment) partitioned by ``tseg``: row
   deletion, applied as a broadcast anti-join on the cell scan.
 
