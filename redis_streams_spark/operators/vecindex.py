@@ -204,21 +204,38 @@ def _train_codebook(e: DataFrame, k: int, iters: int) -> DataFrame:
 
 
 def _assign_cells(
-    e: DataFrame, codebook: DataFrame, keep_v: bool = False
+    e: DataFrame, codebook: DataFrame, keep_v: bool = False, method: str = "np"
 ) -> DataFrame:
-    """Pin each vector to its nearest codebook cell: map-side argmax of
-    the 6dp-rounded cosine over the broadcast codebook (max_by with the
-    lower-cell tiebreak — kmeans_assign's aggregation shape, no per-row
-    sort shuffle)."""
-    scored = e.crossJoin(F.broadcast(codebook)).select(
-        "vec_id",
-        "v",
-        "norm",
-        "cell",
-        cosine(F.col("v"), F.col("norm"), F.col("cv"), F.col("cnorm")).alias(
-            "cos_c"
-        ),
-    )
+    """Pin each vector to its nearest codebook cell — argmax of the
+    6dp-rounded cosine with the lower-cell tiebreak (kmeans_assign's
+    rule).  Two value-identical physical paths (tested equal):
+
+    - ``"hof"`` — crossJoin + interpreted higher-order-function cosine
+      + map-side max_by: pure-engine, k·N interpreted folds.
+    - ``"np"`` (default) — the Arrow/BLAS shape: the codebook (k tiny
+      rows) is collected and broadcast, each Arrow batch computes one
+      V @ Cᵀ matmul and emits only the TIE-SAFE head per vector (every
+      cell within one 6-dp quantum of the raw max — usually exactly
+      one row); the 6-dp rounding and the argmax tie-break then run
+      Spark-side with the same rnd/max_by arithmetic as the HOF path,
+      so numpy's summation order contributes only epsilon-absorbed
+      sub-ulp noise (brute_force_topk_np's determinism argument).
+      This is the k·N stage that dominates codebook training — the
+      measured train-time cut at 100× is in SCALE.md (r12)."""
+    if method == "np":
+        scored = _np_assign_scores(e, codebook)
+    elif method == "hof":
+        scored = e.crossJoin(F.broadcast(codebook)).select(
+            "vec_id",
+            "v",
+            "norm",
+            "cell",
+            cosine(
+                F.col("v"), F.col("norm"), F.col("cv"), F.col("cnorm")
+            ).alias("cos_c"),
+        )
+    else:
+        raise ValueError(f"_assign_cells: unknown method {method!r}")
     best = F.max_by(
         F.struct("v", "norm", "cell"),
         F.struct(F.col("cos_c"), (-F.col("cell")).alias("neg")),
@@ -228,6 +245,47 @@ def _assign_cells(
     if keep_v:
         cols[1:1] = [F.col("b.v").alias("v"), F.col("b.norm").alias("norm")]
     return out.select(*cols)
+
+
+def _np_assign_scores(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, v, norm, cell, cos_c) candidate rows for the assignment
+    argmax, computed as per-batch BLAS matmuls against the broadcast
+    codebook.  Emits every cell within 2e-6 (one 6-dp quantum, doubled
+    for two-sided noise) of a vector's raw max — a superset of the
+    cells its ROUNDED max could name — so the Spark-side max_by sees
+    every contender and the result matches the exhaustive HOF argmax
+    exactly."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    cb_rows = codebook.orderBy("cell").collect()
+    c_ids = np.array([r["cell"] for r in cb_rows], dtype=np.int32)
+    c_mat = np.array([r["cv"] for r in cb_rows], dtype=np.float64)
+    c_norm = np.array([r["cnorm"] for r in cb_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def score(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            if pdf.empty or len(ids) == 0:
+                continue
+            v_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v_norm = pdf["norm"].to_numpy(dtype=np.float64)
+            sims = (v_mat @ mat.T) / np.outer(v_norm, nrm)
+            keep = sims >= (sims.max(axis=1, keepdims=True) - 2e-6)
+            rows, cols = np.nonzero(keep)
+            out = pdf.iloc[rows][["vec_id", "v", "norm"]].copy()
+            out["cell"] = ids[cols]
+            out["cos_c"] = sims[rows, cols]
+            yield out
+
+    raw = e.select("vec_id", "v", "norm").mapInPandas(
+        score,
+        "vec_id bigint, v array<double>, norm double, cell int, "
+        "cos_c double",
+    )
+    return raw.withColumn("cos_c", rnd(F.col("cos_c"), 6))
 
 
 def _read_codebook(spark: SparkSession, gpath: str) -> DataFrame:

@@ -78,7 +78,8 @@ def _codebook_ctes(src: str, k: int, iters: int) -> list[str]:
 
 
 def _learned_search_sql(
-    train_src: str, live_src: str, k: int, iters: int
+    train_src: str, live_src: str, k: int, iters: int,
+    n_cells: int = _N_CELLS,
 ) -> str:
     """probes + search over ``live_src`` with cells pinned against the
     codebook trained on ``train_src``: pinned assignment (argmax vs the
@@ -87,7 +88,7 @@ def _learned_search_sql(
     cos_pin = _cos("l.v", "l.norm", "c.cv", "c.cnorm")
     cos_probe = _cos("q.qv", "q.qn", "c.cv", "c.cnorm")
     cos_cand = _cos("p.qv", "p.qn", "l.v", "l.norm")
-    parts = _codebook_ctes(train_src, _N_CELLS, iters)
+    parts = _codebook_ctes(train_src, n_cells, iters)
     parts.append(
         f"""pinned AS (
   SELECT vec_id, v, norm, cell FROM (
@@ -294,5 +295,75 @@ def sim_ann_learned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_cols(
         vector_topk_indexed(
             spark, path, k=_K, query_mod=_QUERY_MOD, n_probe=_N_PROBE
+        )
+    )
+
+
+_RETRAIN_CELLS = 6
+
+_RETRAIN_ORACLE = (
+    """WITH e0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+live AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x),
+                          (a, b) -> a + b)) AS norm
+  FROM e0 WHERE NOT (vec_id % 11 = 5)
+),
+"""
+    + _learned_search_sql("live", "live", _K, _ITERS, _RETRAIN_CELLS)
+)
+
+
+@register(
+    "sim_ann_learned_retrain",
+    shape="bounded",
+    tags=("similarity", "ann", "index", "kmeans", "lifecycle"),
+    oracle=_RETRAIN_ORACLE,
+)
+def sim_ann_learned_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN-ON-COMPACT through the oracle gate: build the learned
+    index on a slice, append the rest, tombstone-delete ``%11=5``, then
+    ``compact_vector_index(retrain=True, n_cells=6)`` — the staleness
+    repair that retrains the codebook on the LIVE corpus and reassigns
+    every vector inside the rewrite compaction already pays for.
+    DuckDB replays the RETRAINED quantizer from first principles
+    (Lloyd over the live survivors, 6 cells), re-pins assignments, and
+    searches — a green row proves the retrain path equals a fresh
+    build over the live corpus with the new cell count.
+
+    Mutating query: private throwaway index per call."""
+    from redis_streams_spark.operators.vecindex import (
+        build_vector_index,
+        compact_vector_index,
+        delete_from_vector_index,
+        update_vector_index,
+        vector_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path("learned-rt")
+    build_vector_index(
+        emb.where("vec_id % 3 != 2"),
+        path,
+        managed=True,
+        n_cells=_N_CELLS,
+        train_iters=_ITERS,
+    )
+    update_vector_index(emb.where("vec_id % 3 = 2"), path, segment="u1")
+    delete_from_vector_index(
+        spark, path, emb.where("vec_id % 11 = 5").select("vec_id"),
+        segment="d1",
+    )
+    compact_vector_index(
+        spark, path, retrain=True, n_cells=_RETRAIN_CELLS
+    )
+    return _topk_cols(
+        vector_topk_indexed(
+            spark, path, k=_K, query_mod=_QUERY_MOD, n_probe=_N_PROBE,
+            scoring="np",
         )
     )

@@ -241,6 +241,9 @@ _BNLJ_OK = {
     "q_benjamini_hochberg",  # 1-row global-moment crossJoin (broadcast scalar)
     "sim_sq8_rerank",  # 1-row dim-stats crossJoin + broadcast query-set ≠-join
     "sim_ann_lifecycle",  # broadcast merged-centroid crossJoin (ivf probe rank)
+    # -- round 12 --
+    "sim_ann_learned_lifecycle",  # same broadcast merged-centroid crossJoin
+    "text_bm25_auto",  # same 1-row stats crossJoin as its two routes
     # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
     # listed above; their r09 prefix-sum rewrite adds only the tiny
     # bucket-offset triangle join, also a broadcast BNLJ)
@@ -257,6 +260,9 @@ _PYTHON_OK = {
     "mm_jpeg_decode",  # real JPEG encode+decode in mapInPandas (the point)
     "mm_mp4_meta",  # real ISO-BMFF box write+parse in mapInPandas (the point)
     "mm_wav_meta",  # real RIFF/WAVE write+parse in mapInPandas (the point)
+    # -- round 12: the Arrow/BLAS probed-cell kernel IS the point --
+    "sim_ann_learned",  # vector_topk_indexed(scoring="np") per-cell matmul
+    "sim_ann_learned_retrain",  # same np kernel after retrain-on-compact
 }
 
 

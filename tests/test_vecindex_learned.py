@@ -150,3 +150,71 @@ def test_learned_status_and_ncells_decoupled_from_labels(spark, tmp_path):
         assert cells <= set(range(k))
         st = vector_index_status(spark, root).collect()
         assert [(r.segment, r.n_vectors) for r in st] == [("base", n)]
+
+
+def test_streaming_ingest_pins_against_frozen_codebook(spark, tmp_path):
+    """Streaming appends into a LEARNED-codebook index: the bootstrap
+    build trains the quantizer, each micro-batch's vectors are pinned
+    against it inside foreachBatch, and the streamed index answers
+    exactly like the same bootstrap plus ONE batch append of all
+    streamed vectors (granularity invariance, streaming edition)."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+    from redis_streams_spark.streaming.windows import project
+
+    emb = _emb(spark)
+    boot = emb.where("vec_id % 3 = 0")
+    streamed = emb.where("vec_id % 3 != 0")
+    root = str(tmp_path / "stream_kidx")
+    build_vector_index(boot, root, managed=True, n_cells=8)
+
+    rows = streamed.select("vec_id", "embedding", "label").collect()
+    log = StreamLog(str(tmp_path), "vecs")
+    Producer(log, "vecs").add_many(
+        [
+            {
+                "vec_id": r.vec_id,
+                "label": r.label,
+                "emb": ",".join(str(x) for x in r.embedding),
+            }
+            for r in rows
+        ]
+    )
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        typed = batch_df.select(
+            "vec_id",
+            "label",
+            F.split("emb", ",").cast("array<float>").alias("embedding"),
+        )
+        update_vector_index(typed, root, segment=f"b{batch_id}")
+
+    src = open_stream(spark, str(tmp_path), "vecs", group="kx", batch_size=120)
+    typed = project(
+        src, {"vec_id": "long", "label": "int", "emb": "string"}
+    ).select("vec_id", "label", "emb")
+    q = (
+        typed.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    st = vector_index_status(spark, root).collect()
+    assert len(st) >= 3  # bootstrap + >=2 micro-batches
+    assert sum(r.n_vectors for r in st) == emb.count()
+    ref = str(tmp_path / "ref_kidx")
+    build_vector_index(boot, ref, managed=True, n_cells=8)
+    update_vector_index(streamed, ref, segment="all")
+    assert _res(vector_topk_indexed(spark, root)) == _res(
+        vector_topk_indexed(spark, ref)
+    )
