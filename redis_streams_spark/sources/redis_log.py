@@ -409,9 +409,15 @@ class RedisStreamLog:
     def create_group(self, group: str) -> None:
         """Idempotent deliver-from-beginning creation — XGROUP CREATE
         <stream> <group> 0-0 MKSTREAM with BUSYGROUP tolerated
-        (reference common.py:20-41)."""
-        if not self.client.exists(self._group_key(group)):
-            self.save_group(group, self._empty_group())
+        (reference common.py:20-41).
+
+        SET-NX on the group key (not check-then-set): an unlocked
+        exists()-then-write is the same TOCTOU as the file backend's —
+        a racing constructor's empty write could reset a group another
+        consumer has already advanced."""
+        self.client.set(
+            self._group_key(group), json.dumps(self._empty_group()), nx=True
+        )
         self.client.sadd(self._k_groups, group)
 
     def group_state(self, group: str) -> dict:

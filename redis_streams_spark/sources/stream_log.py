@@ -317,9 +317,19 @@ class StreamLog:
     def create_group(self, group: str) -> None:
         """Idempotent group creation from position 0 (= XGROUP CREATE
         <stream> <group> 0-0 MKSTREAM, common.py:20-41: deliver-from-
-        beginning, BUSYGROUP tolerated)."""
+        beginning, BUSYGROUP tolerated).
+
+        The existence check re-runs under the group lock: an unlocked
+        check-then-write is a TOCTOU — with N consumers constructed
+        concurrently on a fresh group, one constructor's delayed empty
+        write could land AFTER another consumer's first claim and reset
+        last_delivered_pos/PEL, re-delivering the head of the stream
+        (caught as an exact-batch-size duplicate burst by
+        test_concurrent_consumers.py once the drain was synchronized)."""
         if not os.path.exists(self._group_path(group)):
-            _atomic_write(self._group_path(group), self._empty_group())
+            with self.group_lock(group):
+                if not os.path.exists(self._group_path(group)):
+                    _atomic_write(self._group_path(group), self._empty_group())
 
     @staticmethod
     def _empty_group() -> dict:

@@ -34,6 +34,7 @@ def test_concurrent_consumers_disjoint(tmp_path, request, backend):
         prod.add({"i": i})
 
     barrier = threading.Barrier(4)
+    claimed = threading.Barrier(4)
 
     def run(cid: str) -> list[str]:
         barrier.wait()  # all consumers contend from the same instant
@@ -43,12 +44,21 @@ def test_concurrent_consumers_disjoint(tmp_path, request, backend):
             "grp",
             consumer_id=cid,
             batch_size=10,
-            max_wait_time_ms=100,
-            poll_time_ms=10,
+            max_wait_time_ms=1000,  # headroom for lock contention under
+            poll_time_ms=10,  # full-suite load; full batches return early
         )
         got: list[str] = []
+        first = True
         while True:
             batch = con.get_items()
+            if first:
+                # every consumer claims one batch before ANY may drain:
+                # with 120 ready messages and batch_size=10 each of the 4
+                # serialized claims gets a disjoint batch, so the spread
+                # assertion below is deterministic (not a timing hope —
+                # under load one thread used to drain everything first)
+                claimed.wait()
+                first = False
             if not batch:
                 break
             for m in batch:
@@ -62,12 +72,7 @@ def test_concurrent_consumers_disjoint(tmp_path, request, backend):
     all_ids = [m for r in results for m in r]
     assert len(all_ids) == n  # nothing lost
     assert len(set(all_ids)) == n  # nothing double-delivered
-    if backend == "file":
-        # the spread assertion is timing-based: file-log IO interleaves
-        # the threads reliably; the zero-latency in-process fake can let
-        # one consumer drain everything before the rest wake, which is
-        # correct (disjointness above is the contract), just not spread
-        assert sum(1 for r in results if r) >= 2  # work actually spread
+    assert sum(1 for r in results if r) == 4  # work actually spread
 
 
 def test_concurrent_producers_no_lost_appends(tmp_path):

@@ -162,7 +162,7 @@ def test_available_now_uncapped(spark, seeded_log, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination(240)  # availableNow terminates on its own; guard only
     assert spark.sql("SELECT count(*) c FROM an_out").collect()[0].c == 23
 
 
@@ -301,7 +301,7 @@ def test_union_of_two_stream_sources(spark, tmp_path):
         .start()
     )
     try:
-        q.awaitTermination(60)
+        q.awaitTermination(240)  # availableNow terminates on its own; guard only
     finally:
         q.stop()
     vals = sorted(
