@@ -42,6 +42,22 @@ def h32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def h60(col: Column | str) -> Column:
+    """Spark column: md5-based unsigned 60-bit hash (first 15 hex
+    digits) — same cross-engine backbone as :func:`h32` with a collision
+    regime fit for corpus-scale keys: 32 bits birthday-collides at ~10^5
+    distinct values (fine for shingle SETS, fatal for a global
+    duplicated-n-gram join), 60 bits at ~10^9.  Stays below 2^63 so
+    BIGINT arithmetic is safe in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL snippet computing the same value as :func:`h60`."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def h32_py(s: str) -> int:
     """Python twin of :func:`h32` (first 8 md5 hex digits as an unsigned
     32-bit int).  The ONE Python-side copy of the cross-engine hash

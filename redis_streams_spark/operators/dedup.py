@@ -20,6 +20,7 @@ from redis_streams_spark.functions.hashing import (
     MINHASH_PRIME,
     ROWS_PER_BAND,
     h32,
+    h60,
 )
 from redis_streams_spark.functions.textfns import char_ngrams, word_shingles, words
 from redis_streams_spark.functions.rounding import rnd
@@ -663,4 +664,155 @@ def incremental_dedup(
             F.coalesce("exact_match", "near_match").alias("match_id"),
         )
         .orderBy("doc_id")
+    )
+
+
+def positioned_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, pos, g): every word n-gram of each document with its
+    1-based start position and 60-bit fingerprint.
+
+    The fingerprint is :func:`h60`, not the gram string: the global
+    duplicated-gram detection below shuffles one row per corpus TOKEN,
+    so the shuffle key must be 8 bytes, and 32 bits would birthday-
+    collide at ~10^5 distinct grams (every collision fabricates a
+    duplicated span); 60 bits holds to ~10^9.  This is the standard
+    fingerprint trade of suffix-array substring dedup reimplementations
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better" — their exact-substring pass; the n-gram fingerprint
+    form is the distributed-engine restatement)."""
+    toks = docs.select("doc_id", words(F.col("text")).alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    # fingerprints materialize as an array in ONE projection and the
+    # explode emits (pos, 8-byte g) rows only: exploding positions first
+    # and slicing after would copy the full token array into every gram
+    # row — O(tokens²) bytes per document, fatal on long docs.  The HOF
+    # lambda runs interpreted (band_rows_from_sets' measured trade) but
+    # does O(tokens·n) work total.
+    gs = toks.where(F.size("w") >= n).select(
+        "doc_id",
+        F.transform(
+            idx, lambda i: h60(F.concat_ws(" ", F.slice(F.col("w"), i, n)))
+        ).alias("gs"),
+    )
+    return gs.select("doc_id", F.posexplode("gs").alias("p0", "g")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "g"
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Substring-level dedup: maximal duplicated token spans per doc —
+    (doc_id, span_start, span_end, span_tokens), positions 1-based
+    inclusive.
+
+    A token position is COVERED when some n-gram starting at it occurs
+    ≥ ``min_count`` times in the whole corpus (within- or cross-doc —
+    Lee et al. 2021 remove any repeated substring, same-document
+    repeats included).  Covered n-gram intervals [pos, pos+n-1] that
+    overlap or touch merge into maximal spans (gaps-and-islands on the
+    sorted starts: a new span starts when the gap to the previous start
+    exceeds n).
+
+    Scale shape: two shuffles on the 8-byte fingerprint (partial-agg
+    count, then the semi-join back), one shuffle on doc_id for the
+    island window — never a shuffle carrying document text.  The
+    duplicated-gram frame is output-sized (true duplicate density),
+    not corpus-sized."""
+    grams = positioned_ngrams(docs, n)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.coalesce(F.col("pos") - F.lag("pos").over(wp), F.lit(n + 1))
+                > n,
+                1,
+            ).otherwise(0)
+        )
+        .over(wp.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+        (F.max("pos") + (n - 1) - F.min("pos") + 1).alias("span_tokens"),
+    ).drop("island")
+
+
+def duplicated_span_profile(
+    docs: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document rollup of :func:`duplicated_spans`: (doc_id,
+    n_spans, dup_tokens, n_tokens, dup_ratio) for every doc holding at
+    least one duplicated span — the triage frame a pipeline filters or
+    trims on (Lee et al. cut the spans; Gopher-style pipelines drop
+    docs past a ratio)."""
+    spans = duplicated_spans(docs, n, min_count)
+    roll = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    ntok = docs.select("doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens"))
+    return roll.join(ntok, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tokens",
+        rnd(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Lee et al. 2021's remedy applied: (doc_id, clean_text) with every
+    duplicated span CUT from the (normalized) token stream — the
+    survivors of :func:`duplicated_spans` joined back out.  Docs with
+    nothing duplicated pass through whole; a doc that is one big
+    duplicated span comes back empty (the dedup policy decision of
+    keeping one canonical copy belongs to the caller — compose with
+    exact_dedup's is_canonical to retain one).
+
+    Scale shape: covered positions explode from the spans frame
+    (duplicate-mass-sized, not corpus-sized), anti-join the token
+    stream on (doc_id, pos), and the per-doc rebuild is one doc_id
+    aggregation (array_sort over collect_list — same bounded-per-doc
+    pattern as the centroid rebuilds)."""
+    spans = duplicated_spans(docs, n, min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    toks = docs.select("doc_id", words(F.col("text")).alias("w"))
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda r: r["tok"],
+            ),
+        ).alias("clean_text")
+    )
+    # docs whose every token was covered drop out of the aggregation;
+    # re-attach them (and untouched docs are already present) so the
+    # output is one row per input doc
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )

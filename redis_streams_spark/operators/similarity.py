@@ -742,3 +742,197 @@ def sq8_rerank_topk(
         .where(F.col("rank") <= k)
         # no presentation sort (order-insensitive gate; see brute_force_topk)
     )
+
+
+# ------------------------------------------------------- product quantization
+
+
+def pq_subvectors(e: DataFrame, m: int) -> DataFrame:
+    """(vec_id, s, sv): each vector split into ``m`` contiguous equal
+    subspaces (dimension count must divide by ``m``; derived from the
+    data so one code path serves any width)."""
+    sub_d = (F.size("v") / m).cast("int")
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("v"), F.col("s") * sub_d + 1, sub_d).alias("sv"),
+    )
+
+
+def _pq_l2(a, b) -> Column:
+    """6dp-rounded squared L2 between two double arrays — PQ's training
+    and assignment metric (FAISS trains PQ codebooks on subvector L2;
+    cosine is wrong here because subvector norms carry no signal)."""
+    return rnd(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, s, sv, code): nearest centroid per subvector — argmin of
+    the 6dp-rounded L2, ties to the lower code (min_by over the
+    (d2, code) tuple, the kmeans_assign shuffle-free shape)."""
+    scored = sub.join(F.broadcast(cent), "s").select(
+        "vec_id",
+        "s",
+        "sv",
+        "code",
+        _pq_l2(F.col("sv"), F.col("cv")).alias("d2"),
+    )
+    best = F.min_by(
+        F.struct("sv", "code"), F.struct("d2", "code")
+    ).alias("b")
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(best)
+        .select("vec_id", "s", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
+    )
+
+
+def pq_train_codebooks(
+    e: DataFrame, m: int = 4, k_sub: int = 8, iters: int = 2
+) -> DataFrame:
+    """Per-subspace PQ codebooks (s, code, cv) via deterministic Lloyd:
+    seeds = the ``k_sub`` smallest vec_ids' subvectors per subspace
+    (codes 0..k_sub-1 in vec_id order), 6dp L2 argmin with lower-code
+    ties, 6dp per-dim rebuild, FIXED ``iters`` rounds — the
+    _train_codebook discipline restated for m subspaces trained
+    SIMULTANEOUSLY: the subspace id is a column, so one distributed
+    Lloyd pass trains all m codebooks (no per-subspace jobs).  The
+    codebook is m·k_sub tiny rows, collected and re-broadcast per round
+    like every Lloyd loop here (doubles round-trip the driver exactly).
+    A code that attracts no subvectors in a round drops out (same as
+    the SQL oracle's GROUP BY).
+
+    Public-knowledge basis: Jégou, Douze, Schmid 2011 ("Product
+    quantization for nearest neighbor search"); the FAISS PQ training
+    default (per-subspace k-means on L2)."""
+    spark = e.sparkSession
+    sub = pq_subvectors(e, m)
+    wseed = W.partitionBy("s").orderBy("vec_id")
+    cent_df = (
+        sub.withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= k_sub)
+        .select("s", (F.col("rn") - 1).cast("int").alias("code"), F.col("sv").alias("cv"))
+    )
+    cent = spark.createDataFrame(
+        cent_df.collect(), "s INT, code INT, cv ARRAY<DOUBLE>"
+    )
+    for _ in range(iters):
+        assign = _pq_assign(sub, cent)
+        by_dim = (
+            assign.select("s", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("s", "code", "dim")
+            .agg(rnd(F.avg("val"), 6).alias("cval"))
+        )
+        rebuilt = by_dim.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda r: r["cval"],
+            ).alias("cv")
+        )
+        cent = spark.createDataFrame(
+            rebuilt.collect(), "s INT, code INT, cv ARRAY<DOUBLE>"
+        )
+    return cent
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 25,
+    oversample: int = 4,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-stage PQ ANN (asymmetric distance computation + exact
+    rerank): vectors compress to ``m`` one-byte codes against learned
+    per-subspace codebooks; each query builds a ``m × k_sub`` lookup
+    table of subspace dot products; a candidate's approximate dot is
+    the SUM of its codes' LUT entries; the top ``k·oversample``
+    candidates per query rerank by exact cosine to the final top-k —
+    IVFADC's scoring half (Jégou et al. 2011) with SQ8-rerank's
+    determinism discipline.
+
+    Determinism: LUT entries quantize to integer micro-units
+    (``floor(dot·1e6 + 0.5)`` — one rounding rule, both engines), so
+    the stage-1 score is an exact integer SUM — associative,
+    summation-order-free, no float seam for the oracle or the shuffle
+    to disturb.  Ties cut by cand_id; rerank is the shared 6dp cosine.
+
+    Scale shape: codes are m bytes vs 8·d vector bytes (256× smaller at
+    d=64 int8-free); stage 1 shuffles (query_id, cand_id, pq_dot)
+    grouped from a codes⋈LUT broadcast join — the LUT is
+    queries·m·k_sub tiny rows; the corpus-sized side streams.  The
+    full-precision vectors join back only for the k·oversample
+    survivors.  (Bulk deployments would fuse the LUT sum into an Arrow
+    kernel per batch — the _np_cell_scores pattern — but the relational
+    form IS the oracle-replayable contract.)"""
+    e = as_double_vec(emb)
+    cent = pq_train_codebooks(e, m, k_sub, iters)
+    codes = _pq_assign(pq_subvectors(e, m), cent).select(
+        "vec_id", "s", "code"
+    )
+    qsub = pq_subvectors(
+        e.where(F.col("vec_id") % query_mod == 0), m
+    ).select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(cent), "s").select(
+        "query_id",
+        "s",
+        "code",
+        F.floor(dot(F.col("qsv"), F.col("cv")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("pd"),
+    )
+    adot = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"])
+            & (codes["code"] == lut["code"])
+            & (codes["vec_id"] != lut["query_id"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("pq_dot"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "pq_dot")
+    )
+    aw = W.partitionBy("query_id").orderBy(F.desc("pq_dot"), "cand_id")
+    kept = (
+        adot.withColumn("ar", F.row_number().over(aw))
+        .where(F.col("ar") <= k * oversample)
+        .drop("ar")
+    )
+    rer = (
+        kept.join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(e.select(F.col("vec_id").alias("cand_id"), "v", "norm"), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "pq_dot",
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        # no presentation sort (order-insensitive gate; see brute_force_topk)
+    )

@@ -609,6 +609,7 @@ def vector_topk_indexed(
     scoring: str = "hof",
     local_margin: int = 3,
     max_queries: int = 65536,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF n-probe ANN over the managed index: rank cells per query by
     merged-centroid cosine, search only the n_probe nearest cells —
@@ -634,7 +635,20 @@ def vector_topk_indexed(
       shuffle carries O(batches × queries × k) rows.  The 6-dp rounding
       happens Spark-side on the raw float64 scores with stored norms on
       both sides — the same two-path determinism argument (and test
-      evidence) as the exact brute-force twin."""
+      evidence) as the exact brute-force twin.
+
+    ``filter_ids`` (one ``vec_id`` column) turns this into FILTERED
+    ANN with PRE-filter semantics: candidates are restricted to the
+    allowed set BEFORE scoring, so the result is the true top-k among
+    allowed vectors — never the post-filter failure mode (score top-k
+    first, filter after, return < k rows).  Queries still come from
+    the full live corpus.  The restriction is a left-semi equi-join on
+    vec_id applied to the probed-cell scan, so it composes with
+    partition pruning (cells prune first, then the semi-join trims
+    rows); a highly selective filter empties probed cells rather than
+    reaching into unprobed ones — raise ``n_probe`` when the filter is
+    sparse (the standard IVF filtered-search tradeoff, e.g. FAISS
+    selector semantics)."""
     gpath, dead = open_index(path)
     cent = _merged_centroids(
         drop_dead(_read_store(spark, gpath, "cstats"), dead)
@@ -658,6 +672,10 @@ def vector_topk_indexed(
     probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probe
     )
+    if filter_ids is not None:
+        cells = cells.join(
+            filter_ids.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     if scoring == "np":
         scored = _np_cell_scores(
             spark, cells, probes, k, local_margin, max_queries

@@ -69,6 +69,7 @@ def _load_all() -> None:
         similarity4,
         similarity5,
         similarity6,
+        similarity7,
         sketch,
         sketch2,
         splits,

@@ -232,3 +232,136 @@ def dedup_budget_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_dedup_index(history, path, store_shingles=False)
     out = probe_dedup_index(batch, path, persist=False)  # auto -> minhash
     return out.withColumn("match_id", F.coalesce("match_id", F.lit(-1)))
+
+
+_SPAN_N = 8
+
+_SPAN_GRAMS_CTE = f"""toks AS (
+  SELECT doc_id, {{words}} AS w FROM documents
+), pos_ AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_N - 1})) AS pos
+  FROM toks WHERE len(w) >= {_SPAN_N}
+), grams AS (
+  SELECT doc_id, pos,
+         {{h60}} AS g
+  FROM pos_
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_N}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits) t
+), spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {_SPAN_N - 1} AS span_end,
+         max(pos) + {_SPAN_N - 1} - min(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+def _span_ctes() -> str:
+    from redis_streams_spark.functions.hashing import h60_sql
+    from redis_streams_spark.functions.textfns import words_sql
+
+    gram = f"array_to_string(w[pos:pos + {_SPAN_N - 1}], ' ')"
+    return _SPAN_GRAMS_CTE.format(words=words_sql("text"), h60=h60_sql(gram))
+
+
+@register(
+    "dedup_substring_spans",
+    shape="per_row",
+    tags=("dedup", "substring"),
+    oracle=f"""
+WITH {_span_ctes()}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2021's exact-substring pass,
+    n-gram-fingerprint form): maximal duplicated token spans — every
+    corpus position starting a word 8-gram that occurs ≥ 2 times
+    anywhere (within- or cross-doc), merged into maximal overlapping/
+    touching spans per doc via gaps-and-islands.  Two shuffles on the
+    8-byte h60 fingerprint (count, semi-join back) + one doc_id window;
+    document text never shuffles.  The h60 width is the collision
+    budget: 32 bits would fabricate duplicated spans at ~10^5 distinct
+    grams, 60 bits holds to ~10^9."""
+    from redis_streams_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=_SPAN_N)
+
+
+@register(
+    "dedup_substring_profile",
+    shape="per_row",
+    tags=("dedup", "substring"),
+    oracle=f"""
+WITH {_span_ctes()}, roll AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(span_tokens)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_spans, r.dup_tokens,
+       len(t.w)::BIGINT AS n_tokens,
+       round(5e-10 + r.dup_tokens / len(t.w)::DOUBLE, 6) AS dup_ratio
+FROM roll r JOIN toks t ON t.doc_id = r.doc_id
+ORDER BY r.doc_id
+""",
+)
+def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span rollup: span count, duplicated
+    token mass, total tokens, and the dup ratio a pipeline trims or
+    filters on (Lee et al. cut the spans from the text; Gopher-style
+    hygiene drops docs past a repetition ratio — this frame feeds
+    either policy)."""
+    from redis_streams_spark.operators.dedup import duplicated_span_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_profile(docs, n=_SPAN_N)
+
+
+@register(
+    "dedup_substring_clean",
+    shape="per_row",
+    tags=("dedup", "substring"),
+    oracle=f"""
+WITH {_span_ctes()}, covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+), pos_tok AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM toks
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos_tok p LEFT JOIN covered c
+    ON c.doc_id = p.doc_id AND c.pos = p.pos
+  WHERE c.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup REMEDY: duplicated spans cut from the
+    normalized token stream, one row per input doc (fully-duplicated
+    docs come back empty — keeping one canonical copy composes with
+    exact dedup's is_canonical).  Covered positions are
+    duplicate-mass-sized, the anti-join keys on (doc_id, pos), and the
+    per-doc rebuild is one bounded aggregation — document text still
+    never shuffles whole."""
+    from redis_streams_spark.operators.dedup import strip_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, n=_SPAN_N)

@@ -79,12 +79,15 @@ def _codebook_ctes(src: str, k: int, iters: int) -> list[str]:
 
 def _learned_search_sql(
     train_src: str, live_src: str, k: int, iters: int,
-    n_cells: int = _N_CELLS,
+    n_cells: int = _N_CELLS, cand_filter: str = "",
 ) -> str:
     """probes + search over ``live_src`` with cells pinned against the
     codebook trained on ``train_src``: pinned assignment (argmax vs the
     frozen codebook), live per-cell means (what the index's merged
-    centroid partials reconstruct), probe rank, n-probe top-k."""
+    centroid partials reconstruct), probe rank, n-probe top-k.
+    ``cand_filter`` (an AND-able predicate over alias ``l``) restricts
+    the CANDIDATE side only — pre-filter semantics: top-k among allowed
+    vectors, queries and probe selection untouched."""
     cos_pin = _cos("l.v", "l.norm", "c.cv", "c.cnorm")
     cos_probe = _cos("q.qv", "q.qn", "c.cv", "c.cnorm")
     cos_cand = _cos("p.qv", "p.qn", "l.v", "l.norm")
@@ -132,7 +135,7 @@ def _learned_search_sql(
   SELECT p.query_id, l.vec_id AS cand_id, l.cell AS probed_cell,
          {cos_cand} AS cosine
   FROM probes p JOIN pinned l
-    ON l.cell = p.cell AND l.vec_id <> p.query_id)"""
+    ON l.cell = p.cell AND l.vec_id <> p.query_id{cand_filter})"""
     )
     body = ",\n".join(parts)
     return f"""{body}
@@ -365,5 +368,52 @@ def sim_ann_learned_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_topk_indexed(
             spark, path, k=_K, query_mod=_QUERY_MOD, n_probe=_N_PROBE,
             scoring="np",
+        )
+    )
+
+
+_FILTER_PRED = "label % 3 = 0"  # the allowed-candidate metadata predicate
+
+_FILTERED_ORACLE = f"WITH {_E_CTE},\n" + _learned_search_sql(
+    "e", "e", _K, _ITERS,
+    cand_filter=(
+        f"\n   AND l.vec_id IN (SELECT vec_id FROM embeddings"
+        f" WHERE {_FILTER_PRED})"
+    ),
+)
+
+
+@register(
+    "sim_ann_filtered",
+    shape="bounded",
+    tags=("similarity", "ann", "index", "kmeans", "filter"),
+    oracle=_FILTERED_ORACLE,
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the learned-codebook index: candidates are
+    restricted to a metadata-derived allowed set (``label % 3 = 0``
+    from the embeddings table) BEFORE scoring — pre-filter semantics,
+    so every query gets the true top-k among allowed vectors rather
+    than the post-filter < k failure mode.  The filter is a left-semi
+    equi-join on the probed-cell scan (composes with partition
+    pruning); queries and probe selection see the full corpus.  The
+    oracle replays the whole learned chain with the same candidate
+    restriction — a green row proves the filter respects the index's
+    exactness contract instead of bypassing it."""
+    from redis_streams_spark.operators.vecindex import (
+        build_vector_index,
+        vector_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path("filtered")
+    build_vector_index(
+        emb, path, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
+    )
+    allowed = emb.where(_FILTER_PRED).select("vec_id")
+    return _topk_cols(
+        vector_topk_indexed(
+            spark, path, k=_K, query_mod=_QUERY_MOD, n_probe=_N_PROBE,
+            filter_ids=allowed,
         )
     )

@@ -218,3 +218,61 @@ def test_streaming_ingest_pins_against_frozen_codebook(spark, tmp_path):
     assert _res(vector_topk_indexed(spark, root)) == _res(
         vector_topk_indexed(spark, ref)
     )
+
+
+def test_filtered_ann_prefilter_semantics(spark, tmp_path):
+    """filter_ids restricts CANDIDATES only, before scoring: every query
+    still gets k rows (true top-k among allowed — pre-filter), every
+    cand_id is allowed, queries are drawn from the full corpus, and the
+    hof/np physical paths agree under the filter."""
+    emb = _emb(spark)
+    path = str(tmp_path / "fidx")
+    build_vector_index(emb, path, managed=True, n_cells=8)
+    allowed = emb.where("label % 3 = 0").select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+
+    hof = vector_topk_indexed(spark, path, k=5, filter_ids=allowed)
+    rows = hof.collect()
+    assert rows
+    assert {r.cand_id for r in rows} <= allowed_ids
+    # queries unrestricted: some query_id outside the allowed set
+    assert any(r.query_id not in allowed_ids for r in rows)
+    # pre-filter: full k rows per query (allowed candidates are dense
+    # enough in every probed cell at this scale)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    np_ = vector_topk_indexed(
+        spark, path, k=5, filter_ids=allowed, scoring="np"
+    )
+    assert _res(hof) == _res(np_)
+
+
+def test_filtered_ann_excludes_tombstoned_and_unfiltered(spark, tmp_path):
+    """A vec_id that is allowed but tombstone-deleted stays out; a
+    nearest neighbor outside the filter never appears even when it
+    would top the unfiltered ranking."""
+    emb = _emb(spark)
+    path = str(tmp_path / "fidx2")
+    build_vector_index(emb, path, managed=True, n_cells=8)
+    unfiltered = vector_topk_indexed(spark, path, k=3)
+    top = unfiltered.where("rank = 1").collect()
+    # filter away every unfiltered rank-1 candidate
+    banned = {r.cand_id for r in top}
+    allowed = emb.where(
+        ~F.col("vec_id").isin(list(banned))
+    ).select("vec_id")
+    filt = vector_topk_indexed(spark, path, k=3, filter_ids=allowed)
+    got = {r.cand_id for r in filt.collect()}
+    assert not (got & banned)
+    # tombstone one allowed candidate; it must vanish from results
+    victim = sorted(got)[0]
+    delete_from_vector_index(
+        spark, path,
+        emb.where(F.col("vec_id") == victim).select("vec_id"),
+        segment="fdel",
+    )
+    after = vector_topk_indexed(spark, path, k=3, filter_ids=allowed)
+    assert victim not in {r.cand_id for r in after.collect()}

@@ -1,0 +1,73 @@
+"""Substring-span dedup cost at scale (operators/dedup.py
+duplicated_spans / strip_duplicated_spans).
+
+The pipeline's three shuffles are all signature-sized (8-byte h60
+fingerprints / (doc_id, pos) pairs), never document text — this script
+measures the wall clock and the stage row volumes at a scaled corpus
+so SCALE.md can state the claim with numbers: grams = one row per
+corpus token, duplicated-gram frame = true duplicate density, covered
+positions = duplicate mass.
+
+Usage: python tools/spandedup_scale.py [sf_dir] [n]
+  (sf_dir defaults to /root/testdata/sf0.1; scale it up first with
+   tools/make_scale_data.py for the 100x measurement.  NOTE
+   make_scale_data appends a per-replica suffix token, so replica
+   texts stay near-identical — a replica's first len-n+1 grams all
+   repeat across replicas, which is exactly the worst-case duplicate
+   density for this operator: the numbers below are an upper bound.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redis_streams_spark.operators.dedup import (  # noqa: E402
+    duplicated_span_profile,
+    duplicated_spans,
+    positioned_ngrams,
+    strip_duplicated_spans,
+)
+from redis_streams_spark.session import get_spark, load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("spandedup-scale")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    t0 = time.time()
+    grams = positioned_ngrams(docs, n)
+    n_grams = grams.count()
+    t_grams = time.time() - t0
+
+    t0 = time.time()
+    spans = duplicated_spans(docs, n)
+    n_spans = spans.count()
+    t_spans = time.time() - t0
+
+    t0 = time.time()
+    prof = duplicated_span_profile(docs, n)
+    n_prof = prof.count()
+    t_prof = time.time() - t0
+
+    t0 = time.time()
+    clean = strip_duplicated_spans(docs, n)
+    n_clean = clean.count()
+    t_clean = time.time() - t0
+
+    print(
+        f"docs={n_docs} n={n} | grams={n_grams} ({t_grams:.1f}s) | "
+        f"spans={n_spans} ({t_spans:.1f}s incl. gram recompute) | "
+        f"profile_docs={n_prof} ({t_prof:.1f}s) | "
+        f"clean_rows={n_clean} ({t_clean:.1f}s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
