@@ -37,6 +37,18 @@ Two coarse quantizers (``INDEXMETA`` at the root records which):
   folded into the rewrite compaction already pays for (the Lucene
   merge-time rebuild).
 
+``build_vector_index(..., pq_m=m)`` additionally makes the index
+IVF-PQ (IVFADC, Jégou et al. 2011): per-subspace product-quantization
+codebooks train at build (``pqbook/`` per generation, frozen like the
+coarse codebook), every vector stores its m codes as a ``codes``
+column in the cells store, and :func:`vector_topk_pq` scores probed-
+cell candidates in the compressed domain (integer LUT sums) before an
+exact-cosine rerank.  Codes quantize RAW vectors (by_residual=False):
+residual encoding would reference the coarse centroid, which here is
+a read-time-merged LIVE mean that moves with every append/delete —
+raw-vector codes stay valid under any centroid drift, so the
+pin-at-write-time discipline carries over unchanged.
+
 Layout under ``path`` (managed roots add generations + MANIFEST):
 
 - ``cells/`` — (vec_id, v array<double>, norm, label) partitioned by
@@ -98,6 +110,7 @@ __all__ = [
     "update_vector_index",
     "delete_from_vector_index",
     "vector_topk_indexed",
+    "vector_topk_pq",
     "compact_vector_index",
     "drop_vector_segment",
     "gc_vector_index",
@@ -312,6 +325,42 @@ def _with_cells(emb: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 
+def _read_pqbook(spark: SparkSession, gpath: str) -> DataFrame:
+    pb = _read_optional(spark, f"{gpath}/pqbook")
+    if pb is None:
+        raise ValueError(
+            f"vector index at {gpath} declares PQ but has no pqbook/ "
+            "store — corrupt or mid-write index"
+        )
+    return pb
+
+
+def _with_codes(emb: DataFrame, pqbook: DataFrame, m: int) -> DataFrame:
+    """``emb`` with a ``codes array<int>`` column appended: each
+    vector's m PQ codes, pinned against the FROZEN per-generation
+    ``pqbook`` — the same pin-at-write-time discipline as the coarse
+    cells, so compressed-domain scores stay valid under any later
+    centroid drift (codes quantize the RAW vector, not the residual:
+    a residual encoding would reference the coarse centroid, which
+    here is a read-time-merged LIVE mean that moves with every
+    append/delete — FAISS's by_residual=False variant, chosen so
+    pinning stays sound)."""
+    from redis_streams_spark.operators.similarity import (
+        _pq_assign,
+        pq_subvectors,
+    )
+
+    e = emb if "v" in emb.columns else as_double_vec(emb)
+    asg = _pq_assign(pq_subvectors(e, m), pqbook)
+    codes = asg.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda r: r["code"],
+        ).alias("codes")
+    )
+    return emb.join(codes, "vec_id")
+
+
 def _read_store(spark: SparkSession, gpath: str, sub: str) -> DataFrame:
     df = _read_optional(spark, f"{gpath}/{sub}")
     if df is None:
@@ -395,7 +444,10 @@ def _write_segment(
     dynamic: bool = False,
 ) -> None:
     owm = ("partitionOverwriteMode", "dynamic" if dynamic else "static")
-    e = as_double_vec(emb).select("vec_id", "label", "v", "norm").persist()
+    cols = ["vec_id", "label", "v", "norm"] + (
+        ["codes"] if "codes" in emb.columns else []
+    )
+    e = as_double_vec(emb).select(*cols).persist()
     try:
         (
             e.withColumn("segment", F.lit(segment))
@@ -423,6 +475,9 @@ def build_vector_index(
     managed: bool = False,
     n_cells: int | None = None,
     train_iters: int = 2,
+    pq_m: int | None = None,
+    pq_ksub: int = 8,
+    pq_iters: int = 2,
 ) -> str:
     """Write the segmented IVF layout for an ``embeddings``-shaped
     frame (vec_id, embedding array<float>, label) as segment ``base``;
@@ -437,28 +492,59 @@ def build_vector_index(
     (n_cells ∝ √corpus), not the schema.  The codebook is stored as
     data under the generation (``codebook/``), so the commit point
     that flips generations flips the quantizer atomically with the
-    cells it quantized."""
+    cells it quantized.
+
+    ``pq_m=m`` additionally makes this an IVF-PQ index: per-subspace
+    product-quantization codebooks (``pq_ksub`` codes each, Lloyd
+    ``pq_iters`` rounds — operators/similarity.py's PQ block) train on
+    the build corpus and every vector stores its m codes as an extra
+    ``codes`` column IN the cells store — parquet column pruning gives
+    the compressed candidate scan (a codes projection never reads the
+    vector pages), and every lifecycle mechanism (tombstones, segment
+    clears, drops, O(metadata) retention) applies to the codes for
+    free because they live in the same rows.  The ``pqbook/`` store
+    flips with the generation exactly like ``codebook/``.  Search via
+    :func:`vector_topk_pq` (LUT-sum candidates + exact rerank)."""
     os.makedirs(path, exist_ok=True)
     gpath = os.path.join(path, "g00000001") if managed else path
+    meta: dict = {"quantizer": "label"}
+    pqbook = None
+    if pq_m is not None:
+        from redis_streams_spark.operators.similarity import (
+            pq_train_codebooks,
+        )
+
+        pqbook = pq_train_codebooks(
+            as_double_vec(emb), pq_m, pq_ksub, pq_iters
+        )
+        meta.update(
+            {"pq_m": pq_m, "pq_ksub": pq_ksub, "pq_iters": pq_iters}
+        )
     if n_cells is not None:
         cb = _train_codebook(
             as_double_vec(emb).select("vec_id", "v", "norm"),
             n_cells,
             train_iters,
         )
-        _write_index_meta(
-            path,
+        meta.update(
             {
                 "quantizer": "kmeans",
                 "n_cells": n_cells,
                 "train_iters": train_iters,
-            },
+            }
         )
-        _write_segment(_with_cells(emb, cb), gpath, "overwrite", "base")
-        cb.write.mode("overwrite").parquet(f"{gpath}/codebook")
+        out = _with_cells(emb, cb)
     else:
-        _write_index_meta(path, {"quantizer": "label"})
-        _write_segment(emb, gpath, "overwrite", "base")
+        cb = None
+        out = emb
+    if pqbook is not None:
+        out = _with_codes(out, pqbook, pq_m)
+    _write_index_meta(path, meta)
+    _write_segment(out, gpath, "overwrite", "base")
+    if cb is not None:
+        cb.write.mode("overwrite").parquet(f"{gpath}/codebook")
+    if pqbook is not None:
+        pqbook.write.mode("overwrite").parquet(f"{gpath}/pqbook")
     if managed:
         write_manifest(path, "g00000001")
     return gpath
@@ -506,12 +592,18 @@ def update_vector_index(
             exclude_segment=seg,
             dead=dead,
         )
-    if _read_index_meta(path)["quantizer"] == "kmeans":
+    meta = _read_index_meta(path)
+    if meta["quantizer"] == "kmeans":
         # pin the batch's cells against the live generation's FROZEN
         # codebook (a broadcast-sized read) — appends never shift
         # existing assignments, so the centroid-partial merge stays a
         # rebuild-exact account of the pinned cells
         emb_new = _with_cells(emb_new, _read_codebook(spark, gpath))
+    if meta.get("pq_m") is not None:
+        # same pin for the PQ codes: the frozen per-generation pqbook
+        emb_new = _with_codes(
+            emb_new, _read_pqbook(spark, gpath), meta["pq_m"]
+        )
     if segment is not None:
         # a named segment may be a replay OR a re-ingest of CHANGED
         # content; stale label cells the new batch does not rewrite
@@ -803,6 +895,144 @@ def _np_cell_scores(
     )
 
 
+def vector_topk_pq(
+    spark: SparkSession,
+    path: str,
+    k: int = 10,
+    query_mod: int = 25,
+    n_probe: int = 2,
+    oversample: int = 4,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) search over the managed index: probe selection
+    from the read-time-merged centroids (identical to
+    :func:`vector_topk_indexed`), candidate scoring in the COMPRESSED
+    domain — each query builds a per-subspace LUT of integer micro-unit
+    dot products against the frozen ``pqbook``, a candidate's stage-1
+    score is the exact integer SUM of its stored codes' LUT entries —
+    then the top ``k·oversample`` per query rerank by exact cosine.
+
+    Scale shape: the candidate scan projects (vec_id, label, codes)
+    only — parquet column pruning never touches the vector pages, so
+    stage 1 reads m bytes per probed vector instead of 8·d.  The LUT
+    is |queries|·m·k_sub tiny rows, broadcast; stage 2 joins the full
+    vectors back for k·oversample survivors only.  The integer stage-1
+    score is summation-order-free (no float seam for the oracle or
+    AQE to disturb); ties cut by cand_id; rerank is the shared 6-dp
+    cosine.  ``filter_ids`` composes exactly as in
+    :func:`vector_topk_indexed` (pre-filter semantics).
+
+    Jégou, Douze, Schmid 2011 (IVFADC), with codes over RAW vectors
+    (by_residual=False) — see :func:`_with_codes` for why residual
+    encoding is unsound under read-time-merged (moving) centroids."""
+    meta = _read_index_meta(path)
+    m = meta.get("pq_m")
+    if m is None:
+        raise ValueError(
+            "vector_topk_pq: index was not built with pq_m= — "
+            "build_vector_index(..., pq_m=4) writes the codes and pqbook"
+        )
+    gpath, dead = open_index(path)
+    cent = _merged_centroids(
+        drop_dead(_read_store(spark, gpath, "cstats"), dead)
+    )
+    cells = _live_cells(spark, gpath, dead)
+    if "codes" not in cells.columns:
+        # the empty-store fallback frame (_SCHEMAS["cells"]) carries no
+        # codes column; a typed null keeps the plan valid and yields
+        # the correct empty result (posexplode of null emits no rows)
+        cells = cells.withColumn(
+            "codes", F.lit(None).cast("array<int>")
+        )
+    live_all = cells  # queries + rerank vectors come from the FULL live
+    # corpus even under filter_ids (candidates alone are restricted)
+    pqbook = _read_pqbook(spark, gpath)
+    q = live_all.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "label",
+        cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cnorm")).alias(
+            "ccos"
+        ),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), "label")
+    probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probe
+    )
+    if filter_ids is not None:
+        cells = cells.join(
+            filter_ids.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
+    # per-query LUT: subspace dot products against the frozen pqbook,
+    # quantized to integer micro-units (floor(x*1e6+0.5) — one rounding
+    # rule, both engines)
+    from redis_streams_spark.operators.similarity import pq_subvectors
+
+    qsub = pq_subvectors(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        m,
+    ).select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(pqbook), "s").select(
+        "query_id",
+        "s",
+        "code",
+        F.floor(dot(F.col("qsv"), F.col("cv")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("pd"),
+    )
+    # candidates: codes of the probed cells only (column-pruned scan)
+    cand_codes = cells.select("vec_id", "label", "codes").join(
+        F.broadcast(probes.select("query_id", "label")), "label"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    adot = (
+        cand_codes.select(
+            "query_id",
+            "vec_id",
+            F.posexplode("codes").alias("s", "code"),
+        )
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("pq_dot"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "pq_dot")
+    )
+    aw = W.partitionBy("query_id").orderBy(F.desc("pq_dot"), "cand_id")
+    kept = (
+        adot.withColumn("ar", F.row_number().over(aw))
+        .where(F.col("ar") <= k * oversample)
+        .drop("ar")
+    )
+    e = live_all.select("vec_id", "v", "norm")
+    rer = (
+        kept.join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(e.select(F.col("vec_id").alias("cand_id"), "v", "norm"), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "pq_dot",
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        # no presentation sort (order-insensitive gate; see ivf_topk)
+    )
+
+
 # ---------------------------------------------------------- maintenance
 
 
@@ -844,6 +1074,8 @@ def compact_vector_index(
     live = _live_cells(spark, gpath, dead)
     new_meta = dict(meta)
     cb = None
+    pq_m = meta.get("pq_m")
+    pqbook = None
     if retrain:
         k = n_cells or meta.get("n_cells")
         iters = train_iters or meta.get("train_iters", 2)
@@ -861,13 +1093,35 @@ def compact_vector_index(
             .join(asg, "vec_id")
             .withColumnRenamed("new_label", "label")
         )
-        new_meta = {"quantizer": "kmeans", "n_cells": k, "train_iters": iters}
-    elif meta["quantizer"] == "kmeans":
-        cb = _read_codebook(spark, gpath)  # carried over unchanged
+        new_meta.update(
+            {"quantizer": "kmeans", "n_cells": k, "train_iters": iters}
+        )
+        if pq_m is not None:
+            # retrain the PQ codebooks on the live corpus and re-encode
+            # inside the same rewrite (the identical staleness repair)
+            from redis_streams_spark.operators.similarity import (
+                pq_train_codebooks,
+            )
+
+            pqbook = pq_train_codebooks(
+                live.select("vec_id", "v", "norm"),
+                pq_m,
+                meta.get("pq_ksub", 8),
+                meta.get("pq_iters", 2),
+            )
+            live = _with_codes(live.drop("codes"), pqbook, pq_m)
+    else:
+        if meta["quantizer"] == "kmeans":
+            cb = _read_codebook(spark, gpath)  # carried over unchanged
+        if pq_m is not None:
+            pqbook = _read_pqbook(spark, gpath)  # carried over unchanged
     live = live.persist()
+    cell_cols = ["vec_id", "v", "norm", "label"] + (
+        ["codes"] if pq_m is not None else []
+    )
     try:
         (
-            live.select("vec_id", "v", "norm", "label")
+            live.select(*cell_cols)
             .withColumn("segment", F.lit("base"))
             .repartition("label")
             .write.mode("overwrite")
@@ -883,6 +1137,8 @@ def compact_vector_index(
         )
         if cb is not None:
             cb.write.mode("overwrite").parquet(f"{out}/codebook")
+        if pqbook is not None:
+            pqbook.write.mode("overwrite").parquet(f"{out}/pqbook")
     finally:
         live.unpersist()
     if dst is None:

@@ -77,20 +77,19 @@ def _codebook_ctes(src: str, k: int, iters: int) -> list[str]:
     return parts
 
 
-def _learned_search_sql(
-    train_src: str, live_src: str, k: int, iters: int,
-    n_cells: int = _N_CELLS, cand_filter: str = "",
-) -> str:
-    """probes + search over ``live_src`` with cells pinned against the
-    codebook trained on ``train_src``: pinned assignment (argmax vs the
-    frozen codebook), live per-cell means (what the index's merged
-    centroid partials reconstruct), probe rank, n-probe top-k.
-    ``cand_filter`` (an AND-able predicate over alias ``l``) restricts
-    the CANDIDATE side only — pre-filter semantics: top-k among allowed
-    vectors, queries and probe selection untouched."""
+def _learned_parts(
+    train_src: str, live_src: str, iters: int, n_cells: int = _N_CELLS
+) -> list[str]:
+    """The coarse-quantizer replay SHARED by every learned-index
+    oracle: codebook training on ``train_src``, pinned per-vector cell
+    assignment over ``live_src`` (``pinned``), live per-cell means from
+    the pinned cells (``cmeans`` — what the index's merged centroid
+    partials reconstruct), the query set (``q``), and probe selection
+    (``probes``).  similarity7's IVF-PQ oracle appends its own
+    compressed-domain scoring after ``probes`` instead of the exact
+    scored/topk tail :func:`_learned_search_sql` adds."""
     cos_pin = _cos("l.v", "l.norm", "c.cv", "c.cnorm")
     cos_probe = _cos("q.qv", "q.qn", "c.cv", "c.cnorm")
-    cos_cand = _cos("p.qv", "p.qn", "l.v", "l.norm")
     parts = _codebook_ctes(train_src, n_cells, iters)
     parts.append(
         f"""pinned AS (
@@ -130,6 +129,22 @@ def _learned_search_sql(
     FROM q CROSS JOIN cmeans c) t
   WHERE pr <= {_N_PROBE})"""
     )
+    return parts
+
+
+def _learned_search_sql(
+    train_src: str, live_src: str, k: int, iters: int,
+    n_cells: int = _N_CELLS, cand_filter: str = "",
+) -> str:
+    """probes + search over ``live_src`` with cells pinned against the
+    codebook trained on ``train_src``: pinned assignment (argmax vs the
+    frozen codebook), live per-cell means (what the index's merged
+    centroid partials reconstruct), probe rank, n-probe top-k.
+    ``cand_filter`` (an AND-able predicate over alias ``l``) restricts
+    the CANDIDATE side only — pre-filter semantics: top-k among allowed
+    vectors, queries and probe selection untouched."""
+    cos_cand = _cos("p.qv", "p.qn", "l.v", "l.norm")
+    parts = _learned_parts(train_src, live_src, iters, n_cells)
     parts.append(
         f"""scored AS (
   SELECT p.query_id, l.vec_id AS cand_id, l.cell AS probed_cell,

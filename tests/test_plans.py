@@ -245,6 +245,8 @@ _BNLJ_OK = {
     "sim_ann_learned_lifecycle",  # same broadcast merged-centroid crossJoin
     "text_bm25_auto",  # same 1-row stats crossJoin as its two routes
     "sim_ann_filtered",  # same broadcast merged-centroid crossJoin (hof path)
+    "sim_ann_ivfpq",  # same broadcast merged-centroid crossJoin (probe rank)
+    "sim_ann_ivfpq_lifecycle",  # same broadcast merged-centroid crossJoin
     # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
     # listed above; their r09 prefix-sum rewrite adds only the tiny
     # bucket-offset triangle join, also a broadcast BNLJ)

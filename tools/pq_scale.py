@@ -2,9 +2,12 @@
 compression ratio, and recall@k vs exact brute force
 (operators/similarity.py pq_rerank_topk).
 
-Usage: python tools/pq_scale.py [sf_dir] [oversample]
+Usage: python tools/pq_scale.py [sf_dir] [oversample] [query_mod]
   (sf_dir defaults to /root/testdata/sf0.1; scale with
-   tools/make_scale_data.py for the 100x row)
+   tools/make_scale_data.py for the 100x row.  query_mod defaults to
+   4000 — the relational ADC join scans N·m code rows PER QUERY, so
+   the scale run sizes the query set to ~50; bulk query volumes belong
+   on an Arrow LUT kernel, see pq_rerank_topk's docstring)
 """
 
 from __future__ import annotations
@@ -28,7 +31,6 @@ from redis_streams_spark.operators.similarity import (  # noqa: E402
 from redis_streams_spark.session import get_spark, load_table  # noqa: E402
 
 K = 10
-QUERY_MOD = 25
 M = 4
 K_SUB = 8
 
@@ -36,6 +38,7 @@ K_SUB = 8
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oversample = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    query_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
     spark = get_spark("pq-scale")
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
@@ -54,13 +57,13 @@ def main() -> None:
 
     t0 = time.time()
     pq = pq_rerank_topk(
-        emb, k=K, query_mod=QUERY_MOD, oversample=oversample, m=M, k_sub=K_SUB
+        emb, k=K, query_mod=query_mod, oversample=oversample, m=M, k_sub=K_SUB
     )
     pq_rows = {(r.query_id, r.cand_id) for r in pq.collect()}
     t_query = time.time() - t0
 
     t0 = time.time()
-    bf = brute_force_topk_np(emb, k=K, query_mod=QUERY_MOD)
+    bf = brute_force_topk_np(emb, k=K, query_mod=query_mod)
     bf_rows = {(r.query_id, r.cand_id) for r in bf.collect()}
     t_bf = time.time() - t0
 

@@ -58,14 +58,21 @@ def main() -> None:
 
     t0 = time.time()
     clean = strip_duplicated_spans(docs, n)
-    n_clean = clean.count()
+    # aggregate over the text, not count(): counting a left join on
+    # unique keys lets Catalyst eliminate the join and skip the whole
+    # rebuild (measured: 2.2 s "clean" at 500 k docs — a non-number)
+    from pyspark.sql import functions as F
+
+    n_clean, clean_bytes = clean.agg(
+        F.count(F.lit(1)), F.sum(F.length("clean_text"))
+    ).first()
     t_clean = time.time() - t0
 
     print(
         f"docs={n_docs} n={n} | grams={n_grams} ({t_grams:.1f}s) | "
         f"spans={n_spans} ({t_spans:.1f}s incl. gram recompute) | "
         f"profile_docs={n_prof} ({t_prof:.1f}s) | "
-        f"clean_rows={n_clean} ({t_clean:.1f}s)"
+        f"clean_rows={n_clean}, clean_chars={clean_bytes} ({t_clean:.1f}s)"
     )
 
 

@@ -12,6 +12,19 @@ criterion) — build with n_cells ∈ {10, 45, 141, 447} (label-parity,
 and ~N^(1/3) / ~sqrt(N)/3 / ~sqrt(N) for the 200k corpus), timing
 train+build, then the SAME fixed query set through both scoring
 paths (HOF vs Arrow/BLAS, ask #2) at each cell count.
+
+mode "filter": filtered-ANN cost/coverage — one learned index, the
+same query set unfiltered vs allowed-set selectivities ~1/3 and
+~1/30, both scoring paths; prints result-row counts so the sparse-
+filter starvation (fewer than k allowed candidates inside n_probe
+cells) and its n_probe remedy are visible numbers, not prose.
+
+mode "pq": IVF-PQ — one index built with pq_m=4 (learned coarse
+cells + PQ codes persisted), the same query set through
+vector_topk_pq (compressed candidates + rerank) vs
+vector_topk_indexed scoring="np" (full-precision BLAS) vs "hof";
+the persisted-codes answer to pq_scale.py's finding that the
+self-contained pq_rerank_topk is training-dominated per call.
 """
 
 from __future__ import annotations
@@ -49,7 +62,7 @@ def cells_sweep(sf_dir: str, qmod: int) -> None:
     spark = get_spark("vecindex-cells")
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    print(f"corpus: {n} vectors, query_mod {qmod} (~{n // qmod} queries)")
+    print(f"\ncorpus: {n} vectors, query_mod {qmod} (~{n // qmod} queries)", flush=True)
     for n_cells in (10, 45, 141, 447):
         root = tempfile.mkdtemp(prefix=f"vecidx-k{n_cells}-")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -76,6 +89,76 @@ def cells_sweep(sf_dir: str, qmod: int) -> None:
     spark.stop()
 
 
+def filter_sweep(sf_dir: str, qmod: int) -> None:
+    spark = get_spark("vecindex-filter")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    print(f"\ncorpus: {n} vectors, query_mod {qmod} (~{n // qmod} queries)", flush=True)
+    root = tempfile.mkdtemp(prefix="vecidx-filter-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    timed(
+        "train+build (n_cells=141)",
+        lambda: build_vector_index(emb, root, managed=True, n_cells=141),
+    )
+    filters = [
+        ("none", None),
+        ("~1/3 (label % 3 = 0)", emb.where("label % 3 = 0").select("vec_id")),
+        ("~1/30 (vec_id % 30 = 0)", emb.where("vec_id % 30 = 0").select("vec_id")),
+    ]
+    for fname, fids in filters:
+        for scoring in ("hof", "np"):
+            for n_probe in (2, 8) if fids is not None else (2,):
+                q = vector_topk_indexed(
+                    spark, root, query_mod=qmod, scoring=scoring,
+                    n_probe=n_probe, filter_ids=fids,
+                )
+                q.count()  # warm
+                t0 = time.perf_counter()
+                rows = q.count()
+                print(
+                    f"\nfilter={fname} scoring={scoring} n_probe={n_probe}: "
+                    f"{time.perf_counter() - t0:.1f}s, {rows} result rows",
+                    flush=True,
+                )
+    spark.stop()
+
+
+def pq_sweep(sf_dir: str, qmod: int) -> None:
+    from redis_streams_spark.operators.vecindex import vector_topk_pq
+
+    spark = get_spark("vecindex-pq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    print(f"\ncorpus: {n} vectors, query_mod {qmod} (~{n // qmod} queries)", flush=True)
+    root = tempfile.mkdtemp(prefix="vecidx-pq-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    timed(
+        "train+build (n_cells=141, pq_m=4)",
+        lambda: build_vector_index(
+            emb, root, managed=True, n_cells=141, pq_m=4
+        ),
+    )
+    runs = [
+        ("ivfpq (codes + rerank)",
+         lambda: vector_topk_pq(spark, root, query_mod=qmod).count()),
+        ("indexed np (full precision)",
+         lambda: vector_topk_indexed(
+             spark, root, query_mod=qmod, scoring="np").count()),
+        ("indexed hof (full precision)",
+         lambda: vector_topk_indexed(
+             spark, root, query_mod=qmod, scoring="hof").count()),
+    ]
+    for label, fn in runs:
+        fn()  # warm
+        t0 = time.perf_counter()
+        rows = fn()
+        print(
+            f"\n{label}: {time.perf_counter() - t0:.1f}s, {rows} rows",
+            flush=True,
+        )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # hold the QUERY COUNT constant as the corpus scales (vec_id % mod
@@ -85,6 +168,12 @@ def main() -> None:
     qmod = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     if len(sys.argv) > 3 and sys.argv[3] == "cells":
         cells_sweep(sf_dir, qmod)
+        return
+    if len(sys.argv) > 3 and sys.argv[3] == "filter":
+        filter_sweep(sf_dir, qmod)
+        return
+    if len(sys.argv) > 3 and sys.argv[3] == "pq":
+        pq_sweep(sf_dir, qmod)
         return
     spark = get_spark("vecindex-scale")
     emb = load_table(spark, sf_dir, "embeddings")
