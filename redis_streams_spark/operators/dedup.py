@@ -680,7 +680,7 @@ def positioned_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
     Models Better" — their exact-substring pass; the n-gram fingerprint
     form is the distributed-engine restatement)."""
-    toks = docs.select("doc_id", words(F.col("text")).alias("w"))
+    toks = fanout(docs).select("doc_id", words(F.col("text")).alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
     # fingerprints materialize as an array in ONE projection and the
     # explode emits (pos, 8-byte g) rows only: exploding positions first
@@ -794,7 +794,7 @@ def strip_duplicated_spans(
             F.sequence(F.col("span_start"), F.col("span_end"))
         ).alias("pos"),
     ).distinct()
-    toks = docs.select("doc_id", words(F.col("text")).alias("w"))
+    toks = fanout(docs).select("doc_id", words(F.col("text")).alias("w"))
     pos_tok = toks.select(
         "doc_id", F.posexplode("w").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")

@@ -895,6 +895,100 @@ def _np_cell_scores(
     )
 
 
+def _np_pq_scores(
+    spark: SparkSession,
+    cells: DataFrame,
+    probes: DataFrame,
+    lut: DataFrame,
+    m: int,
+    n_local: int,
+    max_queries: int,
+) -> DataFrame:
+    """Stage-1 ADC scoring as integer numpy gathers (see
+    :func:`vector_topk_pq` ``scoring="np"``).  The LUT is the Spark-
+    computed frame (shared with the relational path, so both paths
+    carry bit-identical entries); here it is collected once into one
+    (m × k_sub) int64 matrix per query and broadcast with each query's
+    probed-cell list.  Every emitted score is exact int64 arithmetic
+    and the per-batch cut keeps the full local top ``n_local`` under
+    the (pq_dot desc, cand_id asc) total order — merging local top-n
+    lists preserves the global top-n exactly (no epsilon band needed,
+    unlike the float kernels)."""
+    import numpy as np
+    import pandas as pd
+
+    prows = (
+        probes.select("query_id", "label")
+        .limit(max_queries * 8 + 1)
+        .collect()
+    )
+    if len(prows) > max_queries * 8:
+        raise ValueError(
+            "vector_topk_pq(scoring='np'): probe set exceeds "
+            f"{max_queries * 8} rows — raise max_queries only if the "
+            "driver is sized for it, or increase query_mod"
+        )
+    lrows = lut.collect()
+    k_sub = 1 + max(r["code"] for r in lrows) if lrows else 1
+    luts: dict[int, object] = {}
+    for r in lrows:
+        mat = luts.get(r["query_id"])
+        if mat is None:
+            # unseen (s, code) slots score the identity 0 — they can
+            # only be codes absent from the pqbook, which no stored
+            # vector carries
+            mat = luts[r["query_id"]] = np.zeros(
+                (m, k_sub), dtype=np.int64
+            )
+        mat[r["s"], r["code"]] = r["pd"]
+    by_cell: dict[int, list[int]] = {}
+    for r in prows:
+        by_cell.setdefault(r["label"], []).append(r["query_id"])
+    bq = spark.sparkContext.broadcast((luts, by_cell))
+    probed = sorted(by_cell)
+
+    def score_batches(batches):
+        qluts, cellmap = bq.value
+        srange = np.arange(m)
+        for pdf in batches:
+            out_q, out_c, out_s = [], [], []
+            for cell, grp in pdf.groupby("label", sort=False):
+                q_ids = cellmap.get(cell)
+                if not q_ids:
+                    continue
+                c_ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                for qid in q_ids:
+                    scores = qluts[qid][srange, codes].sum(axis=1)
+                    cand_idx = np.nonzero(c_ids != qid)[0]
+                    if len(cand_idx) == 0:
+                        continue
+                    order = np.lexsort(
+                        (c_ids[cand_idx], -scores[cand_idx])
+                    )[:n_local]
+                    sel = cand_idx[order]
+                    out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                    out_c.append(c_ids[sel])
+                    out_s.append(scores[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "cand_id": np.concatenate(out_c),
+                        "pq_dot": np.concatenate(out_s),
+                    }
+                )
+
+    return (
+        cells.where(F.col("label").isin(probed or [-1]))
+        .select("vec_id", "label", "codes")
+        .mapInPandas(
+            score_batches,
+            "query_id bigint, cand_id bigint, pq_dot bigint",
+        )
+    )
+
+
 def vector_topk_pq(
     spark: SparkSession,
     path: str,
@@ -903,6 +997,8 @@ def vector_topk_pq(
     n_probe: int = 2,
     oversample: int = 4,
     filter_ids: DataFrame | None = None,
+    scoring: str = "rel",
+    max_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) search over the managed index: probe selection
     from the read-time-merged centroids (identical to
@@ -921,6 +1017,21 @@ def vector_topk_pq(
     AQE to disturb); ties cut by cand_id; rerank is the shared 6-dp
     cosine.  ``filter_ids`` composes exactly as in
     :func:`vector_topk_indexed` (pre-filter semantics).
+
+    ``scoring`` picks the stage-1 physical path, value-identical
+    results (tested equal; the LUT itself is ALWAYS computed by the
+    same Spark expression, so both paths share every rounded value):
+
+    - ``"rel"`` — relational: posexplode codes ⋈ broadcast LUT ⋈
+      group-sum; pure-engine plan, the oracle-replayable shape.
+    - ``"np"`` — the Arrow kernel (the ``_np_cell_scores`` pattern):
+      LUT rows and probe lists are collected once (bounded by
+      ``max_queries``) and broadcast; each codes Arrow batch scores
+      candidates as integer numpy GATHERS (LUT[s, codes[s]] summed
+      over s — exact int64, no float anywhere) and emits only its
+      local top ``k·oversample`` per query, an EXACT cut (total order
+      on (pq_dot, cand_id)), so the shuffle carries
+      O(batches × queries × k·oversample) rows.
 
     Jégou, Douze, Schmid 2011 (IVFADC), with codes over RAW vectors
     (by_residual=False) — see :func:`_with_codes` for why residual
@@ -984,21 +1095,28 @@ def vector_topk_pq(
         .cast("long")
         .alias("pd"),
     )
-    # candidates: codes of the probed cells only (column-pruned scan)
-    cand_codes = cells.select("vec_id", "label", "codes").join(
-        F.broadcast(probes.select("query_id", "label")), "label"
-    ).where(F.col("vec_id") != F.col("query_id"))
-    adot = (
-        cand_codes.select(
-            "query_id",
-            "vec_id",
-            F.posexplode("codes").alias("s", "code"),
+    if scoring == "np":
+        adot = _np_pq_scores(
+            spark, cells, probes, lut, m, k * oversample, max_queries
         )
-        .join(F.broadcast(lut), ["query_id", "s", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd").alias("pq_dot"))
-        .select("query_id", F.col("vec_id").alias("cand_id"), "pq_dot")
-    )
+    elif scoring == "rel":
+        # candidates: codes of the probed cells only (column-pruned scan)
+        cand_codes = cells.select("vec_id", "label", "codes").join(
+            F.broadcast(probes.select("query_id", "label")), "label"
+        ).where(F.col("vec_id") != F.col("query_id"))
+        adot = (
+            cand_codes.select(
+                "query_id",
+                "vec_id",
+                F.posexplode("codes").alias("s", "code"),
+            )
+            .join(F.broadcast(lut), ["query_id", "s", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("pd").alias("pq_dot"))
+            .select("query_id", F.col("vec_id").alias("cand_id"), "pq_dot")
+        )
+    else:
+        raise ValueError(f"vector_topk_pq: unknown scoring {scoring!r}")
     aw = W.partitionBy("query_id").orderBy(F.desc("pq_dot"), "cand_id")
     kept = (
         adot.withColumn("ar", F.row_number().over(aw))

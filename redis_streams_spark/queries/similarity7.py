@@ -287,7 +287,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays BOTH quantizer trainings, both pinned assignments,
     the live cell means, probe selection, the integer ADC sum, and the
     rerank — one green row covers the full compressed-domain index
-    chain end to end."""
+    chain end to end.  Registers the Arrow LUT-gather kernel
+    (``scoring="np"``) so the driver grades that physical path; the
+    relational twin is driver-graded by the lifecycle query and the
+    two are asserted equal in tests (both consume the SAME
+    Spark-computed LUT, so there is no seam to diverge at)."""
     from redis_streams_spark.operators.vecindex import (
         build_vector_index,
         vector_topk_pq,
@@ -302,7 +306,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return vector_topk_pq(
         spark, path, k=_K, query_mod=_QUERY_MOD, n_probe=2,
-        oversample=_OVERSAMPLE,
+        oversample=_OVERSAMPLE, scoring="np",
     )
 
 

@@ -139,3 +139,86 @@ def test_ivfpq_requires_pq_build(spark, tmp_path):
     build_vector_index(emb, path, managed=True, n_cells=8)
     with pytest.raises(ValueError, match="pq_m"):
         vector_topk_pq(spark, path)
+
+
+def test_ivfpq_np_equals_rel(spark, tmp_path):
+    """The Arrow LUT-gather kernel and the relational explode/join/sum
+    path are value-identical — including pq_dot itself (both consume
+    the SAME Spark-computed integer LUT), with and without a filter."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    _build(emb, path)
+    rel = vector_topk_pq(spark, path)
+    np_ = vector_topk_pq(spark, path, scoring="np")
+    assert _res(rel) == _res(np_)
+    allowed = emb.where("label % 3 = 0").select("vec_id")
+    relf = vector_topk_pq(spark, path, filter_ids=allowed)
+    npf = vector_topk_pq(spark, path, filter_ids=allowed, scoring="np")
+    assert _res(relf) == _res(npf)
+
+
+def test_streaming_ingest_pins_codes_against_frozen_pqbook(spark, tmp_path):
+    """Streaming appends into an IVF-PQ index: the bootstrap build
+    trains BOTH quantizers, each micro-batch pins coarse cells AND PQ
+    codes against the frozen books inside foreachBatch, and the
+    streamed index answers the compressed-domain search exactly like
+    the same bootstrap plus one batch append of all streamed vectors."""
+    from redis_streams_spark.operators.vecindex import vector_index_status
+    from redis_streams_spark.sources.stream_log import StreamLog
+    from redis_streams_spark.streaming import Producer
+    from redis_streams_spark.streaming.bridge import open_stream
+    from redis_streams_spark.streaming.windows import project
+
+    emb = _emb(spark)
+    boot = emb.where("vec_id % 3 = 0")
+    streamed = emb.where("vec_id % 3 != 0")
+    root = str(tmp_path / "stream_pq")
+    _build(boot, root)
+
+    rows = streamed.select("vec_id", "embedding", "label").collect()
+    log = StreamLog(str(tmp_path), "pqvecs")
+    Producer(log, "pqvecs").add_many(
+        [
+            {
+                "vec_id": r.vec_id,
+                "label": r.label,
+                "emb": ",".join(str(x) for x in r.embedding),
+            }
+            for r in rows
+        ]
+    )
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        typed = batch_df.select(
+            "vec_id",
+            "label",
+            F.split("emb", ",").cast("array<float>").alias("embedding"),
+        )
+        update_vector_index(typed, root, segment=f"b{batch_id}")
+
+    src = open_stream(
+        spark, str(tmp_path), "pqvecs", group="pqx", batch_size=120
+    )
+    typed = project(
+        src, {"vec_id": "long", "label": "int", "emb": "string"}
+    ).select("vec_id", "label", "emb")
+    q = (
+        typed.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpq"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = vector_index_status(spark, root).collect()
+    assert sum(r.n_vectors for r in st) == emb.count()
+    ref = str(tmp_path / "ref_pq")
+    _build(boot, ref)
+    update_vector_index(streamed, ref, segment="all")
+    assert _res(vector_topk_pq(spark, root)) == _res(
+        vector_topk_pq(spark, ref)
+    )

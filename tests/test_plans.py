@@ -266,6 +266,7 @@ _PYTHON_OK = {
     # -- round 12: the Arrow/BLAS probed-cell kernel IS the point --
     "sim_ann_learned",  # vector_topk_indexed(scoring="np") per-cell matmul
     "sim_ann_learned_retrain",  # same np kernel after retrain-on-compact
+    "sim_ann_ivfpq",  # vector_topk_pq(scoring="np") integer LUT-gather kernel
 }
 
 

@@ -139,8 +139,11 @@ def pq_sweep(sf_dir: str, qmod: int) -> None:
         ),
     )
     runs = [
-        ("ivfpq (codes + rerank)",
+        ("ivfpq rel (codes + rerank)",
          lambda: vector_topk_pq(spark, root, query_mod=qmod).count()),
+        ("ivfpq np (LUT-gather kernel + rerank)",
+         lambda: vector_topk_pq(
+             spark, root, query_mod=qmod, scoring="np").count()),
         ("indexed np (full precision)",
          lambda: vector_topk_indexed(
              spark, root, query_mod=qmod, scoring="np").count()),
