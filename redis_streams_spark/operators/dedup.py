@@ -727,6 +727,14 @@ def duplicated_spans(
         .select("g")
     )
     hits = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    return spans_from_hits(hits, n)
+
+
+def spans_from_hits(hits: DataFrame, n: int) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) from covered n-gram
+    START positions (doc_id, pos) — the gaps-and-islands merge half of
+    :func:`duplicated_spans`, shared with the incremental probe
+    (operators/gramindex.py), so the two paths cannot drift."""
     wp = W.partitionBy("doc_id").orderBy("pos")
     isl = hits.select(
         "doc_id",

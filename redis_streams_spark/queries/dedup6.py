@@ -237,7 +237,7 @@ def dedup_budget_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 8
 
 _SPAN_GRAMS_CTE = f"""toks AS (
-  SELECT doc_id, {{words}} AS w FROM documents
+  SELECT doc_id, {{words}} AS w FROM {{src}}
 ), pos_ AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_N - 1})) AS pos
   FROM toks WHERE len(w) >= {_SPAN_N}
@@ -266,12 +266,14 @@ _SPAN_GRAMS_CTE = f"""toks AS (
 )"""
 
 
-def _span_ctes() -> str:
+def _span_ctes(src: str = "documents") -> str:
     from redis_streams_spark.functions.hashing import h60_sql
     from redis_streams_spark.functions.textfns import words_sql
 
     gram = f"array_to_string(w[pos:pos + {_SPAN_N - 1}], ' ')"
-    return _SPAN_GRAMS_CTE.format(words=words_sql("text"), h60=h60_sql(gram))
+    return _SPAN_GRAMS_CTE.format(
+        words=words_sql("text"), h60=h60_sql(gram), src=src
+    )
 
 
 @register(
@@ -365,3 +367,93 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return strip_duplicated_spans(docs, n=_SPAN_N)
+
+
+@register(
+    "dedup_substring_incremental",
+    shape="per_row",
+    tags=("dedup", "substring", "ingest", "index"),
+    oracle=f"""
+WITH {_span_ctes()}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+WHERE doc_id % 10 = 7
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup from the persisted n-gram frequency
+    index (operators/gramindex.py): docs ``% 10 = 7`` play the ingest
+    batch, the rest were count-indexed once; the probe fingerprints
+    only the batch and equi-joins the count store — history's gram mass
+    is never re-fingerprinted (the from-scratch ``duplicated_spans``
+    re-hashes the whole corpus per call).  Batch-internal repeats count
+    toward the threshold exactly as corpus-level dedup would.  Oracle:
+    the whole-corpus span replay restricted to batch docs — a green row
+    proves build + probe value-identical to Lee-et-al over the full
+    corpus."""
+    from redis_streams_spark.operators.gramindex import (
+        build_gram_index,
+        probe_gram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp/spark-graft-gramidx",
+        f"inc-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_gram_index(
+        docs.where("doc_id % 10 != 7"), path, n=_SPAN_N, managed=True
+    )
+    return probe_gram_spans(docs.where("doc_id % 10 = 7"), path)
+
+
+@register(
+    "dedup_substring_refresh",
+    shape="per_row",
+    tags=("dedup", "substring", "ingest", "index", "lifecycle"),
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE NOT (doc_id % 10 = 1)
+), {_span_ctes("corpus")}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+WHERE doc_id % 10 = 7
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gram index's MUTATION LIFECYCLE through the oracle gate:
+    build on part of history, APPEND the rest as a count-partial
+    segment, DELETE the ``% 10 = 1`` slice (a NEGATIVE count partial —
+    this index has no tombstones at all; counts are associative, so
+    subtraction IS deletion), COMPACT (nets every partial into one
+    base segment), then probe the batch.  DuckDB recounts from first
+    principles over the post-mutation corpus — a green row proves the
+    negative-partial delete and the netting compaction leave probes
+    answering exactly like a from-scratch recount.
+
+    Mutating query: private throwaway index per call."""
+    from redis_streams_spark.operators.gramindex import (
+        build_gram_index,
+        compact_gram_index,
+        delete_from_gram_index,
+        probe_gram_spans,
+        update_gram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp/spark-graft-gramidx",
+        f"rf-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_gram_index(
+        docs.where("doc_id % 10 NOT IN (7, 9)"), path, n=_SPAN_N,
+        managed=True,
+    )
+    update_gram_index(docs.where("doc_id % 10 = 9"), path, segment="u1")
+    delete_from_gram_index(
+        spark, path, docs.where("doc_id % 10 = 1"), segment="del-r1"
+    )
+    compact_gram_index(spark, path)
+    return probe_gram_spans(docs.where("doc_id % 10 = 7"), path)

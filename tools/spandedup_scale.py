@@ -9,6 +9,11 @@ corpus token, duplicated-gram frame = true duplicate density, covered
 positions = duplicate mass.
 
 Usage: python tools/spandedup_scale.py [sf_dir] [n]
+       python tools/spandedup_scale.py [sf_dir] index
+  "index" mode: the INCREMENTAL path (operators/gramindex.py) — build
+  the gram-count index on 90% of the corpus once, then time a 10%-batch
+  probe vs the from-scratch whole-corpus duplicated_spans, plus the
+  maintenance ops (delete via negative partials, netting compaction).
   (sf_dir defaults to /root/testdata/sf0.1; scale it up first with
    tools/make_scale_data.py for the 100x measurement.  NOTE
    make_scale_data appends a per-replica suffix token, so replica
@@ -34,8 +39,63 @@ from redis_streams_spark.operators.dedup import (  # noqa: E402
 from redis_streams_spark.session import get_spark, load_table  # noqa: E402
 
 
+def index_mode(sf_dir: str) -> None:
+    import atexit
+    import shutil
+    import tempfile
+
+    from redis_streams_spark.operators.gramindex import (
+        build_gram_index,
+        compact_gram_index,
+        delete_from_gram_index,
+        probe_gram_spans,
+    )
+
+    spark = get_spark("spandedup-index")
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where("doc_id % 10 != 7")
+    batch = docs.where("doc_id % 10 = 7")
+    root = tempfile.mkdtemp(prefix="gramidx-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    t0 = time.time()
+    build_gram_index(hist, root, n=8, managed=True)
+    t_build = time.time() - t0
+
+    probe_gram_spans(batch, root).count()  # warm
+    t0 = time.time()
+    n_spans = probe_gram_spans(batch, root).count()
+    t_probe = time.time() - t0
+
+    t0 = time.time()
+    from redis_streams_spark.operators.dedup import duplicated_spans
+
+    n_ref = duplicated_spans(docs, n=8).where("doc_id % 10 = 7").count()
+    t_scratch = time.time() - t0
+
+    t0 = time.time()
+    delete_from_gram_index(
+        spark, root, hist.where("doc_id % 50 = 9"), segment="del-d"
+    )
+    t_del = time.time() - t0
+    t0 = time.time()
+    compact_gram_index(spark, root)
+    t_comp = time.time() - t0
+
+    print(
+        f"\nbuild(90%)={t_build:.1f}s | probe(10% batch)={t_probe:.1f}s "
+        f"({n_spans} spans) vs from-scratch full-corpus={t_scratch:.1f}s "
+        f"({n_ref} spans, equal={n_spans == n_ref}) | "
+        f"delete(2%)={t_del:.1f}s compact={t_comp:.1f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2 and sys.argv[2] == "index":
+        index_mode(sf_dir)
+        return
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark("spandedup-scale")
     docs = load_table(spark, sf_dir, "documents")
