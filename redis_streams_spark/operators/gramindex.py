@@ -69,6 +69,7 @@ __all__ = [
     "update_gram_index",
     "delete_from_gram_index",
     "probe_gram_spans",
+    "ingest_gram_batch",
     "compact_gram_index",
     "drop_gram_segment",
     "gc_gram_index",
@@ -181,6 +182,18 @@ def delete_from_gram_index(
     gpath, dead = open_index(path)
     n = read_gram_meta(path)["n"]
     seg = segment if segment is not None else "del-" + uuid.uuid4().hex[:12]
+    if not (seg.startswith("del-") or seg.endswith(".del")):
+        # the reserved namespace is the entanglement detector's ONLY
+        # signal (drop_gram_segment classifies delete segments by
+        # prefix) — a negative partial outside it would let a later
+        # drop silently skew net counts in both directions, so the
+        # reservation is enforced at write time, mirroring
+        # check_segment_name's mirror-image guard on ingest names
+        raise ValueError(
+            f"delete_from_gram_index: segment name {seg!r} must be in "
+            "the reserved delete-batch namespace ('del-*' or '*.del') "
+            "so entanglement checks can classify it"
+        )
     if seg in dead:
         raise ValueError(
             f"delete_from_gram_index: segment {seg!r} is dead in the "
@@ -249,24 +262,47 @@ def probe_gram_spans(
 
 
 def ingest_gram_batch(
-    batch: DataFrame, path: str, segment: str, min_count: int = 2
+    batch: DataFrame,
+    path: str,
+    segment: str,
+    min_count: int = 2,
+    verdicts_path: str | None = None,
 ) -> DataFrame:
     """The online loop: probe the batch (excluding its own segment —
-    replay-safe), APPEND its counts under the deterministic segment
-    name, and return the span verdicts.  Running it twice for the same
+    replay-safe), persist the span verdicts DURABLY, append the
+    batch's counts under the deterministic segment name, and return
+    the verdicts read back from disk.  Running it twice for the same
     (batch, segment) yields identical spans and identical index state
-    (the overwrite replaces, the probe excluded the prior write)."""
+    (the overwrite replaces, the probe excluded the prior write).
+
+    The verdicts are written to parquet (``verdicts_path``, default
+    ``<path>/_verdicts``) partitioned by segment — a replay-safe
+    dynamic partition overwrite, same pattern as
+    ``dedup_ingest_batch`` (operators/dupindex.py) — then read back.
+    Materializing them BEFORE the index append matters (a lazy frame
+    evaluated afterwards would see the batch's own counts), and doing
+    it via parquet rather than a driver collect keeps the hot ingest
+    loop distributed: a heavily-duplicated large batch produces
+    unbounded span rows, none of which ever transit the driver."""
+    if verdicts_path is None:
+        verdicts_path = os.path.join(path, "_verdicts")
     spans = probe_gram_spans(
         batch, path, min_count=min_count, exclude_segment=segment
-    ).persist()
-    spans.count()  # materialize verdicts BEFORE mutating the index
-    try:
-        update_gram_index(batch, path, segment=segment)
-        return spans.sparkSession.createDataFrame(
-            spans.collect(), spans.schema
-        )
-    finally:
-        spans.unpersist()
+    )
+    (
+        spans.withColumn("segment", F.lit(segment))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(verdicts_path)
+    )
+    stored = (
+        batch.sparkSession.read.parquet(verdicts_path)
+        .where(F.col("segment") == segment)
+        .drop("segment")
+    )
+    update_gram_index(batch, path, segment=segment)
+    return stored
 
 
 def compact_gram_index(
@@ -314,7 +350,14 @@ def drop_gram_segment(spark: SparkSession, path: str, segment: str) -> None:
     """O(metadata) batch retention — refused while ANY delete segment
     is live: negative partials reference gram mass ingested by other
     segments, so dropping either side skews the net counts; compaction
-    (which nets them) is the safe route."""
+    (which nets them) is the safe route.
+
+    Idempotent for already-dropped segments (matching
+    ``drop_vector_segment``'s contract): a retried retention job that
+    partially applied converges instead of erroring."""
+    man = read_manifest(path)
+    if man is not None and segment in man["dead"]:
+        return  # already dropped — idempotent retry
     gpath, dead = open_index(path)
     g = _read_optional(spark, f"{gpath}/grams")
     if g is not None:

@@ -750,7 +750,28 @@ def sq8_rerank_topk(
 def pq_subvectors(e: DataFrame, m: int) -> DataFrame:
     """(vec_id, s, sv): each vector split into ``m`` contiguous equal
     subspaces (dimension count must divide by ``m``; derived from the
-    data so one code path serves any width)."""
+    data so one code path serves any width).
+
+    The divisibility contract is ENFORCED row-side: a mis-sized corpus
+    (``size(v) % m != 0`` — trailing dims silently never encoded, or
+    ``size(v) < m`` — empty subvectors with degenerate all-zero
+    distances) fails loudly instead of producing quietly wrong codes
+    (r12 advice)."""
+    e = e.withColumn(
+        "v",
+        F.when(
+            (F.size("v") % m == 0) & (F.size("v") >= m),
+            F.col("v"),
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pq_subvectors: vector width %d is not divisible "
+                    "by m=" + str(m),
+                    F.size("v"),
+                )
+            )
+        ),
+    )
     sub_d = (F.size("v") / m).cast("int")
     return e.select(
         "vec_id",

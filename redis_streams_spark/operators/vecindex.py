@@ -176,7 +176,9 @@ def _read_index_meta(path: str) -> dict:
 # story the module docstring cites.
 
 
-def _train_codebook(e: DataFrame, k: int, iters: int) -> DataFrame:
+def _train_codebook(
+    e: DataFrame, k: int, iters: int, rebuild: str = "np"
+) -> DataFrame:
     """Deterministic Lloyd k-means over (vec_id, v, norm): seeds = the
     ``k`` smallest vec_ids' vectors (cells numbered 0..k-1 in vec_id
     order — dense ids, replayable in SQL), 6dp-rounded cosine argmax
@@ -186,7 +188,22 @@ def _train_codebook(e: DataFrame, k: int, iters: int) -> DataFrame:
     round exactly like kmeans_assign (the canonical distributed-Lloyd
     loop; doubles round-trip the driver exactly).  A cell that
     attracts no vectors in a round drops out (same as the from-scratch
-    kmeans oracle's GROUP BY)."""
+    kmeans oracle's GROUP BY).
+
+    ``rebuild`` picks the centroid-rebuild physical path (r12 verdict
+    ask #7 — training was ~linear in k because BOTH k·N stages must be
+    vectorized, and only assignment was):
+
+    - ``"rel"`` — posexplode every assigned vector to (cell, dim, val)
+      rows and average relationally: N·d exploded rows per round.
+    - ``"np"`` (default) — per-Arrow-batch partial sums
+      (:func:`_rebuild_centroids_np`): each batch emits at most k
+      (cell, Σv, count) rows, so the explode+average runs over
+      ~partitions·k·d rows instead of N·d.  The final divide-and-round
+      stays Spark-side (the same ``rnd(Σ/n, 6)`` expression), and the
+      partial-sum reassociation is the epsilon-absorbed sub-ulp class
+      the 6-dp rounding is designed for (brute_force_topk_np's
+      argument; asserted value-identical to "rel" in tests)."""
     spark = e.sparkSession
     seeds = e.orderBy("vec_id").limit(k).select("v", "norm").collect()
     cent = spark.createDataFrame(
@@ -195,11 +212,16 @@ def _train_codebook(e: DataFrame, k: int, iters: int) -> DataFrame:
     )
     for _ in range(iters):
         assign = _assign_cells(e, cent, keep_v=True)
-        by_dim = (
-            assign.select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(rnd(F.avg("val"), 6).alias("cval"))
-        )
+        if rebuild == "np":
+            by_dim = _rebuild_centroids_np(assign)
+        elif rebuild == "rel":
+            by_dim = (
+                assign.select("cell", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(rnd(F.avg("val"), 6).alias("cval"))
+            )
+        else:
+            raise ValueError(f"_train_codebook: unknown rebuild {rebuild!r}")
         rebuilt = (
             by_dim.groupBy("cell")
             .agg(
@@ -214,6 +236,53 @@ def _train_codebook(e: DataFrame, k: int, iters: int) -> DataFrame:
             rebuilt.collect(), "cell INT, cv ARRAY<DOUBLE>, cnorm DOUBLE"
         )
     return cent
+
+
+def _rebuild_centroids_np(assign: DataFrame) -> DataFrame:
+    """(cell, dim, cval) for the Lloyd rebuild, via Arrow partial sums:
+    each batch groups its vectors by cell and emits ONE (cell, Σv,
+    count) row per cell it saw — numpy column sums, no per-element
+    rows — then the tiny partial frame (≤ tasks·k rows) explodes to
+    (cell, dim) and finishes with the SAME Spark-side
+    ``rnd(sum/count, 6)`` the relational path applies.  Exact division
+    semantics and rounding never leave the JVM; only the summation
+    tree is reassociated (epsilon-absorbed, see _train_codebook)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for cell, grp in pdf.groupby("cell", sort=False):
+                m = np.array(grp["v"].tolist(), dtype=np.float64)
+                s = m.sum(axis=0)
+                got = acc.get(cell)
+                if got is None:
+                    acc[cell] = [s, len(grp)]
+                else:
+                    got[0] = got[0] + s
+                    got[1] += len(grp)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc),
+                    "psum": [a[0].tolist() for a in acc.values()],
+                    "pcnt": [a[1] for a in acc.values()],
+                }
+            )
+
+    p = assign.select("cell", "v").mapInPandas(
+        partials, "cell int, psum array<double>, pcnt long"
+    )
+    return (
+        p.select("cell", "pcnt", F.posexplode("psum").alias("dim", "s"))
+        .groupBy("cell", "dim")
+        .agg(
+            rnd(F.sum("s") / F.sum("pcnt"), 6).alias("cval"),
+        )
+    )
 
 
 def _assign_cells(
@@ -903,6 +972,7 @@ def _np_pq_scores(
     m: int,
     n_local: int,
     max_queries: int,
+    n_probe: int = 8,
 ) -> DataFrame:
     """Stage-1 ADC scoring as integer numpy gathers (see
     :func:`vector_topk_pq` ``scoring="np"``).  The LUT is the Spark-
@@ -917,15 +987,20 @@ def _np_pq_scores(
     import numpy as np
     import pandas as pd
 
+    # bound = queries × probed cells per query (passed by the caller,
+    # never assumed — r12 advice: a hard-coded ×8 rejected legitimate
+    # high-n_probe runs and its error pointed at the wrong knobs)
+    bound = max_queries * n_probe
     prows = (
         probes.select("query_id", "label")
-        .limit(max_queries * 8 + 1)
+        .limit(bound + 1)
         .collect()
     )
-    if len(prows) > max_queries * 8:
+    if len(prows) > bound:
         raise ValueError(
             "vector_topk_pq(scoring='np'): probe set exceeds "
-            f"{max_queries * 8} rows — raise max_queries only if the "
+            f"{bound} rows (max_queries={max_queries} × "
+            f"n_probe={n_probe}) — raise max_queries only if the "
             "driver is sized for it, or increase query_mod"
         )
     lrows = lut.collect()
@@ -1097,7 +1172,8 @@ def vector_topk_pq(
     )
     if scoring == "np":
         adot = _np_pq_scores(
-            spark, cells, probes, lut, m, k * oversample, max_queries
+            spark, cells, probes, lut, m, k * oversample, max_queries,
+            n_probe=n_probe,
         )
     elif scoring == "rel":
         # candidates: codes of the probed cells only (column-pruned scan)

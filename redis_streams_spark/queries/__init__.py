@@ -54,6 +54,7 @@ def _load_all() -> None:
         profile2,
         pyudf,
         quality,
+        rag,
         relational,
         relational2,
         relational3,
@@ -70,6 +71,7 @@ def _load_all() -> None:
         similarity5,
         similarity6,
         similarity7,
+        similarity8,
         sketch,
         sketch2,
         splits,
