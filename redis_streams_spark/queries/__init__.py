@@ -64,6 +64,7 @@ def _load_all() -> None:
         relational7,
         retrieval,
         scale,
+        semdedup,
         similarity,
         similarity2,
         similarity3,

@@ -138,3 +138,123 @@ def sim_recall_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _recall("ivfpq_hits", "ivfpq_recall_at_10"),
         "n_queries",
     )
+
+
+# ------------------------------------------------- matryoshka truncation
+
+_TRUNC_TOPK = """
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           round(5e-10 + list_reduce(list_transform(
+                     range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i]),
+                     (x, y) -> x + y) / (q.qn * c.norm), 6) AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round(5e-10 + list_reduce(
+                                list_transform(range(1, len(q.qv) + 1),
+                                i -> q.qv[i] * c.v[i]), (x, y) -> x + y)
+                                / (q.qn * c.norm), 6) DESC,
+                              c.vec_id) AS rank
+    FROM (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM {src}
+          WHERE vec_id % {mod} = 0) q
+    JOIN {src} c ON c.vec_id <> q.query_id) t
+  WHERE rank <= {k}
+"""
+
+
+def _matryoshka_oracle() -> str:
+    def trunc_cte(name: str, den: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v[1:(len(v) // {den})] AS v,
+         sqrt(list_reduce(list_transform(v[1:(len(v) // {den})],
+              x -> x * x), (a, b) -> a + b)) AS norm
+  FROM e)"""
+
+    def topk(src: str) -> str:
+        return _TRUNC_TOPK.format(src=src, mod=_QUERY_MOD, k=_K)
+
+    from redis_streams_spark.queries.similarity import _E_CTE
+
+    return f"""
+WITH {_E_CTE},
+{trunc_cte('eh', 2)},
+{trunc_cte('eq', 4)},
+bf AS ({topk('e')}),
+hf AS ({topk('eh')}),
+qf AS ({topk('eq')})
+SELECT
+  round(5e-10 + (SELECT count(*) FROM bf b JOIN hf h
+                 ON b.query_id = h.query_id AND b.cand_id = h.cand_id) * 1.0
+        / (SELECT count(*) FROM bf), 4) AS half_recall_at_10,
+  round(5e-10 + (SELECT count(*) FROM bf b JOIN qf q2
+                 ON b.query_id = q2.query_id AND b.cand_id = q2.cand_id) * 1.0
+        / (SELECT count(*) FROM bf), 4) AS quarter_recall_at_10,
+  (SELECT count(DISTINCT query_id) FROM bf) AS n_queries
+"""
+
+
+@register(
+    "sim_matryoshka_recall",
+    shape="bounded",
+    tags=("similarity", "ann", "quality", "embeddings"),
+    oracle=_matryoshka_oracle(),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PREFIX-TRUNCATED embeddings (d/2 and d/4 head
+    dimensions, renormalized) against the full-dimension exact top-10
+    — the Matryoshka-representation storage dial (Kusupati et al.
+    2022): truncating the stored vector cuts scan bytes and index
+    size linearly, and this row measures exactly what that costs in
+    neighbor fidelity on THIS corpus.  All three rankings run the
+    audited brute-force operator (truncation is just a column
+    expression feeding it), so the number reflects the real physical
+    path; the oracle replays slice, renorm, all three rankings, and
+    the overlap arithmetic.
+
+    At 100 TB the same row (on a sample) decides whether the vector
+    store keeps 64, 32, or 16 dims hot — combine with
+    ``sim_recall_compressed`` for the truncate-then-quantize
+    frontier."""
+    from redis_streams_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def trunc(den: int) -> DataFrame:
+        return emb.select(
+            "vec_id",
+            F.slice(
+                "embedding", 1, (F.size("embedding") / den).cast("int")
+            ).alias("embedding"),
+        )
+
+    def topk_ids(src: DataFrame) -> DataFrame:
+        return brute_force_topk(src, k=_K, query_mod=_QUERY_MOD).select(
+            "query_id", "cand_id"
+        )
+
+    bf = topk_ids(emb).persist()
+    labeled = (
+        topk_ids(trunc(2))
+        .withColumn("path", F.lit("half"))
+        .unionByName(topk_ids(trunc(4)).withColumn("path", F.lit("quarter")))
+    )
+    hits = bf.join(labeled, ["query_id", "cand_id"]).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("path") == "half", 1)), F.lit(0)
+        ).alias("half_hits"),
+        F.coalesce(
+            F.sum(F.when(F.col("path") == "quarter", 1)), F.lit(0)
+        ).alias("quarter_hits"),
+    )
+    totals = bf.agg(
+        F.count(F.lit(1)).alias("n_bf"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return totals.crossJoin(hits).select(
+        rnd(F.col("half_hits") * 1.0 / F.col("n_bf"), 4).alias(
+            "half_recall_at_10"
+        ),
+        rnd(F.col("quarter_hits") * 1.0 / F.col("n_bf"), 4).alias(
+            "quarter_recall_at_10"
+        ),
+        "n_queries",
+    )
