@@ -111,6 +111,8 @@ __all__ = [
     "delete_from_vector_index",
     "vector_topk_indexed",
     "vector_topk_pq",
+    "vector_match_index",
+    "semantic_ingest_batch",
     "compact_vector_index",
     "drop_vector_segment",
     "gc_vector_index",
@@ -1225,6 +1227,155 @@ def vector_topk_pq(
         .where(F.col("rank") <= k)
         # no presentation sort (order-insensitive gate; see ivf_topk)
     )
+
+
+# ------------------------------------------------- semantic dedup probe
+
+
+def vector_match_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    tau: float = 0.35,
+    n_probe: int = 2,
+    exclude_segment: str | None = None,
+) -> DataFrame:
+    """Semantic-duplicate verdicts for EXTERNAL query vectors against
+    the indexed corpus — the online form of
+    :func:`operators.similarity.semantic_dedup` where the "cluster"
+    scope is the index's probed cells: each query (``vec_id,
+    embedding``; NOT in the index) probes its ``n_probe`` nearest
+    cells by merged-centroid cosine and matches any indexed vector
+    there with exact cosine ≥ ``tau``.  Returns one row per query:
+    (vec_id, verdict keep|remove, match_id, match_cos) with the repo's
+    -1 / -1.0 sentinels for keepers (nullable BIGINT/DOUBLE would
+    float-promote the oracle's pandas path).  ``match_id`` is the
+    highest-cosine match, ties to the lower id.
+
+    ``exclude_segment`` drops that segment's cells AND its centroid
+    partial from the probe — replay safety for the at-least-once
+    ingest loop (:func:`semantic_ingest_batch`): a redelivered batch
+    must not match the keepers its own previous delivery appended,
+    and its probe ranking must not see its own centroid mass.
+
+    Scale shape: probe selection is |queries| × n_cells against the
+    tiny merged-centroid table; the candidate scan is pruned to probed
+    cells via the broadcast equi-join on the ``label`` partition
+    column; the verdict aggregate is output-sized."""
+    gpath, dead = open_index(path)
+    excl = list(dead) + ([exclude_segment] if exclude_segment else [])
+    cent = _merged_centroids(
+        drop_dead(_read_store(spark, gpath, "cstats"), excl)
+    )
+    cells = _live_cells(spark, gpath, excl)
+    q = as_double_vec(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "label",
+        cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cnorm")).alias(
+            "ccos"
+        ),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), "label")
+    probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probe
+    )
+    best = (
+        cells.join(
+            F.broadcast(probes.select("query_id", "qv", "qn", "label")),
+            "label",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias(
+                "mcos"
+            ),
+        )
+        .where(F.col("mcos") >= tau)
+        .groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct("cand_id", "mcos"),
+                F.struct(F.col("mcos"), (-F.col("cand_id")).alias("neg")),
+            ).alias("b")
+        )
+    )
+    return (
+        q.select("query_id")
+        .join(best, "query_id", "left")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.when(F.col("b").isNotNull(), F.lit("remove"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce(F.col("b.cand_id"), F.lit(-1).cast("long")).alias(
+                "match_id"
+            ),
+            F.coalesce(F.col("b.mcos"), F.lit(-1.0)).alias("match_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_ingest_batch(
+    batch: DataFrame,
+    path: str,
+    segment: str,
+    tau: float = 0.35,
+    n_probe: int = 2,
+    verdicts_path: str | None = None,
+) -> DataFrame:
+    """Online semantic dedup — the foreachBatch body of a continuously
+    semantically-deduplicated corpus, completing the per-family ingest
+    loops (``dedup_ingest_batch`` for signatures, ``ingest_gram_batch``
+    for substrings): verdict the embedding micro-batch against the
+    ACCEPTED corpus (:func:`vector_match_index`, own segment excluded
+    — replay-safe), persist the verdicts DURABLY (parquet partitioned
+    by segment, the family's no-driver-collect discipline), then
+    append only the ``keep`` vectors as this batch's index segment.
+    Returns the verdicts read back from ``verdicts_path`` (default
+    ``<path>/_verdicts``).
+
+    Ordering contract (same as ``dedup_ingest_batch``): verdicts are
+    against previous batches' keepers — greedy first-seen-wins;
+    near-duplicates WITHIN one micro-batch are both kept (intra-batch
+    semantic dedup, if wanted, is ``semantic_dedup`` on the batch
+    before this call)."""
+    spark = batch.sparkSession
+    if verdicts_path is None:
+        verdicts_path = os.path.join(path, "_verdicts")
+    verdicts = vector_match_index(
+        spark, path, batch, tau=tau, n_probe=n_probe,
+        exclude_segment=segment,
+    )
+    (
+        verdicts.withColumn("segment", F.lit(segment))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(verdicts_path)
+    )
+    stored = (
+        spark.read.parquet(verdicts_path)
+        .where(F.col("segment") == segment)
+        .drop("segment")
+    )
+    keepers = batch.join(
+        stored.where(F.col("verdict") == "keep").select(
+            F.col("vec_id")
+        ),
+        "vec_id",
+    )
+    update_vector_index(keepers, path, segment=segment)
+    return stored
 
 
 # ---------------------------------------------------------- maintenance

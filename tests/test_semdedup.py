@@ -71,3 +71,71 @@ def test_semantic_dedup_cluster_scoped(spark):
     assert got[2][1] == "remove" and got[3][1] == "remove"
     assert got[0][0] == got[2][0] and got[1][0] == got[3][0]
     assert got[0][0] != got[1][0]
+
+
+# --------------------------------------- incremental loop (vector index)
+
+
+def _eidx(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_semantic_ingest_batch_replay_safe(spark, tmp_path):
+    """The online loop: batch verdicted against accepted history
+    (probed cells, cosine >= tau), verdicts durable, keepers appended;
+    at-least-once redelivery of the same (batch, segment) yields
+    identical verdicts and index state."""
+    import os
+
+    from redis_streams_spark.operators.vecindex import (
+        build_vector_index,
+        semantic_ingest_batch,
+        vector_index_status,
+    )
+
+    hist = _eidx(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+    )
+    root = str(tmp_path / "idx")
+    build_vector_index(hist, root, managed=True, n_cells=2, train_iters=1)
+    batch = _eidx(
+        spark,
+        [
+            (10, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 → remove
+            (11, [0.0, 0.0, 0.0, 1.0]),      # fresh → keep
+        ],
+    )
+    got = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in semantic_ingest_batch(batch, root, segment="b1", tau=0.9)
+    .collect()
+    }
+    assert got[10] == ("remove", 0)
+    assert got[11] == ("keep", -1)
+    assert os.path.isdir(os.path.join(root, "_verdicts"))
+    # redelivery: same verdicts (own segment excluded from the probe),
+    # same index state (dynamic overwrite replaces)
+    again = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in semantic_ingest_batch(batch, root, segment="b1", tau=0.9)
+    .collect()
+    }
+    assert again == got
+    st = {r.segment: r for r in vector_index_status(spark, root).collect()}
+    assert "b1" in st
+    # a LATER batch near the kept 11 now matches history
+    batch2 = _eidx(spark, [(20, [0.0, 0.0, 0.01, 0.999])])
+    got2 = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in semantic_ingest_batch(batch2, root, segment="b2", tau=0.9)
+    .collect()
+    }
+    assert got2[20] == ("remove", 11)
