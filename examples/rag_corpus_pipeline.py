@@ -54,6 +54,7 @@ from redis_streams_spark.operators.invindex import (  # noqa: E402
 from redis_streams_spark.operators.similarity import rrf_fuse  # noqa: E402
 from redis_streams_spark.operators.vecindex import (  # noqa: E402
     build_vector_index,
+    semantic_ingest_batch,
     update_vector_index,
     vector_index_maintenance_advice,
     vector_topk_indexed,
@@ -76,7 +77,8 @@ class RagCorpus:
 
 
 def rag_ingest_batch(
-    corpus: RagCorpus, docs: DataFrame, emb: DataFrame, segment: str
+    corpus: RagCorpus, docs: DataFrame, emb: DataFrame, segment: str,
+    semantic_tau: float | None = None,
 ) -> DataFrame:
     """One at-least-once ingest step: probe+drop duplicates, then
     append the keepers' text and vectors as ``segment`` in the lexical
@@ -84,11 +86,23 @@ def rag_ingest_batch(
     (vec_id, embedding, label) for the SAME ids.  Returns the batch's
     verdict frame (read back from the durable store).
 
-    Replay safety is inherited from the three families: the dedup
-    probe excludes the batch's own segment, and all writes are
-    batch-keyed dynamic partition overwrites — a re-delivered batch
-    recomputes identical verdicts and replaces its own partitions
-    everywhere."""
+    ``semantic_tau`` arms a SECOND dedup gate behind the signature
+    probe: the lexical keepers' embeddings are verdicted against the
+    accepted corpus through the vector index itself
+    (``semantic_ingest_batch`` — probed-cell cosine ≥ τ, the online
+    SemDeDup form), so a paraphrased resubmission the shingle
+    signatures miss is still dropped; its verdict row reads
+    ``semantic_dup`` with the retained match id.  Only documents that
+    survive BOTH gates reach the lexical index.  (The signature index
+    keeps the lexical keepers' signatures either way — semantic
+    removals are lexical non-duplicates by definition, and their
+    signatures guard against byte-level resubmission of the same
+    text.)
+
+    Replay safety is inherited from the families: every probe
+    excludes the batch's own segment, and all writes are batch-keyed
+    dynamic partition overwrites — a re-delivered batch recomputes
+    identical verdicts and replaces its own partitions everywhere."""
     verdicts = dedup_ingest_batch(
         docs.select("doc_id", "text"), corpus.dup, segment, corpus.verdicts
     )
@@ -98,16 +112,38 @@ def rag_ingest_batch(
         keep_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
     if not corpus._bootstrapped:
-        # first batch founds the managed roots (segment "base")
+        # first batch founds the managed roots (segment "base");
+        # SemDeDup online semantics accept the whole founding batch
         build_inverted_index(keep_docs, corpus.lex, managed=True)
         build_vector_index(
             keep_emb, corpus.vec, managed=True, n_cells=corpus.n_cells
         )
         corpus._bootstrapped = True
-    else:
+        return verdicts
+    if semantic_tau is None:
         update_inverted_index(keep_docs, corpus.lex, segment=segment)
         update_vector_index(keep_emb, corpus.vec, segment=segment)
-    return verdicts
+        return verdicts
+    sem = semantic_ingest_batch(
+        keep_emb, corpus.vec, segment, tau=semantic_tau
+    )
+    final_ids = sem.where("verdict = 'keep'").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    update_inverted_index(
+        keep_docs.join(final_ids, "doc_id"), corpus.lex, segment=segment
+    )
+    sem_removed = sem.where("verdict = 'remove'").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("match_id").alias("sem_match"),
+    )
+    return verdicts.join(sem_removed, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("sem_match").isNotNull(), F.lit("semantic_dup"))
+        .otherwise(F.col("verdict"))
+        .alias("verdict"),
+        F.coalesce("match_id", "sem_match").alias("match_id"),
+    )
 
 
 def hybrid_search(

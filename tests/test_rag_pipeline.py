@@ -110,3 +110,52 @@ def test_hybrid_search_fuses_both_paths(spark, pipeline):
         per_q.setdefault(r.query_id, []).append(r.fused_rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_semantic_gate_catches_paraphrased_resubmission(spark, tmp_path):
+    """With semantic_tau armed, a resubmission whose TEXT is fully
+    rewritten (signature probe misses) but whose EMBEDDING matches the
+    accepted corpus is dropped as semantic_dup; fresh content passes
+    both gates; the lexical index only receives the double-keepers."""
+    corpus = RagCorpus(str(tmp_path / "rag"), n_cells=2)
+    docs1 = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot"),
+         (1, "golf hotel india juliet kilo lima")],
+        "doc_id long, text string",
+    )
+    emb1 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rag_ingest_batch(corpus, docs1, emb1, "b1", semantic_tau=0.9)
+    # doc 10: paraphrase of 0 — disjoint tokens, near-identical vector;
+    # doc 11: genuinely new
+    docs2 = spark.createDataFrame(
+        [(10, "one two three four five six seven"),
+         (11, "mike november oscar papa quebec romeo")],
+        "doc_id long, text string",
+    )
+    emb2 = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0, 0.0], 0), (11, [0.0, 0.0, 1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    v2 = {r.doc_id: (r.verdict, r.match_id)
+          for r in rag_ingest_batch(
+              corpus, docs2, emb2, "b2", semantic_tau=0.9
+          ).collect()}
+    assert v2[10] == ("semantic_dup", 0)
+    assert v2[11][0] == "keep"
+    lex_total = sum(
+        r.n_docs for r in index_status(spark, corpus.lex).collect()
+    )
+    vec_total = sum(
+        r.n_vectors for r in vector_index_status(spark, corpus.vec).collect()
+    )
+    assert lex_total == 3  # 0, 1, 11 — never 10
+    assert vec_total == 3
+    # replay of the gated batch is idempotent
+    again = {r.doc_id: (r.verdict, r.match_id)
+             for r in rag_ingest_batch(
+                 corpus, docs2, emb2, "b2", semantic_tau=0.9
+             ).collect()}
+    assert again == v2
