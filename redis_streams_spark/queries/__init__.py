@@ -86,6 +86,7 @@ def _load_all() -> None:
         text5,
         text6,
         text7,
+        text8,
         timeseries,
         timeseries2,
         timeseries3,

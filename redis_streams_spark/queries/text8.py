@@ -1,0 +1,115 @@
+"""Round-13 tokenizer-training wave: the FULL iterative BPE loop
+(operators/bpe.py) through the oracle gate — ``text_bpe_merge_
+candidates`` (text6.py) proved round one's pair counts; this proves
+the training LOOP: argmax merge-rule adoption and greedy-leftmost
+merge APPLICATION, three rounds unrolled in SQL the same way the
+Lloyd k-means oracle unrolls its iterations.  The overlap-resolution
+semantics (runs of consecutive matches keep alternate positions from
+the run head) are replayed as a gaps-and-islands computation, so the
+adopted rules AND their counts are hash-verified — a wrong overlap
+rule in either engine breaks round 2's counts.
+
+Reference basis: none (SURVEY §2.2 extension surface — tokenizer
+training); Sennrich, Haddow, Birch 2016 (BPE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redis_streams_spark.functions.textfns import words_sql
+from redis_streams_spark.operators.bpe import MAX_WORD_LEN
+from redis_streams_spark.queries.base import register
+from redis_streams_spark.session import load_table
+
+_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> list[str]:
+    """One unrolled BPE round: pairs over state s{r-1}, argmax rule
+    b{r}, match positions m{r}, alternate-kept matches k{r} (islands),
+    rebuilt state s{r}."""
+    return [
+        f"""p{r} AS (
+  SELECT tok, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nsym
+  FROM s{r - 1})""",
+        f"""c{r} AS (
+  SELECT sym AS left_sym, nsym AS right_sym, sum(freq)::BIGINT AS pair_count
+  FROM p{r} WHERE nsym IS NOT NULL GROUP BY 1, 2)""",
+        f"""b{r} AS (
+  SELECT left_sym, right_sym, pair_count FROM c{r}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""",
+        f"""m{r} AS (
+  SELECT p.tok, p.pos
+  FROM p{r} p, b{r} b
+  WHERE p.sym = b.left_sym AND p.nsym = b.right_sym)""",
+        f"""k{r} AS (
+  SELECT tok, pos FROM (
+    SELECT tok, pos, min(pos) OVER (PARTITION BY tok, grp) AS rs
+    FROM (SELECT tok, pos,
+                 pos - row_number() OVER (PARTITION BY tok ORDER BY pos)
+                   AS grp
+          FROM m{r}) t) t2
+  WHERE (pos - rs) % 2 = 0)""",
+        f"""s{r} AS (
+  SELECT tok, freq,
+         row_number() OVER (PARTITION BY tok ORDER BY pos) - 1 AS pos,
+         sym
+  FROM (
+    SELECT s.tok, s.freq, s.pos,
+           CASE WHEN k.pos IS NOT NULL
+                THEN (SELECT left_sym || right_sym FROM b{r})
+                ELSE s.sym END AS sym
+    FROM s{r - 1} s
+    LEFT JOIN k{r} k ON k.tok = s.tok AND k.pos = s.pos
+    LEFT JOIN k{r} c ON c.tok = s.tok AND c.pos = s.pos - 1
+    WHERE c.pos IS NULL) u)""",
+    ]
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        f"""wf AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({words_sql('text')}) AS tok FROM documents) t
+  GROUP BY tok)""",
+        f"""s0 AS (
+  SELECT tok, freq, i - 1 AS pos, tok[i:i] AS sym
+  FROM wf, (SELECT unnest(range(1, {MAX_WORD_LEN + 1})) AS i) r
+  WHERE i <= least(len(tok), {MAX_WORD_LEN}))""",
+    ]
+    for r in range(1, _ROUNDS + 1):
+        parts += _bpe_round_ctes(r)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, left_sym, right_sym, "
+        f"left_sym || right_sym AS merged_sym, pair_count FROM b{r}"
+        for r in range(1, _ROUNDS + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT round, left_sym, right_sym, merged_sym, pair_count
+FROM ({finals}) f
+ORDER BY round
+"""
+
+
+@register(
+    "text_bpe_train",
+    shape="bounded",
+    tags=("text", "tokenizer", "iterative", "llm-pipeline"),
+    oracle=_bpe_train_oracle(),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of real BPE training over the corpus vocabulary:
+    pair counts (word-frequency weighted) → adopt the most frequent
+    pair (ties to the lexicographically smaller) → APPLY the merge
+    greedy-leftmost → recount.  Returns the adopted merge table; the
+    oracle unrolls all three rounds including the overlap-resolution
+    islands, so the loop's every decision is value-checked.  Scale
+    shape: every round runs over the vocabulary, not the corpus — the
+    corpus is touched once by the word-count aggregate."""
+    from redis_streams_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, rounds=_ROUNDS)
