@@ -52,7 +52,7 @@ def _bpe_round_ctes(r: int) -> list[str]:
                    AS grp
           FROM m{r}) t) t2
   WHERE (pos - rs) % 2 = 0)""",
-        f"""s{r} AS (
+        f"""s{r} AS MATERIALIZED (
   SELECT tok, freq,
          row_number() OVER (PARTITION BY tok ORDER BY pos) - 1 AS pos,
          sym
@@ -113,3 +113,82 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, rounds=_ROUNDS)
+
+
+def _bpe_curve_oracle() -> str:
+    parts = [
+        f"""wf AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({words_sql('text')}) AS tok FROM documents) t
+  GROUP BY tok)""",
+        f"""s0 AS (
+  SELECT tok, freq, i - 1 AS pos, tok[i:i] AS sym
+  FROM wf, (SELECT unnest(range(1, {MAX_WORD_LEN + 1})) AS i) r
+  WHERE i <= least(len(tok), {MAX_WORD_LEN}))""",
+    ]
+    for r in range(1, _ROUNDS + 1):
+        parts += _bpe_round_ctes(r)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, sum(freq)::BIGINT AS total_tokens, "
+        f"count(DISTINCT sym)::BIGINT AS n_symbols FROM s{r}"
+        for r in range(0, _ROUNDS + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT round, total_tokens, n_symbols
+FROM ({finals}) f
+ORDER BY round
+"""
+
+
+@register(
+    "text_bpe_curve",
+    shape="bounded",
+    tags=("text", "tokenizer", "iterative", "llm-pipeline"),
+    oracle=_bpe_curve_oracle(),
+)
+def text_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE COMPRESSION CURVE: corpus token count (word-frequency
+    weighted) and alphabet size after each training round — round 0 is
+    the raw character tokenization, each merge round shrinks
+    total_tokens by exactly its adopted pair_count and grows the
+    symbol alphabet by one (both invariants implied, not assumed: the
+    oracle recounts the rebuilt states).  This is the number a
+    tokenizer-training run watches to pick its merge budget; at 100 TB
+    the whole computation is vocabulary-sized."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.operators.bpe import (
+        _apply_merge,
+        bpe_train,
+        bpe_word_symbols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(docs, rounds=_ROUNDS).collect()
+    state = bpe_word_symbols(docs).persist()
+    frames = []
+    persisted = [state]
+    for r in range(0, _ROUNDS + 1):
+        frames.append(
+            state.agg(
+                F.lit(r).alias("round"),
+                F.sum("freq").alias("total_tokens"),
+                F.count_distinct("sym").alias("n_symbols"),
+            ).select("round", "total_tokens", "n_symbols")
+        )
+        if r < _ROUNDS:
+            rule = rules[r]
+            state = _apply_merge(
+                state, rule["left_sym"], rule["right_sym"]
+            ).persist()
+            persisted.append(state)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    result = out.orderBy("round")
+    # materialize before unpersisting the chain the union reads
+    rows = result.collect()
+    for f in persisted:
+        f.unpersist()
+    return spark.createDataFrame(rows, result.schema)
