@@ -1263,7 +1263,12 @@ def vector_match_index(
     cells via the broadcast equi-join on the ``label`` partition
     column; the verdict aggregate is output-sized."""
     gpath, dead = open_index(path)
-    excl = list(dead) + ([exclude_segment] if exclude_segment else [])
+    excl = list(dead)
+    if exclude_segment:
+        # both the segment and its replace-mode delete twin — a caller
+        # mixing replace deletes with this loop under one name must
+        # see a symmetric exclusion (r13 self-review)
+        excl += [exclude_segment, f"{exclude_segment}.del"]
     cent = _merged_centroids(
         drop_dead(_read_store(spark, gpath, "cstats"), excl)
     )
@@ -1331,6 +1336,7 @@ def semantic_ingest_batch(
     tau: float = 0.35,
     n_probe: int = 2,
     verdicts_path: str | None = None,
+    assume_fresh_ids: bool = False,
 ) -> DataFrame:
     """Online semantic dedup — the foreachBatch body of a continuously
     semantically-deduplicated corpus, completing the per-family ingest
@@ -1347,10 +1353,39 @@ def semantic_ingest_batch(
     against previous batches' keepers — greedy first-seen-wins;
     near-duplicates WITHIN one micro-batch are both kept (intra-batch
     semantic dedup, if wanted, is ``semantic_dedup`` on the batch
-    before this call)."""
+    before this call).
+
+    Id-reuse guard (r13 self-review): this loop DEDUPS new documents;
+    it is not an upsert — a batch vec_id already live in another
+    segment would either silently match its own stale copy or, if
+    re-embedded past τ, append a SECOND live copy of the id.  Such
+    ids are refused loudly (route refreshes through
+    ``update_vector_index(..., replace=True)``).  The check is one
+    batch-keyed semi-join against the cells store's vec_id column;
+    ``assume_fresh_ids=True`` skips it for hot loops whose id
+    discipline is enforced upstream."""
     spark = batch.sparkSession
     if verdicts_path is None:
         verdicts_path = os.path.join(path, "_verdicts")
+    if not assume_fresh_ids:
+        gpath, dead = open_index(path)
+        reused = (
+            _live_cells(spark, gpath, dead)
+            .where(F.col("segment") != segment)
+            .select("vec_id")
+            .join(batch.select("vec_id"), "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if reused:
+            raise ValueError(
+                "semantic_ingest_batch: batch vec_id "
+                f"{reused[0]['vec_id']} is already live in the index — "
+                "this loop dedups NEW documents; re-embedded refreshes "
+                "go through update_vector_index(..., replace=True) "
+                "(or pass assume_fresh_ids=True if upstream enforces "
+                "fresh ids)"
+            )
     verdicts = vector_match_index(
         spark, path, batch, tau=tau, n_probe=n_probe,
         exclude_segment=segment,

@@ -139,3 +139,29 @@ def test_semantic_ingest_batch_replay_safe(spark, tmp_path):
     .collect()
     }
     assert got2[20] == ("remove", 11)
+
+
+def test_semantic_ingest_refuses_reused_live_id(spark, tmp_path):
+    """A batch vec_id already live in another segment is refused
+    loudly (this loop dedups new docs; refreshes go through
+    replace=True) — and assume_fresh_ids=True skips the guard."""
+    import pytest as _pytest
+
+    from redis_streams_spark.operators.vecindex import (
+        build_vector_index,
+        semantic_ingest_batch,
+    )
+
+    hist = _eidx(spark, [(0, [1.0, 0.0, 0.0, 0.0]),
+                         (1, [0.0, 1.0, 0.0, 0.0])])
+    root = str(tmp_path / "idx")
+    build_vector_index(hist, root, managed=True, n_cells=1, train_iters=1)
+    reuse = _eidx(spark, [(0, [0.0, 0.0, 1.0, 0.0])])  # re-embedded id 0
+    with _pytest.raises(ValueError, match="already live"):
+        semantic_ingest_batch(reuse, root, segment="b1", tau=0.9)
+    # replay of the SAME batch under its own segment stays allowed:
+    # the guard ignores the batch's own prior segment
+    fresh = _eidx(spark, [(10, [0.0, 0.0, 0.0, 1.0])])
+    semantic_ingest_batch(fresh, root, segment="b2", tau=0.9)
+    again = semantic_ingest_batch(fresh, root, segment="b2", tau=0.9)
+    assert {r.vec_id for r in again.collect()} == {10}
