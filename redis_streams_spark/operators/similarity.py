@@ -410,17 +410,15 @@ def semantic_dedup(
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
     )
-    return (
-        asg.join(dups, asg["vec_id"] == dups["b_id"], "left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.when(F.col("dup_of").isNotNull(), F.lit("remove"))
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-            F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
-        )
-        .orderBy("vec_id")
+    return asg.join(dups, asg["vec_id"] == dups["b_id"], "left").select(
+        "vec_id",
+        "cluster_id",
+        F.when(F.col("dup_of").isNotNull(), F.lit("remove"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+        # no presentation sort (order-insensitive gate; a global sort
+        # here is a range shuffle at scale — per_row plan discipline)
     )
 
 

@@ -1312,20 +1312,17 @@ def vector_match_index(
             ).alias("b")
         )
     )
-    return (
-        q.select("query_id")
-        .join(best, "query_id", "left")
-        .select(
-            F.col("query_id").alias("vec_id"),
-            F.when(F.col("b").isNotNull(), F.lit("remove"))
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-            F.coalesce(F.col("b.cand_id"), F.lit(-1).cast("long")).alias(
-                "match_id"
-            ),
-            F.coalesce(F.col("b.mcos"), F.lit(-1.0)).alias("match_cos"),
-        )
-        .orderBy("vec_id")
+    return q.select("query_id").join(best, "query_id", "left").select(
+        F.col("query_id").alias("vec_id"),
+        F.when(F.col("b").isNotNull(), F.lit("remove"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce(F.col("b.cand_id"), F.lit(-1).cast("long")).alias(
+            "match_id"
+        ),
+        F.coalesce(F.col("b.mcos"), F.lit(-1.0)).alias("match_cos"),
+        # no presentation sort (order-insensitive gate; per_row plan
+        # discipline — a global sort is a range shuffle at scale)
     )
 
 

@@ -192,3 +192,77 @@ def text_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in persisted:
         f.unpersist()
     return spark.createDataFrame(rows, result.schema)
+
+
+def _bpe_tokenize_oracle() -> str:
+    parts = [
+        f"""wf AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({words_sql('text')}) AS tok FROM documents) t
+  GROUP BY tok)""",
+        f"""s0 AS (
+  SELECT tok, freq, i - 1 AS pos, tok[i:i] AS sym
+  FROM wf, (SELECT unnest(range(1, {MAX_WORD_LEN + 1})) AS i) r
+  WHERE i <= least(len(tok), {MAX_WORD_LEN}))""",
+    ]
+    for r in range(1, _ROUNDS + 1):
+        parts += _bpe_round_ctes(r)
+    parts.append(
+        f"""syms AS (
+  SELECT tok, count(*)::BIGINT AS n_syms FROM s{_ROUNDS} GROUP BY tok)"""
+    )
+    parts.append(
+        f"""docw AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS tok FROM documents)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       sum(s.n_syms)::BIGINT AS n_tokens
+FROM docw d JOIN syms s ON s.tok = d.tok
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_bpe_tokenize",
+    shape="per_row",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle=_bpe_tokenize_oracle(),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED tokenizer: apply
+    the three adopted merges to the vocabulary, map every word to its
+    final symbol count, and aggregate per document — the trained
+    replacement for ``text_stats``'s regex token proxy, and the number
+    a token-budgeting pipeline actually bills by.  Scale shape: the
+    corpus-sized work is one words-explode aggregate; merge
+    application stays vocabulary-sized, and the per-doc count is a
+    broadcast-joinable vocab map against the exploded words."""
+    from pyspark.sql import functions as F
+
+    from redis_streams_spark.functions.textfns import words
+    from redis_streams_spark.operators.bpe import (
+        _apply_merge,
+        bpe_train,
+        bpe_word_symbols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(docs, rounds=_ROUNDS).collect()
+    state = bpe_word_symbols(docs)
+    for rule in rules:
+        state = _apply_merge(state, rule["left_sym"], rule["right_sym"])
+    syms = state.groupBy("tok").agg(F.count(F.lit(1)).alias("n_syms"))
+    docw = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    return (
+        docw.join(F.broadcast(syms), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+        )
+        # no presentation sort (order-insensitive gate; per_row plan
+        # discipline)
+    )

@@ -247,6 +247,12 @@ _BNLJ_OK = {
     "sim_ann_filtered",  # same broadcast merged-centroid crossJoin (hof path)
     "sim_ann_ivfpq",  # same broadcast merged-centroid crossJoin (probe rank)
     "sim_ann_ivfpq_lifecycle",  # same broadcast merged-centroid crossJoin
+    # -- round 13 --
+    "sim_recall_compressed",  # 1-row totals crossJoin + the three paths' broadcast ≠-joins
+    "rag_hybrid_indexed",  # broadcast merged-centroid crossJoin (learned-ANN side)
+    "dedup_semantic",  # broadcast Lloyd-centroid crossJoins (kmeans_assign)
+    "dedup_semantic_incremental",  # broadcast merged-centroid crossJoin (match probe)
+    "sim_matryoshka_recall",  # broadcast query-set ≠-joins ×3 + 1-row totals crossJoin
     # (q_roc_auc/q_pr_curve/q_mann_whitney/q_ks_test/q_wasserstein_1d are
     # listed above; their r09 prefix-sum rewrite adds only the tiny
     # bucket-offset triangle join, also a broadcast BNLJ)
@@ -267,6 +273,9 @@ _PYTHON_OK = {
     "sim_ann_learned",  # vector_topk_indexed(scoring="np") per-cell matmul
     "sim_ann_learned_retrain",  # same np kernel after retrain-on-compact
     "sim_ann_ivfpq",  # vector_topk_pq(scoring="np") integer LUT-gather kernel
+    # -- round 13 --
+    "sim_recall_compressed",  # folds the ivfpq np kernel into its overlap join
+    "rag_hybrid_indexed",  # the learned-ANN side runs the np cell kernel
 }
 
 
