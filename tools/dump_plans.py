@@ -1,0 +1,37 @@
+"""Dump .explain("formatted") for bench-flagged queries to plans/r13/.
+
+Usage: python tools/dump_plans.py <suffix> [query ...]
+Writes plans/r13/<query>_<suffix>.txt for each bench query (or the named
+queries).  Planning only — no jobs are executed beyond what query
+construction itself triggers.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redis_streams_spark.queries import all_queries
+from redis_streams_spark.session import get_spark
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plan-dump")
+    specs = all_queries()
+    if not names:
+        names = [n for n, s in specs.items() if s.bench]
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = specs[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name}_{suffix}.txt ({plan.count('Exchange')} Exchange refs)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
