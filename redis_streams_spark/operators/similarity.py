@@ -156,10 +156,31 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    emb: DataFrame, k: int = 10, query_mod: int = 25, n_probe: int = 2
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 25,
+    n_probe: int = 2,
+    scoring: str = "hof",
+    local_margin: int = 3,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """IVF-style ANN: score query → centroids (tiny, broadcast), keep the
-    n_probe nearest cells, search only candidates in those cells."""
+    n_probe nearest cells, search only candidates in those cells.
+
+    ``scoring`` picks the candidate-stage physical path — value-identical
+    results (the driver grades both on the same oracle):
+
+    - ``"hof"`` — interpreted higher-order-function cosine per
+      (query, candidate) row; pure-engine plan, zero driver collects.
+    - ``"np"`` — the shared Arrow/BLAS probed-cell kernel
+      (``vecindex._np_cell_scores``, the path r12 registered for the
+      managed index): probes are collected once (bounded by
+      ``max_queries``) and broadcast as per-cell dense query matrices;
+      each candidate Arrow batch computes one C @ Qᵀ matmul per cell and
+      emits only its tie-safe local top ``k*local_margin`` rows per
+      query.  The 6-dp rounding happens Spark-side on the raw float64
+      scores — the same two-path determinism argument (and test
+      evidence) as ``brute_force_topk_np``."""
     e = as_double_vec(emb)
     cent = label_centroids(emb)
     q = e.where(F.col("vec_id") % query_mod == 0).select(
@@ -178,15 +199,30 @@ def ivf_topk(
     probes = qc.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probe
     )
-    cands = e.join(
-        F.broadcast(probes.select("query_id", "qv", "qn", "label")), "label"
-    ).where(F.col("vec_id") != F.col("query_id"))
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("probed_label"),
-        cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias("cosine"),
-    )
+    if scoring == "np":
+        # lazy import: vecindex imports similarity at module level
+        from redis_streams_spark.operators.vecindex import _np_cell_scores
+
+        scored = _np_cell_scores(
+            emb.sparkSession,
+            e.select("vec_id", "v", "norm", "label"),
+            probes,
+            k,
+            local_margin,
+            max_queries,
+        )
+    elif scoring == "hof":
+        cands = e.join(
+            F.broadcast(probes.select("query_id", "qv", "qn", "label")), "label"
+        ).where(F.col("vec_id") != F.col("query_id"))
+        scored = cands.select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("probed_label"),
+            cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("norm")).alias("cosine"),
+        )
+    else:
+        raise ValueError(f"ivf_topk: unknown scoring {scoring!r}")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

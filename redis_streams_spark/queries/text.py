@@ -70,6 +70,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation + stopword ratios, and a logistic quality score.  All
     JVM-side built-ins (no Python UDF): higher-order array functions over
     the token array — embarrassingly parallel per row at any scale."""
+    from redis_streams_spark.operators.dedup import fanout
+
     docs = load_table(spark, sf_dir, "documents")
     # Two-stage shape: one projection computes each expensive expression
     # EXACTLY ONCE as an integer count (the interpreted stopword-filter
@@ -78,7 +80,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic runs over plain ints inside whole-stage codegen.  The
     # word-char sum is length(array_join(w)) — a codegen built-in with
     # the same value as the aggregate() fold it replaces.
-    base = docs.select("doc_id", "text", words("text").alias("w"))
+    # fanout (r13): the sf bench inputs are single-row-group files, so
+    # without it the whole regex/HOF pipeline ran on ONE core (the plan
+    # had zero exchanges); the conditional repartition spreads it and is
+    # a no-op on any input that already has >= cluster-core splits.
+    base = fanout(docs).select("doc_id", "text", words("text").alias("w"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     counts = base.select(
         "doc_id",
