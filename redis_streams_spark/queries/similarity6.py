@@ -193,6 +193,32 @@ def _fresh_path(tag: str) -> str:
     return path
 
 
+# (sf_dir, sorted build params) -> built index path.  READ-ONLY sharing
+# (r13 optimization, the retrieval._shared_index precedent): the managed
+# learned index is a pure function of (embeddings, build params), and the
+# three non-mutating rows that search it (sim_ann_learned,
+# sim_ann_filtered, rag_hybrid_indexed via sim_ann_learned) each paid the
+# full k-means build — 8-14 s of Lloyd training per query at sf0.001,
+# ~30% of the whole correctness gate when combined with the ivfpq twin.
+# Mutating queries (lifecycle/retrain) keep private _fresh_path builds.
+# The cache is per-process: every bench/oracle invocation still builds
+# from the parquet inputs.
+_SHARED_VECIDX_CACHE: dict[tuple, str] = {}
+
+
+def _shared_learned_index(spark: SparkSession, sf_dir: str, **params) -> str:
+    from redis_streams_spark.operators.vecindex import build_vector_index
+
+    key = (sf_dir, tuple(sorted(params.items())))
+    path = _SHARED_VECIDX_CACHE.get(key)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = _fresh_path("shared")
+        build_vector_index(emb, path, **params)
+        _SHARED_VECIDX_CACHE[key] = path
+    return path
+
+
 @register(
     "sim_ann_learned",
     shape="bounded",
@@ -209,15 +235,11 @@ def sim_ann_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical path is value-identical to the engine-pure one (both
     paths are asserted equal in tests; this registers the np path so
     the driver grades it)."""
-    from redis_streams_spark.operators.vecindex import (
-        build_vector_index,
-        vector_topk_indexed,
-    )
+    from redis_streams_spark.operators.vecindex import vector_topk_indexed
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = _fresh_path("learned")
-    build_vector_index(
-        emb, path, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
+    # read-only search: share the build (r13 — see _shared_learned_index)
+    path = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
     )
     return _topk_cols(
         vector_topk_indexed(
@@ -415,15 +437,12 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the whole learned chain with the same candidate
     restriction — a green row proves the filter respects the index's
     exactness contract instead of bypassing it."""
-    from redis_streams_spark.operators.vecindex import (
-        build_vector_index,
-        vector_topk_indexed,
-    )
+    from redis_streams_spark.operators.vecindex import vector_topk_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _fresh_path("filtered")
-    build_vector_index(
-        emb, path, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
+    # read-only search: share the build (r13 — see _shared_learned_index)
+    path = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
     )
     allowed = emb.where(_FILTER_PRED).select("vec_id")
     return _topk_cols(

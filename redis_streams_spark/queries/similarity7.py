@@ -292,15 +292,16 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational twin is driver-graded by the lifecycle query and the
     two are asserted equal in tests (both consume the SAME
     Spark-computed LUT, so there is no seam to diverge at)."""
-    from redis_streams_spark.operators.vecindex import (
-        build_vector_index,
-        vector_topk_pq,
+    from redis_streams_spark.operators.vecindex import vector_topk_pq
+    from redis_streams_spark.queries.similarity6 import (
+        _shared_learned_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = _fresh_path("ivfpq")
-    build_vector_index(
-        emb, path, managed=True, n_cells=_N_CELLS,
+    # read-only search: share the build with every other non-mutating
+    # consumer in the session (sim_recall_compressed re-runs this whole
+    # query — it paid a second full two-quantizer training before r13)
+    path = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS,
         train_iters=_COARSE_ITERS, pq_m=_M, pq_ksub=_K_SUB,
         pq_iters=_ITERS,
     )
