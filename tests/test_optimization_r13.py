@@ -1,0 +1,137 @@
+"""Round-13 optimization regressions: every physical-path change this
+round must stay value-identical to the shape it replaced (the results
+contract is frozen by the oracle; these tests pin the equivalence at the
+operator level so a drift fails fast and locally)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redis_streams_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_band_rows,
+)
+from redis_streams_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_np,
+    ivf_topk,
+)
+from redis_streams_spark.session import load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_lsh_candidate_pairs_matches_self_join(spark, sf_dir):
+    """The aggregation-based pair enumerator (one pass over the band
+    rows) must emit exactly the pairs the old bucket-keyed self-join
+    emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_rows(docs).persist()
+    new = lsh_candidate_pairs(bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    assert _rows(new, ["a_id", "b_id"]) == _rows(old, ["a_id", "b_id"])
+    assert len(_rows(new, ["a_id", "b_id"])) > 0, "fixture must produce pairs"
+    bands.unpersist()
+
+
+def test_ivf_topk_np_matches_hof(spark, sf_dir):
+    """ivf_topk(scoring='np') — the Arrow/BLAS probed-cell kernel — must
+    be value-identical to the engine-pure HOF path, including rounded
+    cosines and rank tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["query_id", "cand_id", "probed_label", "cosine", "rank"]
+    hof = ivf_topk(emb, k=10, query_mod=25, scoring="hof")
+    np_ = ivf_topk(emb, k=10, query_mod=25, scoring="np")
+    assert _rows(np_, cols) == _rows(hof, cols)
+
+
+def test_brute_force_np_matches_hof(spark, sf_dir):
+    """The registered bench row now runs brute_force_topk_np; pin its
+    identity to the HOF baseline at this SF (sim_recall_report holds the
+    same identity as recall==1.0 at the driver)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["query_id", "cand_id", "cosine", "rank"]
+    assert _rows(brute_force_topk_np(emb, k=10, query_mod=25), cols) == _rows(
+        brute_force_topk(emb, k=10, query_mod=25), cols
+    )
+
+
+def test_salted_join_shuffle_hash_plan_and_values(spark, sf_dir):
+    """salted_join must (a) not broadcast the replicated build side under
+    the default hint, and (b) still equal the plain join."""
+    from redis_streams_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(
+        li, orders, probe_key="l_orderkey", build_key="o_orderkey",
+        salt_source="l_linenumber", n_salt=4,
+    )
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    got = j.groupBy("o_orderpriority").count()
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    assert _rows(got, ["o_orderpriority", "count"]) == _rows(
+        want, ["o_orderpriority", "count"]
+    )
+
+
+def test_load_table_memoized_per_session(spark, sf_dir):
+    """load_table returns the same plan object per (session, sf_dir,
+    name) — and the escape hatch disables it."""
+    import os
+
+    from redis_streams_spark.session import load_table as lt
+
+    a = lt(spark, sf_dir, "lineitem")
+    b = lt(spark, sf_dir, "lineitem")
+    assert a is b
+    os.environ["SPARK_GRAFT_NO_TABLE_CACHE"] = "1"
+    try:
+        c = lt(spark, sf_dir, "lineitem")
+        assert c is not a
+        assert c.schema == a.schema
+    finally:
+        del os.environ["SPARK_GRAFT_NO_TABLE_CACHE"]
+
+
+def test_shared_learned_index_built_once(spark, sf_dir):
+    """_shared_learned_index returns the same path for identical params
+    and a different path for different params."""
+    from redis_streams_spark.queries.similarity6 import (
+        _ITERS,
+        _N_CELLS,
+        _shared_learned_index,
+    )
+
+    p1 = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
+    )
+    p2 = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=_ITERS
+    )
+    assert p1 == p2
+    p3 = _shared_learned_index(
+        spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=1
+    )
+    assert p3 != p1

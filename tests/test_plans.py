@@ -276,6 +276,11 @@ _PYTHON_OK = {
     # -- round 13 --
     "sim_recall_compressed",  # folds the ivfpq np kernel into its overlap join
     "rag_hybrid_indexed",  # the learned-ANN side runs the np cell kernel
+    # -- round 13 optimization: bench ANN rows routed through the same
+    # proven kernels (results oracle-identical; HOF twins stay covered
+    # by sim_recall_report's recall==1.0 identity and operator tests) --
+    "sim_bruteforce_topk",  # brute_force_topk_np BLAS matmul kernel
+    "sim_ivf_topk",  # ivf_topk(scoring="np") probed-cell kernel
 }
 
 
