@@ -791,6 +791,38 @@ def _stats_totals(
     )
 
 
+def _term_meta(
+    spark: SparkSession,
+    gpath: str,
+    dead: list[str],
+    tpart: DataFrame,
+    all_terms: set[str],
+) -> tuple[dict[str, tuple[int, int]], int, float]:
+    """Everything the MaxScore/router driver math needs in ONE driver
+    round-trip: per-term (df, max_tf) over the query's terms AND the
+    corpus (n, avgdl) totals, fetched as one collect by cross-joining
+    the one-row stats aggregate onto the |query-terms|-row terms
+    aggregate (previously two separately scheduled jobs —
+    OPTIMIZATION_r13.md §bm25 router).  Returns (meta, n_docs, avgdl).
+    When no query term exists in the index the joined frame is empty
+    and ``({}, 0, 1.0)`` comes back; with an empty meta both callers
+    route every query to the exact path, where n_docs/avgdl are never
+    read, so the placeholder values cannot leak into results."""
+    rows = (
+        tpart.where(F.col("tok").isin(sorted(all_terms)))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
+        .crossJoin(_stats_totals(spark, gpath, dead))
+        .collect()
+    )
+    if not rows:
+        return {}, 0, 1.0
+    n_docs = rows[0]["n"] or 0
+    avgdl = (rows[0]["sdl"] or 0) * 1.0 / n_docs if n_docs else 1.0
+    meta = {r["tok"]: (r["df"], r["mtf"]) for r in rows if r["df"] > 0}
+    return meta, n_docs, avgdl
+
+
 def _score_topk(
     matched: DataFrame, dfreq: DataFrame, stats: DataFrame, k: int
 ) -> DataFrame:
@@ -857,6 +889,7 @@ def bm25_topk_maxscore(
     k: int = 10,
     margin: float = 2e-6,
     return_plan: bool = False,
+    _meta: tuple[dict[str, tuple[int, int]], int, float] | None = None,
 ):
     """BM25 top-k with static MaxScore pruning (Turtle & Flood 1995) —
     value-identical to ``bm25_topk_indexed`` (same oracle) while
@@ -904,18 +937,14 @@ def bm25_topk_maxscore(
     # the working set was measured SLOWER at 100×: the cache write
     # costs more than two extra 4-column parquet scans — SCALE.md r11.)
     postings = postings.select("tok", "doc_id", "tf", "dl")
-    stats_row = _stats_totals(spark, gpath, dead).first()
-    n_docs = stats_row["n"] or 0
-    avgdl = (stats_row["sdl"] or 0) * 1.0 / n_docs if n_docs else 1.0
-    trows = (
-        tpart.where(F.col("tok").isin(sorted(all_terms)))
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
-        .collect()
-    )
+    # one metadata round-trip (terms agg × stats agg); the router
+    # (``bm25_topk_auto``) collected the identical frame already and
+    # hands it down via ``_meta`` so the routed call pays zero
+    if _meta is not None:
+        meta, n_docs, avgdl = _meta
+    else:
+        meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, all_terms)
     import math
-
-    meta = {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
 
     def _idf(df_t: int) -> float:
         return math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
@@ -1072,15 +1101,7 @@ def bm25_topk_auto(
     gpath, dead = _open_index(path)
     all_terms = {t for terms in queries.values() for t in terms}
     _, tpart, _ = _query_frames(spark, gpath, all_terms, dead)
-    trows = (
-        tpart.where(F.col("tok").isin(sorted(all_terms)))
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
-        .collect()
-    )
-    stats_row = _stats_totals(spark, gpath, dead).first()
-    n_docs = stats_row["n"] or 0
-    meta = {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
+    meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, all_terms)
     ub = {
         t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
         * (_K1 + 1.0)
@@ -1122,7 +1143,11 @@ def bm25_topk_auto(
     if ex:
         parts.append(bm25_topk_indexed(spark, path, ex, k=k))
     if ms:
-        parts.append(bm25_topk_maxscore(spark, path, ms, k=k))
+        parts.append(
+            bm25_topk_maxscore(
+                spark, path, ms, k=k, _meta=(meta, n_docs, avgdl)
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -109,18 +109,66 @@ def release_merge_lock(path: str) -> None:
         pass
 
 
+def _dir_signature(local: str) -> int:
+    """Cheap content signature of a parquet tree: a hash over every
+    file's (relative path, size, mtime_ns).  Any write Spark can make —
+    append (new part files), dynamic partition overwrite (replaced part
+    files with fresh names/mtimes), delete/rename — changes it, so it
+    is a sound invalidation key for plan reuse.  Walking the few
+    hundred files of an index store is microseconds against the
+    partition-discovery + footer-read job a fresh
+    ``spark.read.parquet`` schedules."""
+    acc = 0
+    n = 0
+    for root, _dirs, files in os.walk(local):
+        rel = os.path.relpath(root, local)
+        for f in files:
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            n += 1
+            acc ^= hash((rel, f, st.st_size, st.st_mtime_ns))
+    return hash((n, acc))
+
+
 def read_optional(spark: SparkSession, p: str) -> DataFrame | None:
     """Read a parquet tree that may not exist yet (empty index, no
     tombstones) — driver-side existence probe for local paths, with the
     AnalysisException fallback for remote schemes.  The one copy of the
-    ``file://``-stripping seam an object-store port would extend."""
+    ``file://``-stripping seam an object-store port would extend.
+
+    For local paths the returned DataFrame (an immutable plan) is
+    memoized per session, keyed by a directory signature over the
+    tree's (name, size, mtime) set: every index read funnels through
+    here, and profiling (OPTIMIZATION_r13.md) showed repeated
+    ``spark.read.parquet`` partition-discovery jobs over the same
+    unchanged store dominating the *_indexed query paths.  Any mutation
+    of the tree changes the signature and forces a fresh read, so
+    readers never see a stale file listing.  Set
+    SPARK_GRAFT_NO_TABLE_CACHE=1 to disable (same switch as
+    ``session.load_table``)."""
     local = p[7:] if p.startswith("file://") else p
     if "://" not in local and not os.path.isdir(local):
         return None
+    if "://" in local or os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE"):
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException:
+            return None
+    cache = getattr(spark, "_rss_read_cache", None)
+    if cache is None:
+        cache = spark._rss_read_cache = {}
+    sig = _dir_signature(local)
+    hit = cache.get(local)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     try:
-        return spark.read.parquet(p)
+        df = spark.read.parquet(p)
     except AnalysisException:
         return None
+    cache[local] = (sig, df)
+    return df
 
 
 def read_manifest(path: str) -> dict | None:

@@ -135,3 +135,59 @@ def test_shared_learned_index_built_once(spark, sf_dir):
         spark, sf_dir, managed=True, n_cells=_N_CELLS, train_iters=1
     )
     assert p3 != p1
+
+
+def test_read_optional_cache_invalidates_on_mutation(spark, tmp_path):
+    """read_optional memoizes the DataFrame plan for an UNCHANGED local
+    parquet tree (same object back) and invalidates on ANY file change
+    — readers must never see a stale file listing."""
+    from redis_streams_spark.operators import segstore
+
+    p = str(tmp_path / "store")
+    spark.range(5).write.parquet(p)
+    d1 = segstore.read_optional(spark, p)
+    d2 = segstore.read_optional(spark, p)
+    assert d1 is d2, "unchanged tree must hit the plan cache"
+    assert d1.count() == 5
+    spark.range(7).write.mode("append").parquet(p)
+    d3 = segstore.read_optional(spark, p)
+    assert d3 is not d1, "mutated tree must be re-read"
+    assert d3.count() == 12
+    # overwrite (replaced files, possibly same count) also invalidates
+    spark.range(3).write.mode("overwrite").parquet(p)
+    d4 = segstore.read_optional(spark, p)
+    assert d4 is not d3
+    assert d4.count() == 3
+
+
+def test_term_meta_single_collect_matches_two_jobs(spark, tmp_path):
+    """_term_meta (one crossJoin'd collect) must return exactly what the
+    replaced pair of jobs (terms agg collect + stats first()) returned."""
+    from redis_streams_spark.operators.invindex import (
+        _open_index,
+        _query_frames,
+        _stats_totals,
+        _term_meta,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream batch hash join window w{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path)
+    gpath, dead = _open_index(path)
+    terms = {"spark", "hash", "w1", "nosuchterm"}
+    _, tpart, _ = _query_frames(spark, gpath, terms, dead)
+    meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, terms)
+    trows = (
+        tpart.where(F.col("tok").isin(sorted(terms)))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("mtf"))
+        .collect()
+    )
+    srow = _stats_totals(spark, gpath, dead).first()
+    assert meta == {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
+    assert n_docs == (srow["n"] or 0) and n_docs > 0
+    assert avgdl == (srow["sdl"] or 0) * 1.0 / n_docs
