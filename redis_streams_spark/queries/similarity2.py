@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
-from redis_streams_spark.operators.similarity import brute_force_topk
+from redis_streams_spark.operators.similarity import brute_force_topk_np
 from redis_streams_spark.queries.base import register
 from redis_streams_spark.queries.similarity import _DOT, _E_CTE
 from redis_streams_spark.session import load_table
@@ -66,13 +66,15 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared to its own — the standard embedding-space quality check
     behind every index-change signoff.
 
-    Scale shape: reuses brute_force_topk (broadcast queries, streaming
-    candidates, per-query ranking window); the vote/majority/judgment
+    Scale shape: reuses the vectorized exact top-k (broadcast queries,
+    BLAS-scored candidate batches, per-query ranking window — the
+    r13-audited physical path of sim_bruteforce_topk, value-identical
+    to the HOF form); the vote/majority/judgment
     stages are all windows and aggregates over the k×|queries| top-k
     rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
-    topk = brute_force_topk(emb, k=10, query_mod=25).join(
+    topk = brute_force_topk_np(emb, k=10, query_mod=25).join(
         labels.select(
             F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
         ),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from redis_streams_spark.functions.rounding import rnd, rnd_sql
 from redis_streams_spark.operators.similarity import (
-    brute_force_topk,
+    brute_force_topk_np,
     dot_topk,
     lsh_topk,
     rrf_fuse,
@@ -113,7 +113,7 @@ def sim_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees per branch; column pruning makes the copies non-identical,
     so ReuseExchange cannot dedupe them)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bf = brute_force_topk(emb, k=_K, query_mod=25).select(
+    bf = brute_force_topk_np(emb, k=_K, query_mod=25).select(
         "query_id", "cand_id", F.col("rank").alias("bf_rank")
     )
     lsh = lsh_topk(emb, k=_K, query_mod=25, n_planes=16, bands=4).select(
@@ -208,7 +208,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     2k rows per query — and a per-query ranking window; no global sort,
     no cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bf = brute_force_topk(emb, k=_K, query_mod=25).select(
+    bf = brute_force_topk_np(emb, k=_K, query_mod=25).select(
         "query_id", "cand_id", F.col("rank").alias("cos_rank")
     )
     dt = dot_topk(emb, k=_K, query_mod=25).select(

@@ -85,6 +85,12 @@ def sim_recall_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the baseline feeds all three overlap joins and is
     persisted once; each path contributes k rows per query, so every
     join is output-sized (queries × k) regardless of corpus size."""
+    # NB: deliberately the HOF brute_force_topk, not the Arrow kernel —
+    # this query is dominated by the SQ8/PQ/IVF-PQ builds and the
+    # interleaved A/B (OPTIMIZATION_r13.md §11) showed the np kernel's
+    # extra probe-collect job costing a consistent ~1.7 s here with no
+    # offsetting win (the bf slice is tiny); the four queries where the
+    # kernel measurably wins use brute_force_topk_np.
     from redis_streams_spark.operators.similarity import brute_force_topk
     from redis_streams_spark.queries.similarity5 import sim_sq8_rerank
     from redis_streams_spark.queries.similarity7 import (
@@ -214,7 +220,9 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     store keeps 64, 32, or 16 dims hot — combine with
     ``sim_recall_compressed`` for the truncate-then-quantize
     frontier."""
-    from redis_streams_spark.operators.similarity import brute_force_topk
+    from redis_streams_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -227,7 +235,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def topk_ids(src: DataFrame) -> DataFrame:
-        return brute_force_topk(src, k=_K, query_mod=_QUERY_MOD).select(
+        return brute_force_topk_np(src, k=_K, query_mod=_QUERY_MOD).select(
             "query_id", "cand_id"
         )
 

@@ -281,6 +281,10 @@ _PYTHON_OK = {
     # by sim_recall_report's recall==1.0 identity and operator tests) --
     "sim_bruteforce_topk",  # brute_force_topk_np BLAS matmul kernel
     "sim_ivf_topk",  # ivf_topk(scoring="np") probed-cell kernel
+    "sim_knn_classify",  # brute_force_topk_np (A/B-won swap, OPTIMIZATION_r13 §11)
+    "sim_ndcg_mrr",  # brute_force_topk_np baseline ranking
+    "sim_rrf_fusion",  # brute_force_topk_np cosine ranking
+    "sim_matryoshka_recall",  # brute_force_topk_np ×4 truncation branches
 }
 
 
