@@ -143,6 +143,21 @@ def bucketed_cumsum(
             ]
         )
     )
+    # Materialize the offset frame as a LocalRelation (r13 optimization,
+    # guide §3.3/§5).  ``off`` is exactly the frame the plan broadcasts
+    # anyway — |partitions| x |occupied buckets| rows, the sizing
+    # contract above, so the driver holds these bytes either way — but
+    # leaving it INLINE embeds the input subtree two more times (btot +
+    # rhs), and Catalyst neither reuses the duplicated exchanges at
+    # runtime nor analyzes them sub-quadratically: q_wasserstein_1d's
+    # before-plan (helpers stacked on a crossJoin frame) reached 96
+    # Exchange nodes / 42 parquet scans with ZERO ReusedExchange.
+    # Collecting the driver-sized rows and re-emitting them as literal
+    # rows is value-identical — the same Spark aggregate computes them,
+    # one tiny job earlier — and cuts the input subtree to ONE
+    # reference in the final plan.
+    spark = df.sparkSession
+    off = spark.createDataFrame(off.collect(), off.schema)
 
     # Phase 1: within-bucket cumulative sums — partitioned window, one
     # parallel task per (partition, bucket).
@@ -222,19 +237,30 @@ def top_k_by_freq(
         descending=True,
         bucket_col="__tk_lf",
     )
-    thr = cum.agg(
+    # The threshold is a 1-row aggregate over the bounded cum frame:
+    # collect it and filter with the LITERAL (r13 optimization) — the
+    # former 1-row broadcast-join carried the whole cum subtree (itself
+    # corpus-derived) into every consumer branch, and a literal
+    # comparison is additionally eligible for parquet min/max pruning
+    # when ``df`` is scan-adjacent.  Value-identical: same aggregate,
+    # collected instead of joined.
+    spark = df.sparkSession
+    thr_rows = cum.agg(
         F.coalesce(
             F.max(F.when(F.col("__tk_ge") >= k, F.col(freq_col))),
             F.min(freq_col),
         ).alias("__tk_thr")
-    )
-    surv = df.join(
-        F.broadcast(thr), F.col(freq_col) >= F.col("__tk_thr")
-    ).drop("__tk_thr")
+    ).collect()
+    thr_val = thr_rows[0]["__tk_thr"] if thr_rows else None
+    surv = df.where(F.col(freq_col) >= F.lit(thr_val))
     gt_surv = (
-        cum.join(F.broadcast(thr), F.col(freq_col) >= F.col("__tk_thr"))
+        cum.where(F.col(freq_col) >= F.lit(thr_val))
         .select(freq_col, (F.col("__tk_ge") - F.col("__tk_n")).alias("__tk_gt"))
     )
+    # gt_surv is bounded by the survivors' distinct frequencies (≤ k
+    # plus the threshold tie class's ONE frequency) — LocalRelation it
+    # so the main plan references the corpus-sized ``df`` subtree once.
+    gt_surv = spark.createDataFrame(gt_surv.collect(), gt_surv.schema)
     if isinstance(df.schema[key_col].dataType, StringType):
         s2 = surv.withColumn("__tk_pb", F.substring(F.col(key_col), 1, 2))
         pcnt = s2.groupBy(freq_col, "__tk_pb").agg(
@@ -253,6 +279,11 @@ def top_k_by_freq(
             .groupBy(freq_col, "__tk_pb")
             .agg(F.coalesce(F.sum("__tk_pn2"), F.lit(0)).alias("__tk_poff"))
         )
+        # Bounded by |survivor frequencies| x |2-char prefixes| and
+        # broadcast either way — LocalRelation, same rationale as the
+        # offset frames above (the inline form embedded the survivor
+        # subtree, and through it the corpus aggregate, twice more).
+        poff = spark.createDataFrame(poff.collect(), poff.schema)
         w_tie = W.partitionBy(freq_col, "__tk_pb").orderBy(key_col)
         ranked = (
             s2.join(F.broadcast(poff), [freq_col, "__tk_pb"])
@@ -300,6 +331,12 @@ def bucketed_lead(
         .groupBy(_BK)
         .agg(F.min("__pfx_bmin2").alias("__pfx_next"))
     )
+    # LocalRelation for the bucket-level frame — same rationale and
+    # sizing contract as bucketed_cumsum's offset materialization (the
+    # |buckets|-row frame is broadcast either way; inlining it embedded
+    # the input subtree twice more with zero runtime exchange reuse).
+    spark = df.sparkSession
+    nxt = spark.createDataFrame(nxt.collect(), nxt.schema)
     wloc = W.partitionBy(_BK).orderBy(order_col)
     out = (
         b.join(F.broadcast(nxt), _BK)

@@ -290,22 +290,39 @@ WITH two AS (
 
 
 def _ecdf_frames(spark: SparkSession, sf_dir: str):
-    """(ss 1-row frame, per-value ECDF frame) for the two first sources."""
+    """(ss 1-row frame, per-value ECDF frame) for the two first sources.
+
+    The source pair is COLLECTED (exactly 2 rows — the same bounded
+    driver round-trip class as the BM25 router's term metadata) and
+    inlined as literals (r13 optimization): the former 1-row ``ss``
+    crossJoin embedded the whole distinct-sources subtree inside ``d``,
+    which the stacked prefix-sum helpers then multiplied (the
+    q_wasserstein_1d before-plan scanned documents 42 times), and a
+    literal IN-filter additionally reaches the parquet scan as a pushed
+    predicate, which ``source = scalar-subquery`` never did."""
     docs = load_table(spark, sf_dir, "documents")
-    two = docs.select("source").distinct().orderBy("source").limit(2)
-    ss = two.agg(F.min("source").alias("s1"), F.max("source").alias("s2"))
+    rows = (
+        docs.select("source").distinct().orderBy("source").limit(2).collect()
+    )
+    vals = [r[0] for r in rows]
+    s1 = vals[0] if vals else None
+    s2 = vals[-1] if vals else None
+    ss = spark.createDataFrame([(s1, s2)], "s1 string, s2 string")
     d = (
-        docs.crossJoin(F.broadcast(ss))
-        .where((F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")))
+        docs.where(F.col("source").isin([v for v in (s1, s2) if v is not None]))
         .groupBy(F.col("n_chars").alias("val"))
         .agg(
-            F.sum(F.when(F.col("source") == F.col("s1"), 1).otherwise(0))
+            F.sum(F.when(F.col("source") == s1, 1).otherwise(0))
             .cast("double").alias("c1"),
-            F.sum(F.when(F.col("source") == F.col("s2"), 1).otherwise(0))
+            F.sum(F.when(F.col("source") == s2, 1).otherwise(0))
             .cast("double").alias("c2"),
         )
     )
+    # (n1, n2) are exact integer counts in doubles — 1 bounded row;
+    # LocalRelation it so the ECDF consumers' plans hold the corpus
+    # subtree once (same rationale as the prefix-helper offsets).
     n = d.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    n = spark.createDataFrame(n.collect(), n.schema)
     # Exact bucketed prefix sums (operators/prefix.py) — the ECDF
     # cumulation never runs in a single empty-partition window task.
     cum = bucketed_cumsum(
