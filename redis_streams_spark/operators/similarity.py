@@ -977,6 +977,7 @@ def pq_rerank_topk(
     m: int = 4,
     k_sub: int = 8,
     iters: int = 2,
+    pqbook: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ ANN (asymmetric distance computation + exact
     rerank): vectors compress to ``m`` one-byte codes against learned
@@ -1000,9 +1001,16 @@ def pq_rerank_topk(
     full-precision vectors join back only for the k·oversample
     survivors.  (Bulk deployments would fuse the LUT sum into an Arrow
     kernel per batch — the _np_cell_scores pattern — but the relational
-    form IS the oracle-replayable contract.)"""
+    form IS the oracle-replayable contract.)
+
+    ``pqbook`` (r13 optimization): a caller holding the already-trained
+    deterministic codebooks for this corpus/params may inject them and
+    skip training — same contract as build_vector_index's ``pqbook``
+    (training is a pure function of (corpus, m, k_sub, iters))."""
     e = as_double_vec(emb)
-    cent = pq_train_codebooks(e, m, k_sub, iters)
+    cent = pqbook if pqbook is not None else pq_train_codebooks(
+        e, m, k_sub, iters
+    )
     codes = _pq_assign(pq_subvectors(e, m), cent).select(
         "vec_id", "s", "code"
     )

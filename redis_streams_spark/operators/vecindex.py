@@ -549,6 +549,8 @@ def build_vector_index(
     pq_m: int | None = None,
     pq_ksub: int = 8,
     pq_iters: int = 2,
+    codebook: DataFrame | None = None,
+    pqbook: DataFrame | None = None,
 ) -> str:
     """Write the segmented IVF layout for an ``embeddings``-shaped
     frame (vec_id, embedding array<float>, label) as segment ``base``;
@@ -575,12 +577,25 @@ def build_vector_index(
     clears, drops, O(metadata) retention) applies to the codes for
     free because they live in the same rows.  The ``pqbook/`` store
     flips with the generation exactly like ``codebook/``.  Search via
-    :func:`vector_topk_pq` (LUT-sum candidates + exact rerank)."""
+    :func:`vector_topk_pq` (LUT-sum candidates + exact rerank).
+
+    ``codebook`` / ``pqbook`` (r13 optimization): a caller that has
+    ALREADY trained the deterministic quantizer(s) for THIS corpus and
+    THESE params may pass them in and skip the in-build training —
+    training is a pure function of (corpus, params), so the artifact is
+    identical either way (asserted in tests/test_optimization_r13.py);
+    the per-session sharing policy that exploits this lives in the
+    queries layer (similarity6._shared_codebook), never here.  The
+    frames must be exactly what :func:`_train_codebook` /
+    ``pq_train_codebooks`` would return — injecting anything else
+    produces an index whose stored quantizer disagrees with its pinned
+    assignments."""
     os.makedirs(path, exist_ok=True)
     gpath = os.path.join(path, "g00000001") if managed else path
     meta: dict = {"quantizer": "label"}
-    pqbook = None
-    if pq_m is not None:
+    if pq_m is None:
+        pqbook = None
+    elif pqbook is None:
         from redis_streams_spark.operators.similarity import (
             pq_train_codebooks,
         )
@@ -588,11 +603,12 @@ def build_vector_index(
         pqbook = pq_train_codebooks(
             as_double_vec(emb), pq_m, pq_ksub, pq_iters
         )
+    if pq_m is not None:
         meta.update(
             {"pq_m": pq_m, "pq_ksub": pq_ksub, "pq_iters": pq_iters}
         )
     if n_cells is not None:
-        cb = _train_codebook(
+        cb = codebook if codebook is not None else _train_codebook(
             as_double_vec(emb).select("vec_id", "v", "norm"),
             n_cells,
             train_iters,

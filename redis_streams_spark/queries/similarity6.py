@@ -205,6 +205,58 @@ def _fresh_path(tag: str) -> str:
 # from the parquet inputs.
 _SHARED_VECIDX_CACHE: dict[tuple, str] = {}
 
+# (sf_dir, k, iters) -> collected deterministic-Lloyd codebook rows, and
+# (sf_dir, m, ksub, iters) -> collected PQ codebook rows (r13
+# optimization round).  The trained quantizers are pure functions of
+# (embeddings, params) — the SAME coarse codebook was trained once for
+# the plain learned index and AGAIN for its IVF-PQ twin (different
+# _SHARED_VECIDX_CACHE keys), and sim_pq_rerank trained the identical
+# PQ books a third time; each training is a multi-job Lloyd loop (~13 s
+# of the sf0.001 gate apiece).  Collected k-row artifacts, re-emitted as
+# LocalRelations per consumer — per-process like every shared-build
+# cache here, so each invocation still trains from the parquet inputs.
+_SHARED_CODEBOOK_CACHE: dict[tuple, list] = {}
+_SHARED_PQBOOK_CACHE: dict[tuple, list] = {}
+
+_CODEBOOK_SCHEMA = "cell INT, cv ARRAY<DOUBLE>, cnorm DOUBLE"
+_PQBOOK_SCHEMA = "s INT, code INT, cv ARRAY<DOUBLE>"
+
+
+def _shared_codebook(
+    spark: SparkSession, sf_dir: str, n_cells: int, iters: int
+) -> DataFrame:
+    from redis_streams_spark.operators.vecindex import (
+        _train_codebook,
+        as_double_vec,
+    )
+
+    key = (sf_dir, n_cells, iters)
+    rows = _SHARED_CODEBOOK_CACHE.get(key)
+    if rows is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = _train_codebook(
+            as_double_vec(emb).select("vec_id", "v", "norm"),
+            n_cells,
+            iters,
+        ).collect()
+        _SHARED_CODEBOOK_CACHE[key] = rows
+    return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+def _shared_pqbook(
+    spark: SparkSession, sf_dir: str, m: int, ksub: int, iters: int
+) -> DataFrame:
+    from redis_streams_spark.operators.similarity import pq_train_codebooks
+    from redis_streams_spark.operators.vecindex import as_double_vec
+
+    key = (sf_dir, m, ksub, iters)
+    rows = _SHARED_PQBOOK_CACHE.get(key)
+    if rows is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = pq_train_codebooks(as_double_vec(emb), m, ksub, iters).collect()
+        _SHARED_PQBOOK_CACHE[key] = rows
+    return spark.createDataFrame(rows, _PQBOOK_SCHEMA)
+
 
 def _shared_learned_index(spark: SparkSession, sf_dir: str, **params) -> str:
     from redis_streams_spark.operators.vecindex import build_vector_index
@@ -214,7 +266,22 @@ def _shared_learned_index(spark: SparkSession, sf_dir: str, **params) -> str:
     if path is None:
         emb = load_table(spark, sf_dir, "embeddings")
         path = _fresh_path("shared")
-        build_vector_index(emb, path, **params)
+        # inject the session-shared quantizer artifacts (identical to
+        # what the build would train — see _shared_codebook above)
+        inject = dict(params)
+        if params.get("n_cells") is not None and "codebook" not in params:
+            inject["codebook"] = _shared_codebook(
+                spark, sf_dir, params["n_cells"], params.get("train_iters", 2)
+            )
+        if params.get("pq_m") is not None and "pqbook" not in params:
+            inject["pqbook"] = _shared_pqbook(
+                spark,
+                sf_dir,
+                params["pq_m"],
+                params.get("pq_ksub", 8),
+                params.get("pq_iters", 2),
+            )
+        build_vector_index(emb, path, **inject)
         _SHARED_VECIDX_CACHE[key] = path
     return path
 

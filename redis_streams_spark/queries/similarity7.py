@@ -175,8 +175,12 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     principles — a green row proves the whole compressed-domain chain,
     not just the rerank."""
     from redis_streams_spark.operators.similarity import pq_rerank_topk
+    from redis_streams_spark.queries.similarity6 import _shared_pqbook
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # read-only scoring: share the trained PQ books with the IVF-PQ
+    # index build and sim_recall_compressed (r13 — the identical
+    # deterministic training ran up to 3x per session before)
     return pq_rerank_topk(
         emb,
         k=_K,
@@ -185,6 +189,7 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_M,
         k_sub=_K_SUB,
         iters=_ITERS,
+        pqbook=_shared_pqbook(spark, sf_dir, _M, _K_SUB, _ITERS),
     )
 
 

@@ -191,3 +191,144 @@ def test_term_meta_single_collect_matches_two_jobs(spark, tmp_path):
     assert meta == {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
     assert n_docs == (srow["n"] or 0) and n_docs > 0
     assert avgdl == (srow["sdl"] or 0) * 1.0 / n_docs
+
+
+def test_prefix_helpers_truncate_plan_to_one_input_subtree(spark, sf_dir):
+    """The bucket-level helper frames (cumsum offsets, lead next-bucket
+    minima, top-k threshold/rank tables) are materialized as
+    LocalRelations, so a consumer's FINAL plan must reference the
+    corpus-sized input subtree exactly once — the pre-r13 inline form
+    embedded it 3x per helper with zero runtime exchange reuse
+    (q_wasserstein_1d: 42 parquet scans in one plan).  Values are
+    pinned by test_prefix.py's window-equivalence suite; this pins the
+    plan shape."""
+    from redis_streams_spark.operators.prefix import (
+        bucketed_cumsum,
+        bucketed_lead,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def scans(df) -> int:
+        import re
+
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # one "(n) Scan parquet" detail header per physical scan (the
+        # tree rendering repeats the operator name; don't double-count)
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+    cum = bucketed_cumsum(h, "val", [("cnt", "c", True)], width=16.0)
+    assert scans(cum) == 1
+    led = bucketed_lead(cum, "val", "nxt", width=16.0)
+    assert scans(led) == 1  # stacked helpers stay single-subtree
+
+
+def test_ecdf_frames_push_source_filter_to_scan(spark, sf_dir):
+    """_ecdf_frames inlines the two collected source names, so the
+    documents scan must carry a pushed source filter (the former
+    1-row crossJoin form could not push anything) and the ECDF frame's
+    plan must hold exactly one documents scan."""
+    from redis_streams_spark.queries.stats import _ecdf_frames
+
+    import re
+
+    ss, e = _ecdf_frames(spark, sf_dir)
+    plan = e._sc._jvm.PythonSQLUtils.explainString(
+        e._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "In(source" in plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+
+
+def test_shared_codebook_identical_to_fresh_training(spark, sf_dir):
+    """The session-shared coarse codebook / PQ books must be EXACTLY the
+    rows fresh deterministic training produces (sharing is a cache of a
+    pure function, never an approximation)."""
+    from redis_streams_spark.operators.similarity import pq_train_codebooks
+    from redis_streams_spark.operators.vecindex import (
+        _train_codebook,
+        as_double_vec,
+    )
+    from redis_streams_spark.queries.similarity6 import (
+        _shared_codebook,
+        _shared_pqbook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double_vec(emb)
+    fresh_cb = sorted(
+        tuple(r) for r in _train_codebook(
+            e.select("vec_id", "v", "norm"), 8, 2
+        ).collect()
+    )
+    shared_cb = sorted(
+        tuple(r) for r in _shared_codebook(spark, sf_dir, 8, 2).collect()
+    )
+    assert shared_cb == fresh_cb and len(shared_cb) > 0
+    fresh_pq = sorted(
+        tuple(r) for r in pq_train_codebooks(e, 4, 8, 2).collect()
+    )
+    shared_pq = sorted(
+        tuple(r) for r in _shared_pqbook(spark, sf_dir, 4, 8, 2).collect()
+    )
+    assert shared_pq == fresh_pq and len(shared_pq) > 0
+
+
+def test_build_vector_index_with_injected_books_matches(spark, sf_dir, tmp_path):
+    """An index built with injected (codebook, pqbook) must store the
+    same quantizers and the same pinned cells/codes as a build that
+    trains internally."""
+    from redis_streams_spark.operators.vecindex import build_vector_index
+    from redis_streams_spark.queries.similarity6 import (
+        _shared_codebook,
+        _shared_pqbook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p1 = str(tmp_path / "trained")
+    p2 = str(tmp_path / "injected")
+    build_vector_index(emb, p1, n_cells=8, train_iters=2, pq_m=4)
+    build_vector_index(
+        emb,
+        p2,
+        n_cells=8,
+        train_iters=2,
+        pq_m=4,
+        codebook=_shared_codebook(spark, sf_dir, 8, 2),
+        pqbook=_shared_pqbook(spark, sf_dir, 4, 8, 2),
+    )
+
+    def rows(path, sub, cols):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/{sub}").select(*cols).collect()
+        )
+
+    assert rows(p1, "codebook", ["cell", "cv", "cnorm"]) == rows(
+        p2, "codebook", ["cell", "cv", "cnorm"]
+    )
+    assert rows(p1, "pqbook", ["s", "code", "cv"]) == rows(
+        p2, "pqbook", ["s", "code", "cv"]
+    )
+    assert rows(p1, "cells", ["vec_id", "label", "codes"]) == rows(
+        p2, "cells", ["vec_id", "label", "codes"]
+    )
+
+
+def test_pq_rerank_injected_pqbook_matches(spark, sf_dir):
+    from redis_streams_spark.operators.similarity import pq_rerank_topk
+    from redis_streams_spark.queries.similarity6 import _shared_pqbook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["query_id", "cand_id", "pq_dot", "cosine", "rank"]
+    base = pq_rerank_topk(emb, k=10, query_mod=25)
+    inj = pq_rerank_topk(
+        emb, k=10, query_mod=25,
+        pqbook=_shared_pqbook(spark, sf_dir, 4, 8, 2),
+    )
+    assert _rows(inj, cols) == _rows(base, cols)
