@@ -416,7 +416,16 @@ def dedup_tier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents").persist()
+    # NB: deliberately NOT .persist() (r13 optimization round): persisting
+    # the BASE table registers it in the CacheManager at construction
+    # time, which silently substitutes an InMemoryRelation into every
+    # later documents-scanning plan in the session — parquet pushdown
+    # and pruning vanish from queries that never asked for a cache, and
+    # with load_table's memoized plan the substitution hits ALL of them.
+    # Each tier scans the columnar source instead (3 pruned scans; a
+    # 100-TB corpus would not fit a cache anyway).  The per-tier derived
+    # persists below are query-local subtrees and stay.
+    docs = load_table(spark, sf_dir, "documents")
     eg = (
         exact_dedup(docs)
         .where(F.col("group_size") > 1)

@@ -332,3 +332,22 @@ def test_pq_rerank_injected_pqbook_matches(spark, sf_dir):
         pqbook=_shared_pqbook(spark, sf_dir, 4, 8, 2),
     )
     assert _rows(inj, cols) == _rows(base, cols)
+
+
+def test_query_construction_leaves_no_base_table_cache(spark, sf_dir):
+    """Constructing dedup_tier_summary used to .persist() the BASE
+    documents table, which registers it in the CacheManager at plan
+    time and silently rewrites every later documents scan in the
+    session (InMemoryRelation swallows parquet pushdown/pruning).  A
+    freshly built documents filter must still push to the scan after
+    the query function has run."""
+    from redis_streams_spark.queries import all_queries
+
+    all_queries()["dedup_tier_summary"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("source") == "src0").select("doc_id")
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan
+    assert "EqualTo(source,src0)" in plan
