@@ -258,10 +258,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> Da
     signatures; the verify join is an equi-join on doc_id against the
     (small) candidate set.
     """
-    # one shingle pass feeds signature build AND both verify sides — the
-    # classic reuse-a-stage persist (at cluster scale: a persisted/
-    # checkpointed intermediate table)
-    sets_ = shingle_sets(docs, n).persist()
+    # The shingle frame feeds signature build AND both verify sides, and
+    # is deliberately NOT persisted (r13 optimization, guide §5): a
+    # persist here materializes the corpus-sized exploded-shingle frame
+    # behind a barrier that SERIALIZES the pipeline — measured at sf0.1
+    # (interleaved, 4 reps) persist 2.58 s median vs no-persist 2.27 s,
+    # no-persist winning every rep, and the same every-warm-rep win at
+    # the 10× corpus (7.8/5.7/4.9 vs 6.5/4.5/4.4).  Recomputing the
+    # tokenize+shingle projection per consumer is whole-stage-codegen
+    # work that pipelines with each consumer's shuffle (SCALE.md: 32
+    # cores re-minhash 150 M shingles in ~2 s), while at 100 TB a
+    # persisted MEMORY_AND_DISK copy of the shingle frame is a corpus-
+    # sized disk write + 3 reads.  Construction-time persist also
+    # registers the subtree in the CacheManager for the whole session
+    # (the dedup_tier_summary poisoning class, OPTIMIZATION_r13 §14).
+    sets_ = shingle_sets(docs, n)
     bands = band_rows_from_sets(sets_)
     cands = lsh_candidate_pairs(bands)
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))

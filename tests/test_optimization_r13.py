@@ -334,6 +334,31 @@ def test_pq_rerank_injected_pqbook_matches(spark, sf_dir):
     assert _rows(inj, cols) == _rows(base, cols)
 
 
+def test_minhash_lsh_pairs_has_no_persist_barrier(spark, sf_dir):
+    """minhash_lsh_pairs used to .persist() the corpus-sized shingle
+    frame, which (a) serialized the pipeline behind a cache-
+    materialization barrier (measured slower at sf0.1 AND at the 10×
+    corpus — OPTIMIZATION_r13 §15) and (b) registered the subtree in
+    the session CacheManager at construction time.  The plan must be
+    cache-free and the construction must leave nothing registered."""
+    from redis_streams_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.catalog.clearCache()
+    out = minhash_lsh_pairs(docs)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan
+    # construction registered nothing: a fresh identical subtree still
+    # plans as a parquet scan
+    probe = load_table(spark, sf_dir, "documents").select("doc_id")
+    pplan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in pplan
+
+
 def test_query_construction_leaves_no_base_table_cache(spark, sf_dir):
     """Constructing dedup_tier_summary used to .persist() the BASE
     documents table, which registers it in the CacheManager at plan
