@@ -327,7 +327,21 @@ def minhash_lsh_star_edges(
     straggler, never a quadratic one.  The verify join is an equi-join
     on doc_id against the (linear) edge list.
     """
-    sets_ = shingle_sets(docs, n).persist()
+    # NOT persisted (r13 optimization, guide §5): same finding as
+    # minhash_lsh_pairs — all three shingle consumers (bands + both
+    # verify sides) sit inside the ONE materialization of the edge list
+    # (connected_components persists the symmetrized edges), so a
+    # persist here serializes that single pass behind a corpus-sized
+    # cache build instead of letting the cheap tokenize+shingle
+    # projection pipeline into each consumer (interleaved fresh-process
+    # A/B on dedup_clusters_lsh at sf0.1, 8 reps both orders: persist
+    # median 6.86 s vs no-persist 5.31 s, no-persist wins 7/8
+    # head-to-heads).  It also
+    # registered the shingle subtree in the session CacheManager at
+    # construction time, silently substituting an InMemoryRelation into
+    # every later query that builds shingle_sets(docs, 3) — the
+    # dedup_tier_summary poisoning class (OPTIMIZATION_r13 §14).
+    sets_ = shingle_sets(docs, n)
     bands = band_rows_from_sets(sets_)
     bw = W.partitionBy("band_idx", "band_hash")
     star = (
@@ -657,13 +671,28 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("exact_match"))
     )
+    # Shingle frames NOT persisted (r13 optimization, guide §5): each
+    # side has two consumers (its band rows + its verify side), all
+    # inside one materialization — recomputing the codegen
+    # tokenize+shingle projection per consumer pipelines, while a
+    # persist materializes both corpus-sized frames behind barriers
+    # that serialize the pass.  Locally a WASH (interleaved
+    # fresh-process A/B on dedup_incremental at sf0.1, 8 reps both
+    # orders: no-persist wins 5/8 head-to-heads, medians 5.09 s vs
+    # 4.90 s — within the sandbox's drift); decided by the 100 TB
+    # posture — a MEMORY_AND_DISK persist of the history-side shingle
+    # frame is a corpus-sized disk write + 2 reads, while the recompute
+    # is whole-stage-codegen work that pipelines (the §15 argument the
+    # pair path already carries) — and by CacheManager hygiene: a
+    # construction-time persist registers the subtrees in the session
+    # CacheManager (OPTIMIZATION_r13 §14 poisoning class).
     if hashed:
-        bsets = hashed_shingle_sets(batch, n).persist()
-        hsets = hashed_shingle_sets(history, n).persist()
+        bsets = hashed_shingle_sets(batch, n)
+        hsets = hashed_shingle_sets(history, n)
         bands_of, set_col = band_rows_from_hashes, "sh"
     else:
-        bsets = shingle_sets(batch, n).persist()
-        hsets = shingle_sets(history, n).persist()
+        bsets = shingle_sets(batch, n)
+        hsets = shingle_sets(history, n)
         bands_of, set_col = band_rows_from_sets, "shingles"
     cands = (
         bands_of(bsets)

@@ -254,10 +254,19 @@ def embedding_neighbor_pairs(
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
     # signature build is reused by the band rows AND both verify sides.
+    # The persist was re-measured in r13 (the §15 no-persist sweep) and
+    # KEPT: the band rows feed a SELF-join, so without the cache the
+    # expensive interpreted sign-LSH signature (n_planes HOF dot
+    # products per vector) recomputes on BOTH join sides — interleaved
+    # fresh-process A/B on dedup_embedding_pairs at sf0.1 (6 reps, both
+    # orders): persist 5.40-8.87 s vs no-persist 8.09-11.71 s, persist
+    # wins 6/6.  Unlike the minhash shingle frame (cheap codegen
+    # re-tokenize, §15), this subtree is exactly the
+    # duplicated-expensive-stage shape the persist exists for.
     # Cache lifecycle: the persist lives until the session evicts it (LRU)
     # or the caller unpersists — acceptable for one-shot query runs; a
     # long-lived service should write the signature table out instead of
-    # caching it (same note as minhash_lsh_pairs' shingle persist).
+    # caching it.
     e = (
         as_double_vec(emb)
         .withColumn("sig", signlsh_signature(F.col("v"), n_planes))
@@ -388,7 +397,14 @@ def kmeans_assign(
         scored.groupBy("vec_id")
         .agg(best)
         .select("vec_id", F.col("b.cid").alias("cluster_id"), F.col("b.cosine").alias("cosine"))
-        .orderBy("vec_id")
+        # no presentation sort (r13 optimization): the correctness gate
+        # is order-insensitive and a global orderBy here is a full
+        # range-shuffle + sort of the corpus-sized assignment frame at
+        # scale.  Join consumers (semantic_dedup) already had the sort
+        # optimizer-eliminated; direct-return consumers
+        # (sim_kmeans_clusters) paid it for nothing — plan diff: 1
+        # rangepartitioning Exchange removed (plans/r13/
+        # sim_kmeans_clusters_{before,after}.txt).
     )
 
 

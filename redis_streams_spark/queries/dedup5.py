@@ -98,7 +98,17 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sets_ = shingle_sets(docs, 3).persist()
+    # sigs stays persisted — a SMALL frame (doc_id × 32 longs) consumed
+    # by all three band configs, each of which would otherwise re-run
+    # the full explode+permute+groupBy signature pipeline.  The
+    # corpus-sized shingle frame is NOT persisted (r13 optimization,
+    # guide §5 — the §15 minhash_lsh_pairs finding): its consumers
+    # (signature build + both verify sides) pipeline the cheap codegen
+    # re-tokenize, while a persist serializes the pass behind a
+    # corpus-sized cache build (interleaved fresh-process A/B at sf0.1,
+    # 8 reps both orders: shingle-persist median 6.61 s vs no-persist
+    # 5.50 s, no-persist wins 6/8 head-to-heads).
+    sets_ = shingle_sets(docs, 3)
     sigs = minhash_signatures(sets_).persist()
     sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
@@ -193,7 +203,12 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sets_ = shingle_sets(docs, 3).persist()
+    # same shape decision as dedup_lsh_band_tuning above: keep the
+    # small signature persist (consumed by band rows + both signature
+    # join sides), drop the corpus-sized shingle persist (§15 class;
+    # interleaved fresh-process A/B at sf0.1, 6 reps both orders:
+    # persist median 4.89 s vs no-persist 4.67 s, no-persist 4/6).
+    sets_ = shingle_sets(docs, 3)
     sigs = minhash_signatures(sets_).persist()
     brows = band_rows_from_sets(sets_)
     cands = lsh_candidate_pairs(brows)
