@@ -245,32 +245,38 @@ def embedding_neighbor_pairs(
     the candidate pairs, exact cosine verifies them; top-k candidates per
     vector (a<b pairs), flagged against the threshold.
 
-    Scale: the old shape joined every same-label pair — quadratic per label
-    cell, unbounded at 100 TB.  Here the pair join is an equi-join on
-    (label, band_idx, band_bits): only vectors whose signatures collide in
-    ≥1 of the 4-bit bands ever meet, which is the same recall dial as
-    ``lsh_topk`` (collision probability rises steeply with cosine), and the
-    exact re-score keeps verification honest."""
+    Scale: the oldest shape joined every same-label pair — quadratic per
+    label cell, unbounded at 100 TB.  Here candidates are enumerated per
+    (label, band_idx, band_bits) bucket: only vectors whose signatures
+    collide in ≥1 of the 4-bit bands ever meet, which is the same recall
+    dial as ``lsh_topk`` (collision probability rises steeply with
+    cosine), and the exact re-score keeps verification honest."""
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    # signature build is reused by the band rows AND both verify sides.
-    # The persist was re-measured in r13 (the §15 no-persist sweep) and
-    # KEPT: the band rows feed a SELF-join, so without the cache the
-    # expensive interpreted sign-LSH signature (n_planes HOF dot
-    # products per vector) recomputes on BOTH join sides — interleaved
-    # fresh-process A/B on dedup_embedding_pairs at sf0.1 (6 reps, both
-    # orders): persist 5.40-8.87 s vs no-persist 8.09-11.71 s, persist
-    # wins 6/6.  Unlike the minhash shingle frame (cheap codegen
-    # re-tokenize, §15), this subtree is exactly the
-    # duplicated-expensive-stage shape the persist exists for.
-    # Cache lifecycle: the persist lives until the session evicts it (LRU)
-    # or the caller unpersists — acceptable for one-shot query runs; a
-    # long-lived service should write the signature table out instead of
-    # caching it.
-    e = (
-        as_double_vec(emb)
-        .withColumn("sig", signlsh_signature(F.col("v"), n_planes))
-        .persist()
+    # Pair shape (r13 optimization, guide §2.4 — the lsh_candidate_pairs
+    # move): candidates are enumerated per (label, band_idx, band_bits)
+    # bucket from ONE aggregation (collect the sorted member ids, emit
+    # the i<j pairs in-row) instead of a bucket-keyed SELF-join.  The
+    # self-join form evaluated the signature subtree — n_planes
+    # interpreted HOF hyperplane dots per vector, the most expensive
+    # stage here — on BOTH join sides; persisting it fixed the
+    # duplication but serialized the pass behind a corpus-sized
+    # vector+signature cache build (the §15/§16 barrier finding; the
+    # persist-vs-no-persist A/B read 5.40-8.87 vs 8.09-11.71 s at
+    # sf0.1).  The aggregation computes signatures ONCE by
+    # construction, needs no cache, and shuffles the same bucket-keyed
+    # bytes minus the join's second exchange — interleaved
+    # fresh-process A/B on dedup_embedding_pairs at sf0.1 (6 reps,
+    # both orders): persist+self-join median 6.91 s vs this shape
+    # 6.52 s, aggregation wins 5/6 head-to-heads.  A modest local win;
+    # the 100 TB argument is the stronger one: no corpus-sized
+    # vector+signature cache (a MEMORY_AND_DISK write + 2 reads at
+    # scale), no construction-time CacheManager registration (§14
+    # class).  Output pairs are C(bucket, 2) either way; the verify
+    # sides re-scan only the pruned (vec_id, v, norm) projection — the
+    # signature column never recomputes.
+    e = as_double_vec(emb).withColumn(
+        "sig", signlsh_signature(F.col("v"), n_planes)
     )
     band_rows = e.select(
         "label",
@@ -280,12 +286,23 @@ def embedding_neighbor_pairs(
     ).withColumn(
         "band_bits", F.expr(f"shiftright(sig, band_idx * {bits_per_band}) & {mask}")
     )
-    a = band_rows.select("label", F.col("vec_id").alias("a_id"), "band_idx", "band_bits")
-    b = band_rows.select("label", F.col("vec_id").alias("b_id"), "band_idx", "band_bits")
+    buckets = (
+        band_rows.groupBy("label", "band_idx", "band_bits")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     cands = (
-        a.join(b, ["label", "band_idx", "band_bits"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("label", "a_id", "b_id")
+        buckets.select("label", F.explode(pair_arrays).alias("p"))
+        .select("label", F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     av = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("norm").alias("an"))

@@ -376,3 +376,122 @@ def test_query_construction_leaves_no_base_table_cache(spark, sf_dir):
     )
     assert "InMemoryRelation" not in plan
     assert "EqualTo(source,src0)" in plan
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_star_edges_and_incremental_have_no_persist_barrier(spark, sf_dir):
+    """The §16 persist sweep: minhash_lsh_star_edges and
+    incremental_dedup used to .persist() their corpus-sized shingle
+    frames — same serialization + construction-time CacheManager
+    registration as the §15 pairs path (star edges measured −23%
+    median at sf0.1 without it).  Their plans must be cache-free and
+    construction must leave nothing registered."""
+    from redis_streams_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_lsh_star_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.catalog.clearCache()
+    edges = minhash_lsh_star_edges(docs)
+    assert "InMemoryRelation" not in _formatted_plan(edges)
+    batch = docs.where(F.expr("doc_id % 10 = 7"))
+    history = docs.where(~F.expr("doc_id % 10 = 7"))
+    inc = incremental_dedup(history, batch)
+    assert "InMemoryRelation" not in _formatted_plan(inc)
+    probe = load_table(spark, sf_dir, "documents").select("doc_id")
+    assert "InMemoryRelation" not in _formatted_plan(probe)
+
+
+def test_kmeans_assign_has_no_presentation_sort(spark, sf_dir):
+    """kmeans_assign ended with a global orderBy(vec_id) — a full
+    range-shuffle + sort of the corpus-sized assignment frame that the
+    order-insensitive gate never needed and join consumers had
+    optimizer-eliminated anyway (§16).  The direct-return plan must
+    carry no range partitioning."""
+    from redis_streams_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=8, iters=2)
+    assert "rangepartitioning" not in _formatted_plan(asg)
+
+
+def test_embedding_pairs_bucket_agg_matches_self_join(spark, sf_dir):
+    """§16/§18: embedding_neighbor_pairs enumerates sign-LSH candidate
+    pairs per bucket from one aggregation.  The pairs (and therefore
+    the verified top-k output) must match the old bucket-keyed
+    self-join exactly."""
+    from redis_streams_spark.operators.similarity import (
+        as_double_vec,
+        embedding_neighbor_pairs,
+        signlsh_signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes, bands = 16, 4
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    e = as_double_vec(emb).withColumn(
+        "sig", signlsh_signature(F.col("v"), n_planes)
+    )
+    band_rows = e.select(
+        "label",
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"shiftright(sig, band_idx * {bits_per_band}) & {mask}"),
+    )
+    a = band_rows.select(
+        "label", F.col("vec_id").alias("a_id"), "band_idx", "band_bits"
+    )
+    b = band_rows.select(
+        "label", F.col("vec_id").alias("b_id"), "band_idx", "band_bits"
+    )
+    old_cands = (
+        a.join(b, ["label", "band_idx", "band_bits"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("label", "a_id", "b_id")
+        .distinct()
+    )
+    # full-output identity: replay the OLD pipeline end-to-end (verify
+    # join + top-k window over the self-join candidates) and compare
+    # every output column against the operator
+    from pyspark.sql import Window as W
+
+    from redis_streams_spark.operators.similarity import cosine
+
+    av = e.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("norm").alias("an")
+    )
+    bv = e.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("norm").alias("bn")
+    )
+    old_scored = (
+        old_cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "label",
+            "a_id",
+            "b_id",
+            cosine(F.col("av"), F.col("an"), F.col("bv"), F.col("bn")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("cosine"), "b_id")
+    old_out = (
+        old_scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .withColumn("is_near_dup", F.col("cosine") >= 0.35)
+        .select("a_id", "b_id", "label", "cosine", "rank", "is_near_dup")
+    )
+    out = embedding_neighbor_pairs(emb, k=3, near_dup_threshold=0.35)
+    cols = ["a_id", "b_id", "label", "cosine", "rank", "is_near_dup"]
+    got = _rows(out, cols)
+    assert len(got) > 0
+    assert got == _rows(old_out, cols)
