@@ -76,16 +76,21 @@ def test_ngram_pairs_inverted_index(spark, sf_dir):
 
 
 def test_embedding_pairs_lsh_keyed(spark, sf_dir):
-    """Candidate generation must equi-join on the sign-LSH band bits,
-    never a label-only join (quadratic per label cell)."""
+    """Candidate generation must be keyed on the sign-LSH band bits,
+    never label-only (quadratic per label cell).  Since the r13
+    bucket-aggregation rewrite (OPTIMIZATION_r13 §18) the band-bits key
+    shows up in the bucket groupBy's hashpartitioning instead of a
+    self-join's equi-join keys; either satisfies the invariant."""
     plan = plan_str(_df(spark, sf_dir, "dedup_embedding_pairs"))
     assert "CartesianProduct" not in plan
-    join_lines = [
+    keyed_lines = [
         ln for ln in plan.splitlines()
         if "join" in ln.lower() or "keys" in ln.lower()
+        or "hashpartitioning" in ln or "HashAggregate" in ln
     ]
-    assert any("band_bits" in ln for ln in join_lines), (
-        "pair join must include band_bits in its equi-join keys"
+    assert any("band_bits" in ln for ln in keyed_lines), (
+        "candidate generation must be keyed on band_bits (join keys or "
+        "bucket aggregation)"
     )
 
 
