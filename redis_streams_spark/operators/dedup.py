@@ -194,6 +194,66 @@ def _bands_from_minhash(mins: DataFrame) -> DataFrame:
     )
 
 
+# Bound on the member count of a single LSH bucket the pair enumerators
+# will expand (r14, the r13 verdict's one flagged scale risk): the
+# bucket-aggregation shape collects a bucket's ids into ONE array row,
+# so a degenerate corpus (every document identical) would funnel the
+# whole corpus into one aggregation buffer and then emit C(n,2) pairs
+# from it.  At the cap the array is 8 bytes x 100k = 0.8 MB and the
+# quadratic output 5e9 pairs — already far beyond any sane pair-verify
+# budget, so a bucket larger than this is a modeling error, not a
+# workload: the enumerator fails LOUDLY naming the cap instead of
+# grinding toward a single-task OOM, and the error points at the
+# linear-at-scale clustering path (minhash_lsh_star_edges).
+PAIR_BUCKET_CAP = 100_000
+
+
+def expand_bucket_pairs(
+    buckets: DataFrame,
+    extra: tuple[str, ...] = (),
+    max_bucket: int | None = PAIR_BUCKET_CAP,
+) -> DataFrame:
+    """(a_id, b_id, *extra) i<j pairs from a bucket frame carrying a
+    SORTED ``ids`` array — the shared in-row pair expansion of the
+    bucket-aggregation candidate generators.
+
+    Shape (r14): the expansion streams through TWO chained Generates —
+    posexplode the members, then explode each member's tail slice — so
+    peak per-row memory is O(bucket) (the ids array itself), never the
+    O(bucket²) pair array the previous ``flatten(transform(transform))``
+    built in one row before exploding; the transform lambdas also ran
+    interpreted (HOF) where Generate is whole-stage-codegen.
+    ``max_bucket`` guards the remaining O(bucket) hazard: an oversized
+    bucket raises with the cap named (see PAIR_BUCKET_CAP) rather than
+    expanding quadratically; pass ``None`` to disable."""
+    ids = F.col("ids")
+    if max_bucket is not None:
+        ids = F.when(
+            F.size("ids") > max_bucket,
+            F.raise_error(
+                F.format_string(
+                    "expand_bucket_pairs: a bucket holds %s members "
+                    f"(max_bucket={max_bucket}) — quadratic pair "
+                    "expansion of a bucket this hot is a single-task "
+                    "memory/output hazard; raise max_bucket only if "
+                    "C(n,2) output is truly intended, or use the "
+                    "linear star-edges path (minhash_lsh_star_edges)",
+                    F.size("ids"),
+                )
+            ),
+        ).otherwise(F.col("ids"))
+    step1 = buckets.select(
+        *extra, F.col("ids"), F.posexplode(ids).alias("i", "a_id")
+    )
+    return step1.select(
+        *extra,
+        "a_id",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+        ).alias("b_id"),
+    )
+
+
 def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
     """Distinct (a_id < b_id) doc pairs sharing any (band_idx, band_hash)
     bucket — THE candidate generator, extracted so the pair queries, the
@@ -213,30 +273,16 @@ def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
     the join did, and drops the join's second exchange.  Output pairs
     are C(bucket, 2) either way — quadratic in bucket size, like the
     join, and fine for non-degenerate corpora where a bucket only
-    collects near-identical signatures; the clustering path that must
-    survive adversarial bucket sizes uses minhash_lsh_star_edges
-    (linear) instead.  The per-bucket pair lambda runs interpreted
-    (HOF), but over bucket-sized arrays — a few elements — not corpus-
-    sized data."""
+    collects near-identical signatures; the expansion itself streams
+    and is capped (r14 — see :func:`expand_bucket_pairs`), and the
+    clustering path that must survive adversarial bucket sizes uses
+    minhash_lsh_star_edges (linear) instead."""
     buckets = (
         band_rows.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_arrays).alias("p"))
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-        .distinct()
-    )
+    return expand_bucket_pairs(buckets).distinct()
 
 
 def exact_jaccard_cols() -> tuple[F.Column, F.Column]:

@@ -128,13 +128,64 @@ from redis_streams_spark.operators.segstore import (  # noqa: E402
     drop_dead as _drop_dead,
     next_generation as _next_generation,
     open_index as _open_index,
+    read_layout as _read_layout,
     read_manifest as _read_manifest,
     resolve_index_path,
+    write_layout as _write_layout,
     write_manifest as _write_manifest,
 )
 
 
 # ------------------------------------------------------------------ build
+
+# Scale-derived bucket count (r14, guide §6): one parquet file lands per
+# (segment, bucket) partition per write, so the bucket count IS the
+# write's file count.  The historical constant 64 produced hundreds of
+# KB-sized files at sf-scale (112 files for 184 KB measured at sf0.001)
+# while being far too FEW pruning partitions for a 100 TB corpus.  The
+# first segment write of a generation derives the count from the input
+# size estimate (parquet plan statistics — metadata, no job) and pins it
+# in the generation's LAYOUT file; later ingests and compactions reuse
+# it, readers resolve probe buckets against it.  Pre-layout trees fall
+# back to N_TERM_BUCKETS.
+_TARGET_BUCKET_INPUT_BYTES = 64 << 20  # ~64 MB of input text per bucket
+_MIN_BUCKETS = 8
+_MAX_BUCKETS = 4096
+
+
+def _derive_n_buckets(docs: DataFrame) -> int:
+    try:
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return N_TERM_BUCKETS
+    n = _MIN_BUCKETS
+    while n < _MAX_BUCKETS and n * _TARGET_BUCKET_INPUT_BYTES < size:
+        n *= 2
+    return n
+
+
+def _layout_buckets(gpath: str) -> int:
+    layout = _read_layout(gpath)
+    if layout is None:
+        return N_TERM_BUCKETS
+    return int(layout.get("n_term_buckets", N_TERM_BUCKETS))
+
+
+def _segment_buckets(
+    gpath: str, docs: DataFrame, n_buckets: int | None = None
+) -> int:
+    """Bucket count for a segment write: the generation's pinned layout
+    if one exists (appends MUST match the live partitioning), else the
+    explicit override or the size-derived count, pinned for the
+    generation."""
+    layout = _read_layout(gpath)
+    if layout is not None and "n_term_buckets" in layout:
+        return int(layout["n_term_buckets"])
+    n = n_buckets if n_buckets is not None else _derive_n_buckets(docs)
+    _write_layout(gpath, {"n_term_buckets": n})
+    return n
 
 
 def _write_segment(
@@ -143,9 +194,12 @@ def _write_segment(
     mode: str,
     segment: str,
     dynamic: bool = False,
+    n_buckets: int | None = None,
 ) -> None:
     from redis_streams_spark.functions.textfns import words
 
+    spark = docs.sparkSession
+    n_buckets = _segment_buckets(path, docs, n_buckets)
     base = docs.select("doc_id", words("text").alias("w"))
     dl = base.where(F.size("w") > 0).select(
         "doc_id", F.size("w").cast("long").alias("dl")
@@ -153,11 +207,6 @@ def _write_segment(
     toks = base.select(
         "doc_id", F.posexplode("w").alias("pos0", "tok")
     ).select("doc_id", "tok", (F.col("pos0") + 1).cast("long").alias("pos"))
-    # the postings lineage (tokenize + explode + groupBy + join) feeds
-    # all three writes — persist it once instead of re-tokenizing the
-    # corpus for the terms write; stats derives from the persisted
-    # postings too ((n, sum_dl) over one row per doc: dl rides on every
-    # posting, so min(dl) per doc_id == dl)
     postings = (
         toks.groupBy("tok", "doc_id")
         .agg(
@@ -165,9 +214,8 @@ def _write_segment(
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
         .join(dl, "doc_id")
-        .withColumn("bucket", h32("tok") % N_TERM_BUCKETS)
+        .withColumn("bucket", h32("tok") % n_buckets)
         .withColumn("segment", F.lit(segment))
-        .persist()
     )
     # dynamic partition overwrite: an "overwrite" write replaces ONLY
     # the partitions it produces (this segment's), never other segments
@@ -175,38 +223,74 @@ def _write_segment(
     # initial build keeps STATIC mode so it clears the whole tree
     # (dynamic would leave stale segments from a previous index alive).
     owm = ("partitionOverwriteMode", "dynamic" if dynamic else "static")
-    try:
-        # one shuffle keyed on the partition column so each bucket writes
-        # from one task set instead of |tasks| x |buckets| small files
-        postings.repartition("bucket").write.mode(mode).option(*owm).partitionBy(
-            "segment", "bucket"
-        ).parquet(f"{path}/postings")
-        # df partial + the segment's max term frequency: max_tf feeds the
-        # MaxScore upper bound (an UPPER bound stays sound if loose, so
-        # compaction takes max() and delete partials contribute 0)
-        terms = (
-            postings.groupBy("tok", "segment", "bucket")
+    # one shuffle keyed on the partition column so each bucket writes
+    # from one task set instead of |tasks| x |buckets| small files
+    postings.repartition("bucket").write.mode(mode).option(*owm).partitionBy(
+        "segment", "bucket"
+    ).parquet(f"{path}/postings")
+    # The terms and stats passes derive from the postings JUST WRITTEN
+    # instead of a persist of the postings lineage (r14, guide §5/§8:
+    # the written output doubles as the materialized intermediate).
+    # The old ``postings.persist()`` spilled the corpus-sized exploded
+    # frame — positions column included — through the block manager and
+    # registered the subtree in the session CacheManager; the read-back
+    # is a compressed, COLUMN-PRUNED parquet scan (neither pass touches
+    # ``positions``, the bulk of a positional index) of exactly this
+    # segment's partitions.  Measured at sf0.001: build 7.6 -> ~5 s and
+    # -2 scheduled jobs (OPTIMIZATION_r14.md).  Explicit schema: an
+    # EMPTY batch writes no data files and inference would fail.
+    written = (
+        spark.read.schema(_PART_SCHEMAS["postings"])
+        .parquet(f"{path}/postings")
+        .where(F.col("segment") == segment)
+    )
+    # df partial + the segment's max term frequency: max_tf feeds the
+    # MaxScore upper bound (an UPPER bound stays sound if loose, so
+    # compaction takes max() and delete partials contribute 0)
+    def _write_terms() -> None:
+        (
+            written.groupBy("tok", "segment", "bucket")
             .agg(
                 F.count(F.lit(1)).alias("df"),
                 F.max("tf").alias("max_tf"),
             )
             .repartition("bucket")
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment", "bucket")
+            .parquet(f"{path}/terms")
         )
-        terms.write.mode(mode).option(*owm).partitionBy(
-            "segment", "bucket"
-        ).parquet(f"{path}/terms")
-        postings.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        ).withColumn("segment", F.lit(segment)).write.mode(mode).option(
-            *owm
-        ).partitionBy("segment").parquet(f"{path}/stats")
-    finally:
-        postings.unpersist()
+
+    def _write_stats() -> None:
+        (
+            written.groupBy("doc_id")
+            .agg(F.min("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            )
+            .withColumn("segment", F.lit(segment))
+            .write.mode(mode)
+            .option(*owm)
+            .partitionBy("segment")
+            .parquet(f"{path}/stats")
+        )
+
+    # the two derived writes read the same written postings and target
+    # DISJOINT subtrees — run them as concurrent jobs so the second
+    # write's tasks back-fill the first's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_terms), pool.submit(_write_stats)]:
+            fut.result()
 
 
 def build_inverted_index(
-    docs: DataFrame, path: str, managed: bool = False
+    docs: DataFrame,
+    path: str,
+    managed: bool = False,
+    n_buckets: int | None = None,
 ) -> str:
     """Write the bucket-partitioned postings/terms/stats layout for the
     ``documents``-shaped frame (doc_id, text) as segment ``base``.
@@ -214,14 +298,23 @@ def build_inverted_index(
     With ``managed=True`` the index is built under a generation
     subdirectory and a ``MANIFEST`` pointer is written last, enabling
     atomic pointer-flip compaction (``compact_inverted_index`` with no
-    dst).  Returns the generation path actually written."""
+    dst).  ``n_buckets`` overrides the size-derived term bucket count
+    (see ``_segment_buckets``); either way the count is pinned in the
+    generation's LAYOUT file so appends and readers agree.  Returns
+    the generation path actually written."""
     if managed:
         gen = "g00000001"
         os.makedirs(path, exist_ok=True)
-        _write_segment(docs, os.path.join(path, gen), "overwrite", "base")
+        _write_segment(
+            docs,
+            os.path.join(path, gen),
+            "overwrite",
+            "base",
+            n_buckets=n_buckets,
+        )
         _write_manifest(path, gen)
         return os.path.join(path, gen)
-    _write_segment(docs, path, "overwrite", "base")
+    _write_segment(docs, path, "overwrite", "base", n_buckets=n_buckets)
     return path
 
 
@@ -479,6 +572,12 @@ def compact_inverted_index(
     else:
         gdst = dst
     tomb = _tombstones(spark, gsrc)
+    # compaction carries bucket VALUES through unchanged, so the new
+    # generation must pin the same bucket count for readers and for any
+    # later ingest into it
+    src_layout = _read_layout(gsrc)
+    if src_layout is not None:
+        _write_layout(gdst, src_layout)
     postings = _live_postings(
         _drop_dead(_read_part(spark, gsrc, "postings"), dead), tomb
     ).withColumn("segment", F.lit("base"))
@@ -764,7 +863,7 @@ def _query_frames(
     """Bucket-pruned, tombstone-filtered, dead-segment-excluded
     (postings, term-partials, stats) for a query's term set — the
     shared read path."""
-    buckets = sorted({h32_py(t) % N_TERM_BUCKETS for t in terms})
+    buckets = sorted({h32_py(t) % _layout_buckets(gpath) for t in terms})
     tomb = _tombstones(spark, gpath)
     postings = _live_postings(
         _drop_dead(
@@ -803,11 +902,16 @@ def _term_meta(
     corpus (n, avgdl) totals, fetched as one collect by cross-joining
     the one-row stats aggregate onto the |query-terms|-row terms
     aggregate (previously two separately scheduled jobs —
-    OPTIMIZATION_r13.md §bm25 router).  Returns (meta, n_docs, avgdl).
-    When no query term exists in the index the joined frame is empty
-    and ``({}, 0, 1.0)`` comes back; with an empty meta both callers
-    route every query to the exact path, where n_docs/avgdl are never
-    read, so the placeholder values cannot leak into results."""
+    OPTIMIZATION_r13.md §bm25 router).  Returns (meta, n_docs, avgdl,
+    sdl) — sdl (the raw live sum of document lengths) rides along so a
+    scorer handed this metadata can re-emit the exact one-row stats
+    frame as a LocalRelation instead of re-aggregating the store
+    (r14; the avgdl division then happens in the SAME Spark expression
+    as the frame path, bit-identical).  When no query term exists in
+    the index the joined frame is empty and ``({}, 0, 1.0, 0)`` comes
+    back; with an empty meta both callers route every query to the
+    exact path, where the matched frame is empty and the placeholder
+    totals cannot leak into results."""
     rows = (
         tpart.where(F.col("tok").isin(sorted(all_terms)))
         .groupBy("tok")
@@ -816,11 +920,39 @@ def _term_meta(
         .collect()
     )
     if not rows:
-        return {}, 0, 1.0
+        return {}, 0, 1.0, 0
     n_docs = rows[0]["n"] or 0
-    avgdl = (rows[0]["sdl"] or 0) * 1.0 / n_docs if n_docs else 1.0
+    sdl = rows[0]["sdl"] or 0
+    avgdl = sdl * 1.0 / n_docs if n_docs else 1.0
     meta = {r["tok"]: (r["df"], r["mtf"]) for r in rows if r["df"] > 0}
-    return meta, n_docs, avgdl
+    return meta, n_docs, avgdl, sdl
+
+
+def _meta_frames(
+    spark: SparkSession,
+    meta: dict[str, tuple[int, int]],
+    n_docs: int,
+    sdl: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-emit already-collected router metadata as the (dfreq, stats)
+    LocalRelations ``_score_topk`` consumes (r14, the §12
+    LocalRelation discipline): the routed scorers used to re-aggregate
+    the store's terms/stats partials in-plan even though the router
+    had collected the identical values one call earlier — two extra
+    bucket scans + aggregations per routed call.  ``dfreq`` carries
+    exactly the df>0 terms (a net-df<=0 term is fully tombstoned, so
+    the live matched frame has no rows for it and the inner join drops
+    nothing either way); ``stats`` applies the same ``sdl*1.0/n``
+    Spark expression as ``_stats_totals`` consumers, so the avgdl
+    double is bit-identical to the frame path."""
+    dfreq = spark.createDataFrame(
+        [(t, int(d)) for t, (d, _m) in sorted(meta.items())],
+        "df_tok STRING, df BIGINT",
+    )
+    stats = spark.createDataFrame(
+        [(int(n_docs), int(sdl))], "n BIGINT, sdl BIGINT"
+    ).select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    return dfreq, stats
 
 
 def _score_topk(
@@ -852,12 +984,16 @@ def bm25_topk_indexed(
     path: str,
     queries: dict[int, tuple[str, ...]],
     k: int = 10,
+    _meta: tuple[dict[str, tuple[int, int]], int, float, int] | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k per query against a persisted index — identical
     arithmetic (and oracle) to the from-scratch ``text_bm25_topk``.
 
     ``queries`` maps query_id → term tuple; only the terms' buckets are
-    read (driver-side ``h32_py``, matching the build's ``h32``)."""
+    read (driver-side ``h32_py``, matching the build's ``h32``).  With
+    ``_meta`` (the router's collected ``_term_meta``) the df/stats
+    side frames are re-emitted as LocalRelations instead of
+    re-aggregated from the store (see ``_meta_frames``)."""
     gpath, dead = _open_index(path)
     pairs = [(qid, t) for qid, terms in queries.items() for t in terms]
     qterms = F.broadcast(
@@ -867,6 +1003,10 @@ def bm25_topk_indexed(
         spark, gpath, {t for _, t in pairs}, dead
     )
     matched = postings.join(qterms, postings["tok"] == qterms["term"])
+    if _meta is not None:
+        meta, n_docs, _avgdl, sdl = _meta
+        dfreq, stats = _meta_frames(spark, meta, n_docs, sdl)
+        return _score_topk(matched, dfreq, stats, k)
     # merge the append-only segment partials at read time: per-term df
     # over the probed buckets (delete batches contribute negative
     # rows), (n, avgdl) over the stats partials — both bounded frames
@@ -889,7 +1029,7 @@ def bm25_topk_maxscore(
     k: int = 10,
     margin: float = 2e-6,
     return_plan: bool = False,
-    _meta: tuple[dict[str, tuple[int, int]], int, float] | None = None,
+    _meta: tuple[dict[str, tuple[int, int]], int, float, int] | None = None,
 ):
     """BM25 top-k with static MaxScore pruning (Turtle & Flood 1995) —
     value-identical to ``bm25_topk_indexed`` (same oracle) while
@@ -941,9 +1081,11 @@ def bm25_topk_maxscore(
     # (``bm25_topk_auto``) collected the identical frame already and
     # hands it down via ``_meta`` so the routed call pays zero
     if _meta is not None:
-        meta, n_docs, avgdl = _meta
+        meta, n_docs, avgdl, sdl = _meta
     else:
-        meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, all_terms)
+        meta, n_docs, avgdl, sdl = _term_meta(
+            spark, gpath, dead, tpart, all_terms
+        )
     import math
 
     def _idf(df_t: int) -> float:
@@ -961,18 +1103,17 @@ def bm25_topk_maxscore(
     seed_pairs = [(q, t) for q, t in seed_terms.items() if t is not None]
     theta: dict[int, float] = {}
     if seed_pairs and n_docs:
+        # idf rides on the seed frame itself (driver-computed, same
+        # ``_idf`` doubles the old 2-row idf_lit join carried) — one
+        # broadcast join instead of two (r14)
         sframe = F.broadcast(
-            spark.createDataFrame(seed_pairs, "query_id INT, term STRING")
-        )
-        idf_lit = F.broadcast(
             spark.createDataFrame(
-                [(t, _idf(d)) for t, (d, _) in meta.items()],
-                "i_tok STRING, idf DOUBLE",
+                [(q, t, _idf(meta[t][0])) for q, t in seed_pairs],
+                "query_id INT, term STRING, idf DOUBLE",
             )
         )
         single = (
             postings.join(sframe, postings["tok"] == F.col("term"))
-            .join(idf_lit, postings["tok"] == F.col("i_tok"))
             .withColumn(
                 "s1",
                 F.col("idf")
@@ -1011,7 +1152,9 @@ def bm25_topk_maxscore(
         ess_pairs.extend((qid, t) for t in essential)
     pruned_qids = [q for q, p in plan.items() if p["skipped"]]
     if not pruned_qids:
-        out = bm25_topk_indexed(spark, path, queries, k=k)
+        out = bm25_topk_indexed(
+            spark, path, queries, k=k, _meta=(meta, n_docs, avgdl, sdl)
+        )
         return (out, plan) if return_plan else out
     # 3. candidates from essential postings, for the PRUNED queries
     # only — a query whose terms are all essential gains nothing from
@@ -1044,17 +1187,10 @@ def bm25_topk_maxscore(
         matched = matched.unionByName(
             all_matched.where(~F.col("query_id").isin(pruned_qids))
         )
-    dfreq = (
-        tpart.join(
-            qterms.select("term").distinct(), tpart["tok"] == F.col("term")
-        )
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .select(F.col("tok").alias("df_tok"), "df")
-    )
-    stats = _stats_totals(spark, gpath, dead).select(
-        "n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl")
-    )
+    # the router/metadata collect above already holds every df and the
+    # corpus totals — re-emit them as LocalRelations instead of
+    # re-aggregating the store's terms/stats partials (r14)
+    dfreq, stats = _meta_frames(spark, meta, n_docs, sdl)
     out = _score_topk(matched, dfreq, stats, k)
     return (out, plan) if return_plan else out
 
@@ -1101,7 +1237,9 @@ def bm25_topk_auto(
     gpath, dead = _open_index(path)
     all_terms = {t for terms in queries.values() for t in terms}
     _, tpart, _ = _query_frames(spark, gpath, all_terms, dead)
-    meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, all_terms)
+    meta, n_docs, avgdl, sdl = _term_meta(
+        spark, gpath, dead, tpart, all_terms
+    )
     ub = {
         t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
         * (_K1 + 1.0)
@@ -1141,11 +1279,15 @@ def bm25_topk_auto(
     ms = {q: t for q, t in queries.items() if route[q] == "maxscore"}
     parts = []
     if ex:
-        parts.append(bm25_topk_indexed(spark, path, ex, k=k))
+        parts.append(
+            bm25_topk_indexed(
+                spark, path, ex, k=k, _meta=(meta, n_docs, avgdl, sdl)
+            )
+        )
     if ms:
         parts.append(
             bm25_topk_maxscore(
-                spark, path, ms, k=k, _meta=(meta, n_docs, avgdl)
+                spark, path, ms, k=k, _meta=(meta, n_docs, avgdl, sdl)
             )
         )
     out = parts[0]

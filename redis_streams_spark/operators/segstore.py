@@ -33,6 +33,35 @@ from pyspark.errors import AnalysisException
 
 MANIFEST = "MANIFEST"
 MERGE_LOCK = "MERGE_IN_PROGRESS"
+LAYOUT = "LAYOUT"
+
+
+def write_layout(gpath: str, layout: dict) -> None:
+    """Persist per-generation physical-layout constants (e.g. the term
+    bucket count) next to the data they describe.  Written once by the
+    first segment write of a generation and copied by compaction, so
+    every reader and every later ingest of that generation agrees on
+    the layout without a global constant (r14 optimization: the bucket
+    count is scale-derived at build time, guide §6 — fewer, larger
+    files at small corpora, more pruning partitions at large ones).
+    Atomic rename like the MANIFEST."""
+    local = _local_path(gpath)
+    os.makedirs(local, exist_ok=True)
+    tmp = os.path.join(local, f".{LAYOUT}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(layout, fh)
+        fh.write("\n")
+    os.replace(tmp, os.path.join(local, LAYOUT))
+
+
+def read_layout(gpath: str) -> dict | None:
+    """Layout constants of a generation dir, or None (pre-layout tree:
+    readers fall back to the historical defaults)."""
+    p = os.path.join(_local_path(gpath), LAYOUT)
+    if not os.path.isfile(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def _local_path(p: str) -> str:

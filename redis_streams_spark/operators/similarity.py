@@ -291,20 +291,10 @@ def embedding_neighbor_pairs(
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
-    cands = (
-        buckets.select("label", F.explode(pair_arrays).alias("p"))
-        .select("label", F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-        .distinct()
-    )
+    # streamed, capped i<j expansion (r14) — see dedup.expand_bucket_pairs
+    from redis_streams_spark.operators.dedup import expand_bucket_pairs
+
+    cands = expand_bucket_pairs(buckets, extra=("label",)).distinct()
     av = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("norm").alias("an"))
     bv = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("norm").alias("bn"))
     scored = (

@@ -518,26 +518,40 @@ def _write_segment(
     cols = ["vec_id", "label", "v", "norm"] + (
         ["codes"] if "codes" in emb.columns else []
     )
-    e = as_double_vec(emb).select(*cols).persist()
-    try:
-        (
-            e.withColumn("segment", F.lit(segment))
-            .repartition("label")
-            .write.mode(mode)
-            .option(*owm)
-            .partitionBy("segment", "label")
-            .parquet(f"{gpath}/cells")
-        )
-        (
-            _cstat_partials(e, segment)
-            .coalesce(1)
-            .write.mode(mode)
-            .option(*owm)
-            .partitionBy("segment")
-            .parquet(f"{gpath}/cstats")
-        )
-    finally:
-        e.unpersist()
+    e = as_double_vec(emb).select(*cols)
+    (
+        e.withColumn("segment", F.lit(segment))
+        .repartition("label")
+        .write.mode(mode)
+        .option(*owm)
+        .partitionBy("segment", "label")
+        .parquet(f"{gpath}/cells")
+    )
+    # centroid partials derive from the cells JUST WRITTEN instead of a
+    # persist of the assignment lineage (r14, guide §5/§8 — the same
+    # written-output-as-intermediate shape as the inverted index): the
+    # expensive cell-assignment kernel has exactly one consumer (the
+    # cells write), the read-back scans only (label, v) of this
+    # segment's partitions, and nothing registers in the session
+    # CacheManager.  Explicit schema: an empty batch writes no data
+    # files and inference would fail.  Summation inputs are identical,
+    # so the associative csum partials are bit-equal to the persisted
+    # form.
+    spark = emb.sparkSession
+    written = (
+        spark.read.schema(_SCHEMAS["cells"])
+        .parquet(f"{gpath}/cells")
+        .where(F.col("segment") == segment)
+        .select("label", "v")
+    )
+    (
+        _cstat_partials(written, segment)
+        .coalesce(1)
+        .write.mode(mode)
+        .option(*owm)
+        .partitionBy("segment")
+        .parquet(f"{gpath}/cstats")
+    )
 
 
 def build_vector_index(

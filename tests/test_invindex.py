@@ -55,8 +55,13 @@ def test_query_scan_prunes_to_query_buckets(spark, tmp_path):
     df = bm25_topk_indexed(spark, path, _QUERIES, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+    # probe buckets against the store's pinned layout (r14: the bucket
+    # count is scale-derived at build time and recorded in LAYOUT)
+    from redis_streams_spark.operators.invindex import _layout_buckets
+
+    n_buckets = _layout_buckets(path)
     want_buckets = {
-        h32_py(t) % N_TERM_BUCKETS for ts in _QUERIES.values() for t in ts
+        h32_py(t) % n_buckets for ts in _QUERIES.values() for t in ts
     }
     # the pruned postings read surfaces exactly the probed buckets
     read = spark.read.parquet(f"{path}/postings").where(

@@ -180,7 +180,7 @@ def test_term_meta_single_collect_matches_two_jobs(spark, tmp_path):
     gpath, dead = _open_index(path)
     terms = {"spark", "hash", "w1", "nosuchterm"}
     _, tpart, _ = _query_frames(spark, gpath, terms, dead)
-    meta, n_docs, avgdl = _term_meta(spark, gpath, dead, tpart, terms)
+    meta, n_docs, avgdl, sdl = _term_meta(spark, gpath, dead, tpart, terms)
     trows = (
         tpart.where(F.col("tok").isin(sorted(terms)))
         .groupBy("tok")
@@ -190,6 +190,7 @@ def test_term_meta_single_collect_matches_two_jobs(spark, tmp_path):
     srow = _stats_totals(spark, gpath, dead).first()
     assert meta == {r["tok"]: (r["df"], r["mtf"]) for r in trows if r["df"] > 0}
     assert n_docs == (srow["n"] or 0) and n_docs > 0
+    assert sdl == (srow["sdl"] or 0)
     assert avgdl == (srow["sdl"] or 0) * 1.0 / n_docs
 
 

@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for bench-flagged queries to plans/r13/.
+"""Dump .explain("formatted") for bench-flagged queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-Writes plans/r13/<query>_<suffix>.txt for each bench query (or the named
-queries).  Planning only — no jobs are executed beyond what query
+Writes plans/<round>/<query>_<suffix>.txt for each bench query (or the
+named queries); <round> comes from $SPARK_GRAFT_PLANS_ROUND (default
+r14).  Planning only — no jobs are executed beyond what query
 construction itself triggers.
 """
 import os
@@ -22,7 +23,11 @@ def main() -> None:
     specs = all_queries()
     if not names:
         names = [n for n, s in specs.items() if s.bench]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = specs[name].fn(spark, sf_dir)
